@@ -1,0 +1,146 @@
+"""Bit-exact hashing primitives shared by every sketch.
+
+Reimplements, from public algorithm descriptions, the two deterministic
+primitives whose exact bit patterns the reference engine depends on:
+
+* Thomas Wang's 64-bit mix hash (the reference's ``WangHash``,
+  ``include/hash.h:34-56``) — a bijection on ``[0, 2^64)``; vectorized
+  here over numpy ``uint64`` arrays.
+* The MT19937-64 generator (``std::mt19937_64``) used only to derive the
+  per-row seeds of the count-min family (``include/ocm.h:273-274``:
+  ``std::mt19937_64 mt(seedseed + 4)`` then ``nh`` draws).
+
+Both are pure functions of their inputs; there is no global state, so
+the same ``(np, nh, seedseed)`` triple yields the same sketch layout on
+every worker of a cluster — the property the query path relies on when
+it re-derives seeds from a sketch header (``main.cpp:106-120``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+_MASK64 = (1 << 64) - 1
+
+
+def wanghash(keys: np.ndarray) -> np.ndarray:
+    """Vectorized Thomas Wang 64-bit hash (``include/hash.h:34-56``).
+
+    Accepts any integer ndarray; computes in uint64 with wraparound
+    semantics identical to C++ unsigned arithmetic.
+    """
+    key = np.asarray(keys).astype(U64, copy=True)
+    with np.errstate(over="ignore"):
+        key = (~key) + (key << U64(21))
+        key ^= key >> U64(24)
+        key = (key + (key << U64(3))) + (key << U64(8))  # key * 265
+        key ^= key >> U64(14)
+        key = (key + (key << U64(2))) + (key << U64(4))  # key * 21
+        key ^= key >> U64(28)
+        key = key + (key << U64(31))
+    return key
+
+
+def wanghash_scalar(key: int) -> int:
+    """Scalar Wang hash for driver-side / test use."""
+    key &= _MASK64
+    key = ((~key & _MASK64) + ((key << 21) & _MASK64)) & _MASK64
+    key ^= key >> 24
+    key = (key + ((key << 3) & _MASK64) + ((key << 8) & _MASK64)) & _MASK64
+    key ^= key >> 14
+    key = (key + ((key << 2) & _MASK64) + ((key << 4) & _MASK64)) & _MASK64
+    key ^= key >> 28
+    key = (key + ((key << 31) & _MASK64)) & _MASK64
+    return key
+
+
+class MT19937_64:
+    """Minimal bit-exact ``std::mt19937_64`` (public Matsumoto-Nishimura
+    parameters; same constants as the C++ standard's mersenne_twister_engine
+    typedef). Used only to draw the ``nh`` 64-bit row seeds.
+    """
+
+    NN = 312
+    MM = 156
+    MATRIX_A = 0xB5026F5AA96619E9
+    UM = 0xFFFFFFFF80000000
+    LM = 0x7FFFFFFF
+
+    def __init__(self, seed: int = 5489):
+        mt = np.empty(self.NN, dtype=np.object_)
+        mt[0] = seed & _MASK64
+        for i in range(1, self.NN):
+            prev = int(mt[i - 1])
+            mt[i] = (6364136223846793005 * (prev ^ (prev >> 62)) + i) & _MASK64
+        self._mt = [int(x) for x in mt]
+        self._mti = self.NN
+
+    def _refill(self) -> None:
+        mt = self._mt
+        for i in range(self.NN):
+            x = (mt[i] & self.UM) | (mt[(i + 1) % self.NN] & self.LM)
+            xa = x >> 1
+            if x & 1:
+                xa ^= self.MATRIX_A
+            mt[i] = mt[(i + self.MM) % self.NN] ^ xa
+        self._mti = 0
+
+    def __call__(self) -> int:
+        if self._mti >= self.NN:
+            self._refill()
+        x = self._mt[self._mti]
+        self._mti += 1
+        x ^= (x >> 29) & 0x5555555555555555
+        x ^= (x << 17) & 0x71D67FFFEDA60000
+        x ^= (x << 37) & 0xFFF7EEE000000000
+        x ^= x >> 43
+        return x & _MASK64
+
+
+def force_odd_nh(nh: int) -> int:
+    """The reference forces an odd number of rows: ``nh += (nh % 2 == 0)``
+    (``include/ocm.h:38,267``). Kept as explicit parameter normalization."""
+    return nh + (1 if nh % 2 == 0 else 0)
+
+
+def derive_seeds(nh: int, seedseed: int = 137) -> np.ndarray:
+    """``nh`` row seeds from ``std::mt19937_64(seedseed + 4)``
+    (``include/ocm.h:273-274``). ``nh`` must already be odd-forced.
+    Returns uint64 array of shape (nh,)."""
+    rng = MT19937_64(seedseed + 4)
+    return np.array([rng() for _ in range(nh)], dtype=U64)
+
+
+def positions(vals: np.ndarray, seeds: np.ndarray, np_bits: int) -> np.ndarray:
+    """Counter positions for each value under each row hash.
+
+    ``pos[i, j] = (wang(vals[i] ^ seeds[j]) & (2^np - 1)) + (j << np)``
+    (``include/ocm.h:48-52,289-293``; the reference truncates the hash
+    through int32 first, which is a no-op on the low ``np ≤ 32`` bits).
+
+    Returns int64 array of shape (len(vals), nh) — flat indices into a
+    row-major ``nh * 2^np`` counter array.
+    """
+    vals = np.asarray(vals).astype(U64, copy=False)
+    mask = U64((1 << np_bits) - 1)
+    out = np.empty((len(vals), len(seeds)), dtype=np.int64)
+    for j, s in enumerate(seeds):
+        h = wanghash(vals ^ U64(s))
+        out[:, j] = (h & mask).astype(np.int64) + (j << np_bits)
+    return out
+
+
+def hash_strings(arr) -> np.ndarray:
+    """Map an arbitrary string/bytes sequence to uint64 items via FNV-1a
+    (public domain Fowler-Noll-Vo) then Wang finalization — the engine's
+    codec for hashing non-integer columns into the sketch domain."""
+    out = np.empty(len(arr), dtype=U64)
+    for i, s in enumerate(arr):
+        if isinstance(s, str):
+            s = s.encode("utf-8", "surrogatepass")
+        h = 0xCBF29CE484222325
+        for b in s:
+            h = ((h ^ b) * 0x100000001B3) & _MASK64
+        out[i] = h
+    return wanghash(out)

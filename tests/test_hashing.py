@@ -1,0 +1,80 @@
+"""Bit-exactness of the hashing primitives against golden values captured
+from a C++ probe (std::mt19937_64 and the reference's WangHash,
+``include/hash.h:34-56``; seed derivation ``include/ocm.h:273-274``)."""
+
+import numpy as np
+
+from ocm_ray.core.hashing import (
+    MT19937_64,
+    derive_seeds,
+    force_odd_nh,
+    hash_strings,
+    positions,
+    wanghash,
+    wanghash_scalar,
+)
+
+# First 7 draws of std::mt19937_64(141)  (= seedseed 137 + 4)
+GOLDEN_SEEDS_137 = [
+    4132590076560339228,
+    13007531024143976266,
+    10201408600777402012,
+    7119087120851304674,
+    9574504745795890768,
+    10646687687585853853,
+    12953096763517277047,
+]
+
+# WangHash of {0, 1, 137, 0xDEADBEEFCAFEBABE, 2^64-1} from the same probe
+GOLDEN_WANG = {
+    0: 8633297058295171728,
+    1: 6614235796240398542,
+    137: 2642537501211252942,
+    0xDEADBEEFCAFEBABE: 15121121717576776324,
+    2**64 - 1: 2272383144869939092,
+}
+
+
+def test_mt19937_64_matches_cpp():
+    rng = MT19937_64(141)
+    assert [rng() for _ in range(7)] == GOLDEN_SEEDS_137
+
+
+def test_derive_seeds_matches_cpp():
+    assert list(derive_seeds(7, 137)) == GOLDEN_SEEDS_137
+
+
+def test_wanghash_matches_cpp():
+    keys = np.array(list(GOLDEN_WANG), dtype=np.uint64)
+    assert list(wanghash(keys)) == list(GOLDEN_WANG.values())
+    for k, v in GOLDEN_WANG.items():
+        assert wanghash_scalar(k) == v
+
+
+def test_wanghash_is_permutation_on_sample():
+    keys = np.arange(100000, dtype=np.uint64)
+    h = wanghash(keys)
+    assert len(np.unique(h)) == len(keys)  # bijection ⇒ no collisions
+
+
+def test_force_odd_nh():
+    assert force_odd_nh(4) == 5
+    assert force_odd_nh(7) == 7
+
+
+def test_positions_layout():
+    seeds = derive_seeds(5, 137)
+    pos = positions(np.array([42, 7], dtype=np.uint64), seeds, 12)
+    assert pos.shape == (2, 5)
+    for j in range(5):
+        lo, hi = j << 12, (j + 1) << 12
+        assert ((pos[:, j] >= lo) & (pos[:, j] < hi)).all()
+    # spot-check formula
+    expect = (int(wanghash_scalar(42 ^ int(seeds[3]))) & 0xFFF) + (3 << 12)
+    assert pos[0, 3] == expect
+
+
+def test_hash_strings_deterministic():
+    a = hash_strings(["foo", "bar", "foo"])
+    assert a[0] == a[2] and a[0] != a[1]
+    assert a.dtype == np.uint64
