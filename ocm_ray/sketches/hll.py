@@ -1,0 +1,120 @@
+"""HyperLogLog — mergeable cardinality sketch.
+
+Behavioral contract from the reference's vendored ``hll.h`` (SURVEY §2.3):
+``m = 2^p`` uint8 registers; ``add``: register index = top ``p`` bits of the
+64-bit hash, register value = (number of leading zeros of the remaining
+``64-p`` bits) + 1, kept as a running max (``hll.h:827-840``); ``addh``
+hashes through WangHash first (``hll.h:842-845``); **merge = element-wise
+max** (``hll.h:957-985``); relative error ``1.03896/√m`` (``hll.h:737-739``).
+
+Estimator: the classic Flajolet-Fuss-Gandouet-Meunier HLL estimator with
+linear-counting small-range correction (public algorithm), which is the
+vendored library's ORIGINAL mode (``hll.h:60-64``). Implemented fully
+vectorized (numpy); exact integer bit-length is computed via 32-bit
+log2 halves (float64 log2 is exact for ints < 2^53).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ocm_ray.core.hashing import wanghash
+from ocm_ray.sketches.base import MergeableSketch, register_sketch
+
+U64 = np.uint64
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (0 → 0)."""
+    hi = (x >> U64(32)).astype(np.float64)
+    lo = (x & U64(0xFFFFFFFF)).astype(np.float64)
+    out = np.zeros(x.shape, dtype=np.int64)
+    m_hi = hi > 0
+    with np.errstate(divide="ignore"):
+        out[m_hi] = 32 + np.floor(np.log2(hi[m_hi])).astype(np.int64) + 1
+        m_lo = (~m_hi) & (lo > 0)
+        out[m_lo] = np.floor(np.log2(lo[m_lo])).astype(np.int64) + 1
+    return out
+
+
+@register_sketch
+class HyperLogLog(MergeableSketch):
+    kind = "hll"
+
+    def __init__(self, p: int = 14, seedseed: int = 137, prehashed: bool = False):
+        self.p = int(p)
+        self.seedseed = int(seedseed)
+        self.prehashed = bool(prehashed)
+        self.m = 1 << self.p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    # ---- update ------------------------------------------------------------
+    def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
+        # counts are irrelevant for cardinality — duplicates are free.
+        items = np.asarray(items).astype(U64, copy=False)
+        if items.size == 0:
+            return
+        h = items if self.prehashed else wanghash(items ^ U64(self.seedseed))
+        idx = (h >> U64(64 - self.p)).astype(np.int64)
+        rest = h << U64(self.p)  # top 64-p bits of the remainder, left-aligned
+        rank = (64 - _bit_length_u64(rest >> U64(self.p)) - self.p + 1).astype(np.uint8)
+        # rest>>p == low 64-p bits; leading zeros within that field + 1
+        np.maximum.at(self.registers, idx, rank)
+
+    # ---- estimate ----------------------------------------------------------
+    def estimate(self) -> float:
+        regs = self.registers.astype(np.float64)
+        m = float(self.m)
+        if self.p >= 7:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        else:
+            alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(self.p, 0.7213 / (1 + 1.079 / m))
+        e = alpha * m * m / np.sum(np.exp2(-regs))
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)  # linear counting
+        elif e > (1 / 30.0) * 2**64:
+            e = -(2**64) * np.log(1.0 - e / 2**64)
+        return float(e)
+
+    def relative_error(self) -> float:
+        return 1.03896 / np.sqrt(self.m)
+
+    # ---- set algebra (``hll.h:1124-1160``) ---------------------------------
+    def union_size(self, other: "HyperLogLog") -> float:
+        u = self.empty_like()
+        np.maximum(self.registers, other.registers, out=u.registers)
+        return u.estimate()
+
+    def jaccard_index(self, other: "HyperLogLog") -> float:
+        us = self.union_size(other)
+        if us <= 0:
+            return 0.0
+        inter = self.estimate() + other.estimate() - us
+        return max(0.0, inter / us)
+
+    # ---- merge / io --------------------------------------------------------
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p and self.seedseed == other.seedseed, "geometry mismatch"
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def compress(self, new_p: int) -> "HyperLogLog":
+        """Fold registers down to a smaller precision (``hll.h:902-910``):
+        new register = max over the fold group, adjusted for the index bits
+        that move into the rank field. Conservative fold (max only) — valid
+        merge target for mixed-precision unions."""
+        assert new_p <= self.p
+        out = HyperLogLog(new_p, self.seedseed, self.prehashed)
+        folded = self.registers.reshape(1 << new_p, -1).max(axis=1)
+        out.registers = folded
+        return out
+
+    def _params(self) -> Dict:
+        return dict(p=self.p, seedseed=self.seedseed, prehashed=self.prehashed)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        return {"registers": self.registers}

@@ -1,0 +1,160 @@
+"""KLL quantile sketch (Karnin-Lang-Liberty, FOCS'16; cf. PAPERS.md
+"KLL±: Approximate Quantile Sketches over Dynamic Datasets", VLDB'21).
+
+The vendored library's quantile analogue is DDSketch (``dd.h``); the north
+rule asks for KLL, implemented here from the published algorithm:
+
+* a hierarchy of compactors; level ``h`` items carry weight ``2^h``;
+* level capacities decay geometrically (``c = 2/3``) from ``k`` at the top;
+* a full level is sorted and every other item (random even/odd offset) is
+  promoted one level up — halving the item count, preserving expected rank;
+* merge = concatenate levels pairwise, then re-compact.
+
+Randomized: merge is associative *in distribution* (rank-error bound is
+preserved), not bitwise — the coin stream is deterministic per sketch
+(counter + seedseed through WangHash) so a single-threaded run reproduces
+exactly, but different partition groupings legitimately differ within the
+ε bound. Rank error is O(1/k) with high probability.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ocm_ray.core.hashing import wanghash_scalar
+from ocm_ray.sketches.base import MergeableSketch, register_sketch
+
+
+@register_sketch
+class KLL(MergeableSketch):
+    kind = "kll"
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200, seedseed: int = 137):
+        self.k = int(k)
+        self.seedseed = int(seedseed)
+        self.levels: List[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = np.zeros(1, dtype=np.int64)
+        self._coin_ctr = 0
+
+    # ---- internals ---------------------------------------------------------
+    def _capacity(self, level: int) -> int:
+        depth = len(self.levels) - 1 - level
+        return max(2, int(np.ceil(self.k * (self.C ** depth))))
+
+    def _coin(self) -> int:
+        self._coin_ctr += 1
+        return wanghash_scalar(self._coin_ctr ^ (self.seedseed << 32)) & 1
+
+    def _total(self) -> int:
+        return sum(len(l) for l in self.levels)
+
+    def _cap_total(self) -> int:
+        return sum(self._capacity(h) for h in range(len(self.levels)))
+
+    def _compress(self) -> None:
+        while self._total() > self._cap_total():
+            for h in range(len(self.levels)):
+                if len(self.levels[h]) > self._capacity(h):
+                    buf = np.sort(self.levels[h])
+                    # odd buffer: one item stays behind (can't pair)
+                    if len(buf) % 2 == 1:
+                        keep, buf = buf[-1:], buf[:-1]
+                    else:
+                        keep = np.empty(0, dtype=np.float64)
+                    promoted = buf[self._coin()::2]  # half the items, double weight
+                    if h + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[h] = keep
+                    self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+                    break
+            else:
+                break
+
+    # ---- update ------------------------------------------------------------
+    def update_values(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return
+        self.n[0] += values.size
+        # feed in chunks so level-0 never balloons past ~4 capacities
+        chunk = max(64, 4 * self.k)
+        for i in range(0, len(values), chunk):
+            self.levels[0] = np.concatenate([self.levels[0], values[i:i + chunk]])
+            self._compress()
+
+    def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
+        items = np.asarray(items)
+        if counts is not None:
+            items = np.repeat(items, np.asarray(counts, dtype=np.int64))
+        self.update_values(items.astype(np.float64))
+
+    # ---- queries -----------------------------------------------------------
+    def _weighted(self):
+        vals, wts = [], []
+        for h, buf in enumerate(self.levels):
+            if len(buf):
+                vals.append(buf)
+                wts.append(np.full(len(buf), 1 << h, dtype=np.int64))
+        if not vals:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q) -> np.ndarray:
+        """Value(s) at normalized rank(s) q ∈ [0,1]."""
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        v, w = self._weighted()
+        if v.size == 0:
+            return np.full(qs.shape, np.nan)
+        cum = np.cumsum(w) - w / 2.0
+        ranks = qs * float(w.sum())
+        out = np.interp(ranks, cum, v)
+        return out if np.ndim(q) else out  # vector in, vector out
+
+    def rank(self, values) -> np.ndarray:
+        """Approximate normalized rank of each value."""
+        xs = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        v, w = self._weighted()
+        if v.size == 0:
+            return np.full(xs.shape, np.nan)
+        cum = np.concatenate([[0], np.cumsum(w)]).astype(np.float64)
+        idx = np.searchsorted(v, xs, side="right")
+        return cum[idx] / cum[-1]
+
+    def cdf(self, values) -> np.ndarray:
+        return self.rank(values)
+
+    # ---- merge / io --------------------------------------------------------
+    def merge(self, other: "KLL") -> "KLL":
+        assert self.k == other.k, "geometry mismatch"
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for h, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[h] = np.concatenate([self.levels[h], buf])
+        self.n += other.n
+        self._coin_ctr = max(self._coin_ctr, other._coin_ctr) + 1
+        self._compress()
+        return self
+
+    def _params(self) -> Dict:
+        return dict(k=self.k, seedseed=self.seedseed)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        out = {f"level_{h}": buf for h, buf in enumerate(self.levels)}
+        out["n"] = self.n
+        out["coin"] = np.array([self._coin_ctr], dtype=np.int64)
+        return out
+
+    def _set_arrays(self, arrays: Dict[str, np.ndarray]) -> None:
+        levels = sorted((k for k in arrays if k.startswith("level_")),
+                        key=lambda s: int(s.split("_")[1]))
+        self.levels = [arrays[k] for k in levels]
+        self.n = arrays["n"]
+        self._coin_ctr = int(arrays["coin"][0])

@@ -1,0 +1,219 @@
+"""Accuracy-bound and merge-law tests for the wider sketch family
+(FIXTURES.md F5): HLL, Bloom, KLL, t-digest, bottom-k MinHash."""
+
+import numpy as np
+import pytest
+
+from ocm_ray.sketches import (
+    BloomFilter,
+    BottomKMinHash,
+    HyperLogLog,
+    KLL,
+    MergeableSketch,
+    TDigest,
+)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+# ---------------- HLL ----------------
+
+@pytest.mark.parametrize("p", [10, 12, 14])
+def test_hll_error_bound(p, rng):
+    items = rng.integers(0, 2**63, 200_000).astype(np.uint64)
+    true = len(np.unique(items))
+    h = HyperLogLog(p=p)
+    h.update(items)
+    assert abs(h.estimate() - true) / true < 4 * h.relative_error()
+
+
+def test_hll_merge_exact_max(rng):
+    a = rng.integers(0, 2**60, 50_000).astype(np.uint64)
+    b = rng.integers(0, 2**60, 50_000).astype(np.uint64)
+    h1, h2, hw = HyperLogLog(12), HyperLogLog(12), HyperLogLog(12)
+    h1.update(a)
+    h2.update(b)
+    hw.update(np.concatenate([a, b]))
+    h1.merge(h2)
+    assert np.array_equal(h1.registers, hw.registers)  # partition-invariant
+
+
+def test_hll_small_range_exactish(rng):
+    items = np.arange(50, dtype=np.uint64)
+    h = HyperLogLog(12)
+    h.update(items)
+    assert abs(h.estimate() - 50) <= 2  # linear counting regime
+
+
+def test_hll_union_jaccard(rng):
+    a = np.arange(0, 60_000, dtype=np.uint64)
+    b = np.arange(30_000, 90_000, dtype=np.uint64)
+    h1, h2 = HyperLogLog(14), HyperLogLog(14)
+    h1.update(a)
+    h2.update(b)
+    assert abs(h1.union_size(h2) - 90_000) / 90_000 < 0.05
+    assert abs(h1.jaccard_index(h2) - 1 / 3) < 0.05
+
+
+def test_hll_compress_fold(rng):
+    items = rng.integers(0, 2**60, 100_000).astype(np.uint64)
+    h = HyperLogLog(14)
+    h.update(items)
+    folded = h.compress(10)
+    assert folded.m == 1024
+    true = len(np.unique(items))
+    assert abs(folded.estimate() - true) / true < 6 * folded.relative_error()
+
+
+# ---------------- Bloom ----------------
+
+def test_bloom_no_false_negatives(rng):
+    keys = rng.integers(0, 2**62, 5000).astype(np.uint64)
+    bf = BloomFilter(p=16, nh=5)
+    bf.update(keys)
+    assert bf.contains(keys).all()
+
+
+def test_bloom_fpr_within_formula(rng):
+    keys = rng.integers(0, 2**61, 5000).astype(np.uint64)
+    bf = BloomFilter(p=16, nh=5)
+    bf.update(keys)
+    miss = rng.integers(2**61, 2**62, 20_000).astype(np.uint64)
+    observed = bf.contains(miss).mean()
+    assert observed <= 3 * max(bf.fpr(), 1e-4)
+
+
+def test_bloom_cardinality_linear_counting(rng):
+    keys = rng.integers(0, 2**62, 8000).astype(np.uint64)
+    true = len(np.unique(keys))
+    bf = BloomFilter(p=17, nh=5)
+    bf.update(keys)
+    assert abs(bf.cardinality_estimate() - true) / true < 0.05
+
+
+def test_bloom_merge_is_or(rng):
+    a = rng.integers(0, 2**62, 3000).astype(np.uint64)
+    b = rng.integers(0, 2**62, 3000).astype(np.uint64)
+    f1, f2, fw = (BloomFilter(16, 5) for _ in range(3))
+    f1.update(a)
+    f2.update(b)
+    fw.update(np.concatenate([a, b]))
+    f1.merge(f2)
+    assert np.array_equal(f1.words, fw.words)
+
+
+# ---------------- KLL ----------------
+
+def test_kll_rank_error(rng):
+    vals = rng.lognormal(6, 0.8, 300_000)
+    k = KLL(200)
+    k.update_values(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = float(np.atleast_1d(k.quantile(q))[0])
+        true_rank = (vals <= est).mean()
+        assert abs(true_rank - q) < 0.015, (q, true_rank)
+
+
+def test_kll_merge_preserves_bound(rng):
+    vals = rng.normal(0, 1, 200_000)
+    parts = np.array_split(vals, 8)
+    sks = []
+    for p in parts:
+        s = KLL(200)
+        s.update_values(p)
+        sks.append(s)
+    acc = sks[0]
+    for s in sks[1:]:
+        acc.merge(s)
+    assert acc.n[0] == 200_000
+    for q in (0.05, 0.5, 0.95):
+        est = float(np.atleast_1d(acc.quantile(q))[0])
+        assert abs((vals <= est).mean() - q) < 0.02
+
+
+# ---------------- t-digest ----------------
+
+def test_tdigest_tail_accuracy(rng):
+    vals = rng.lognormal(6, 0.8, 300_000)
+    t = TDigest(100)
+    t.update_values(vals)
+    for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+        est = float(np.atleast_1d(t.quantile(q))[0])
+        true_rank = (vals <= est).mean()
+        # relative rank error at tails is what t-digest guarantees
+        tol = max(0.002, 0.25 * min(q, 1 - q))
+        assert abs(true_rank - q) < max(tol, 0.004), (q, true_rank)
+
+
+def test_tdigest_merge(rng):
+    vals = rng.normal(10, 3, 200_000)
+    a, b = TDigest(100), TDigest(100)
+    a.update_values(vals[:100_000])
+    b.update_values(vals[100_000:])
+    a.merge(b)
+    assert abs(a.n - 200_000) < 1e-6
+    est = float(np.atleast_1d(a.quantile(0.5))[0])
+    assert abs((vals <= est).mean() - 0.5) < 0.01
+
+
+def test_tdigest_weighted_update(rng):
+    t1, t2 = TDigest(100), TDigest(100)
+    vals = rng.integers(0, 100, 5000).astype(np.float64)
+    uniq, cnt = np.unique(vals, return_counts=True)
+    t1.update_values(vals)
+    t2.update_values(uniq, cnt.astype(np.float64))
+    q1 = np.atleast_1d(t1.quantile([0.25, 0.5, 0.75]))
+    q2 = np.atleast_1d(t2.quantile([0.25, 0.5, 0.75]))
+    assert np.allclose(q1, q2, atol=2.0)
+
+
+# ---------------- bottom-k ----------------
+
+def test_bottomk_cardinality(rng):
+    items = rng.integers(0, 500_000, 2_000_000).astype(np.uint64)
+    true = len(np.unique(items))
+    mh = BottomKMinHash(1024)
+    mh.update(items)
+    assert abs(mh.cardinality_estimate() - true) / true < 0.1
+
+
+def test_bottomk_small_set_exact(rng):
+    items = np.arange(100, dtype=np.uint64)
+    mh = BottomKMinHash(1024)
+    mh.update(items)
+    assert mh.cardinality_estimate() == 100
+
+
+def test_bottomk_jaccard_and_merge(rng):
+    a = np.arange(0, 50_000, dtype=np.uint64)
+    b = np.arange(25_000, 75_000, dtype=np.uint64)
+    m1, m2 = BottomKMinHash(2048), BottomKMinHash(2048)
+    m1.update(a)
+    m2.update(b)
+    assert abs(m1.jaccard(m2) - 1 / 3) < 0.05
+    # merge == sketch of union
+    mu = BottomKMinHash(2048)
+    mu.update(np.concatenate([a, b]))
+    m1.merge(m2)
+    assert np.array_equal(m1.values, mu.values)
+
+
+# ---------------- serialization across the family ----------------
+
+@pytest.mark.parametrize("factory", [
+    lambda: HyperLogLog(12),
+    lambda: BloomFilter(14, 5),
+    lambda: KLL(128),
+    lambda: TDigest(64),
+    lambda: BottomKMinHash(256),
+])
+def test_family_roundtrip(factory, rng):
+    s = factory()
+    s.update(rng.integers(0, 10_000, 20_000).astype(np.uint64))
+    s2 = MergeableSketch.from_bytes(s.to_bytes())
+    assert type(s2) is type(s)
+    a1, a2 = s._arrays(), s2._arrays()
+    assert all(np.array_equal(a1[k], a2[k]) for k in a1)
