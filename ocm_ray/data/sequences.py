@@ -1,0 +1,108 @@
+"""Deterministic generator for the ``sequences`` table — the engine's
+primary input shape (BASELINE.json input_hint / FIXTURES.md F1):
+
+    doc_id : string      "doc-{i:08d}"
+    tokens : list<int32> bounded-Zipf(s≈1.1) token ids over vocab 50,257
+    n_tok  : int32       log-normal lengths (μ=ln 512, σ=0.8), clipped [8, 8192]
+    source : string      {"web","books","code","wiki"} at 70/15/10/5
+
+Written as multiple Parquet files so partition-invariance tests and the
+streaming executor see real block boundaries. Every file is a pure
+function of ``(seed, file_index)`` — regeneration is bit-identical (the
+per-row token-array-equality invariant is asserted in tests by
+regenerating), generation parallelizes per file, and a resumable writer
+can skip files that already exist.
+
+The Zipf sampler is inverse-CDF over the finite vocab (``np.searchsorted``
+on the normalized harmonic cumsum) — NOT ``rng.zipf`` clipped, whose
+unbounded tail would pile ~30% of mass onto the clip boundary at s=1.1.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = 50257
+SOURCES = np.array(["web", "books", "code", "wiki"])
+SOURCE_P = np.array([0.70, 0.15, 0.10, 0.05])
+
+
+def _zipf_cdf(vocab: int, s: float) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, vocab + 1, dtype=np.float64), s)
+    return np.cumsum(w) / w.sum()
+
+
+_CDF_CACHE: dict = {}
+
+
+def sample_tokens(rng: np.random.Generator, n: int, vocab: int = VOCAB,
+                  s: float = 1.1) -> np.ndarray:
+    key = (vocab, s)
+    if key not in _CDF_CACHE:
+        _CDF_CACHE[key] = _zipf_cdf(vocab, s)
+    cdf = _CDF_CACHE[key]
+    return np.searchsorted(cdf, rng.random(n), side="right").astype(np.int32)
+
+
+def generate_file(path: str, n_docs: int, start_idx: int, seed: int = 42,
+                  file_index: int = 0, vocab: int = VOCAB, s: float = 1.1,
+                  mean_len: float = 512.0, sigma_len: float = 0.8,
+                  hot_source_skew: bool = False) -> None:
+    """One deterministic Parquet part file. ``hot_source_skew=True`` makes
+    ``web`` docs 4x longer (FIXTURES.md F6 skew fixture)."""
+    rng = np.random.default_rng([seed, file_index])
+    lens = np.clip(rng.lognormal(np.log(mean_len), sigma_len, n_docs), 8, 8192).astype(np.int32)
+    src = SOURCES[rng.choice(len(SOURCES), size=n_docs, p=SOURCE_P)]
+    if hot_source_skew:
+        lens = np.where(src == "web", np.minimum(lens * 4, 8192), lens).astype(np.int32)
+    flat = sample_tokens(rng, int(lens.sum()), vocab, s)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
+    doc_id = pa.array([f"doc-{i:08d}" for i in range(start_idx, start_idx + n_docs)])
+    table = pa.table({
+        "doc_id": doc_id,
+        "tokens": tokens,
+        "n_tok": pa.array(lens, type=pa.int32()),
+        "source": pa.array(src),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=4096)
+    os.replace(tmp, path)  # atomic: a reader never sees a partial file
+
+
+def generate_sequences(out_dir: str, n_docs: int, seed: int = 42,
+                       n_files: int = 8, **kw) -> List[str]:
+    """Materialize the table as ``n_files`` part files; returns the paths.
+    Already-present part files are kept (resume-friendly; files are pure
+    functions of (seed, index))."""
+    os.makedirs(out_dir, exist_ok=True)
+    per = n_docs // n_files
+    counts = [per + (1 if i < n_docs % n_files else 0) for i in range(n_files)]
+    paths = []
+    start = 0
+    for i, c in enumerate(counts):
+        p = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        if not os.path.exists(p):
+            generate_file(p, c, start, seed=seed, file_index=i, **kw)
+        paths.append(p)
+        start += c
+    return paths
+
+
+def ensure_sequences(n_docs: int, seed: int = 42, n_files: int = 8,
+                     root: str = "/tmp/ocm_ray_data", tag: str = "",
+                     **kw) -> str:
+    """Cache-or-create a sequences table; returns its directory."""
+    d = os.path.join(root, f"seq_{n_docs}_{seed}_{n_files}{tag}")
+    generate_sequences(d, n_docs, seed=seed, n_files=n_files, **kw)
+    return d
+
+
+def sf_to_docs(sf: float) -> int:
+    """Scale factor → doc count (sf 0.01 ≈ 10k docs ≈ 5M tokens)."""
+    return max(64, int(sf * 1_000_000))

@@ -1,0 +1,129 @@
+"""Multi-round (offline) OCM / OCCM orchestration over Ray Data.
+
+The offline algorithm (SURVEY §2.2) requires n full re-scans of the
+corpus — exactly what a Parquet-backed Dataset is good at and a true
+stream cannot do. Per round r (``main.cpp:35-62`` non-conservative,
+``:63-90`` conservative-effective):
+
+    non-conservative (OCM):
+        r>0: COLLISION pass — every partition marks suspect cells against
+             the broadcast frozen previous-round (core, collision);
+             partials merge by cell-wise max.
+        zero core; COUNT pass — masked scatter-add conditioned on the
+             broadcast frozen collision table; partials merge by sum.
+             Bit-exact at any parallelism (conformance-tested).
+    conservative (OCCM):
+        zero core; one fused COUNT+COLLISION pass per partition against
+        the broadcast frozen collision table; merge core=sum,
+        collision=max. Order-dependent → sandwiched
+        (true ≤ est ≤ vanilla-CM), tested.
+
+The Dataset is scanned once per pass via ``streaming_split`` accumulator
+tasks; the only cross-round state is the broadcast sketch arrays
+(``ray.put`` once per round, read zero-copy by every task).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import ray
+from ray.data import Dataset
+
+from ocm_ray.engine.build import _default_parallelism, tree_merge
+from ocm_ray.engine.tokens import items_from_batch
+from ocm_ray.sketches.countmin import OfflineCountMin
+
+
+# num_cpus=0.5 for the same deadlock-avoidance reason as build._consume_split
+@ray.remote(num_cpus=0.5)
+def _round_pass(it, np_bits: int, nh: int, seedseed: int, conservative: bool,
+                mode: str, round_no: int, total_round: int,
+                frozen_core, frozen_coll, column: str, kgram: int):
+    # frozen_core / frozen_coll arrive as ObjectRef task args → Ray delivers
+    # them zero-copy from the shared object store (put once per round by the
+    # driver, read by every task — the broadcast pattern).
+    sk = OfflineCountMin(np_bits, nh, seedseed, conservative=conservative)
+    if frozen_coll is not None:
+        sk.collision[:] = frozen_coll
+    for batch in it.iter_batches(batch_format="pyarrow", batch_size=None,
+                                 prefetch_batches=2):
+        items = items_from_batch(batch, column, kgram)
+        if mode == "collision":
+            sk.update_collision(items, round_no, frozen_core=frozen_core,
+                                frozen_collision=frozen_coll)
+        elif mode == "count":
+            sk.update_count(items, frozen_collision=frozen_coll)
+        else:  # fused occm
+            sk.update_count_collision(items, round_no, total_round)
+    return sk
+
+
+def build_ocm(dataset_factory: Callable[[], Dataset], np_bits: int = 20,
+              nh: int = 7, seedseed: int = 137, rounds: int = 4,
+              conservative: bool = True, column: str = "tokens",
+              kgram: int = 1, parallelism: Optional[int] = None,
+              on_round_end: Optional[Callable] = None,
+              resume_from: Optional[tuple] = None) -> OfflineCountMin:
+    """n-round offline count-min over a re-scannable Dataset.
+
+    ``dataset_factory`` returns a FRESH lazy Dataset per pass (each pass
+    re-reads the Parquet source — the streaming executor never holds the
+    corpus in memory). ``on_round_end(round, sketch)`` is the checkpoint
+    hook (see engine.checkpoint.RoundCheckpointer).
+    """
+    p = parallelism or _default_parallelism()
+    glob = OfflineCountMin(np_bits, nh, seedseed, conservative=conservative)
+    start_round = 0
+    if resume_from is not None:
+        # (last_completed_round, its checkpointed sketch) — e.g. from
+        # RoundCheckpointer.last_completed()/load()
+        last, ckpt = resume_from
+        glob = ckpt.ensure_writable()
+        start_round = last + 1
+
+    def run_pass(mode: str, r: int, frozen_core, frozen_coll):
+        core_ref = ray.put(frozen_core) if frozen_core is not None else None
+        coll_ref = ray.put(frozen_coll)
+        splits = dataset_factory().streaming_split(p, equal=False)
+        refs = [_round_pass.remote(it, np_bits, nh, seedseed, conservative,
+                                   mode, r, rounds, core_ref, coll_ref,
+                                   column, kgram)
+                for it in splits]
+        if mode == "collision":
+            merged = tree_merge_collision(refs)
+        else:
+            merged = tree_merge(refs)
+        return merged
+
+    for r in range(start_round, rounds):
+        if not conservative and r > 0:
+            merged = run_pass("collision", r, glob.core.copy(), glob.collision.copy())
+            glob.collision = merged.collision
+        glob.clear_core()
+        mode = "fused" if conservative else "count"
+        merged = run_pass(mode, r, None, glob.collision.copy())
+        glob.core = merged.core
+        glob.n_items = merged.n_items
+        if conservative:
+            glob.collision = merged.collision
+        if on_round_end is not None:
+            on_round_end(r, glob)
+    return glob
+
+
+@ray.remote
+def _merge_collision_task(*sketches):
+    acc = sketches[0].ensure_writable()
+    for s in sketches[1:]:
+        acc.merge_collision(s)
+    return acc
+
+
+def tree_merge_collision(refs, fanin: int = 8):
+    refs = list(refs)
+    while len(refs) > 1:
+        refs = [_merge_collision_task.remote(*refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    return ray.get(refs[0]).ensure_writable()

@@ -1,0 +1,105 @@
+"""Zero-copy extraction of sketchable uint64 items from Arrow batches.
+
+The engine's native input column is ``tokens: list<int32>`` (the
+BASELINE.json input_hint shape). Batches arrive as ``pyarrow.Table``
+straight from the object store; we flatten the list column's values
+buffer to numpy without per-row Python and widen to uint64 (the sketch
+hash domain). ``kgram > 1`` reproduces the reference's rolling-window
+semantics (``include/ocm.h:85-105``) generalized to token ids: windows
+never cross row (document) boundaries, and each window is reduced to one
+uint64 item by chained WangHash mixing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ocm_ray.core.hashing import wanghash
+
+U64 = np.uint64
+
+
+def _flat_numpy(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        return arr.to_numpy(zero_copy_only=True)
+    except pa.ArrowInvalid:
+        return arr.to_numpy(zero_copy_only=False)
+
+
+def hash_string_array(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized stable hash of a string/binary column to uint64 via
+    polars (xxhash, seed-pinned) with a pure-Python FNV fallback."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(arr)
+        return s.hash(seed=137).to_numpy().astype(U64)
+    except Exception:
+        from ocm_ray.core.hashing import hash_strings
+
+        return hash_strings(arr.to_pylist())
+
+
+def list_column_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_values, row_lengths) of a list column, zero-copy where the
+    Arrow layout allows."""
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = _flat_numpy(col.values)
+    # honor list-array slicing: values may extend beyond this batch's rows
+    flat = flat[offsets[0]:offsets[-1]]
+    lengths = np.diff(offsets)
+    return flat, lengths
+
+
+def kgram_reduce(flat: np.ndarray, lengths: np.ndarray, k: int) -> np.ndarray:
+    """One uint64 item per within-row window of k consecutive tokens.
+
+    Window hash: ``h = wang(t_0); h = wang(h ^ t_j)`` for j=1..k-1 —
+    order-sensitive, collision-resistant, vectorized over all windows.
+    """
+    flat = flat.astype(U64, copy=False)
+    n = len(flat)
+    if n < k:
+        return np.empty(0, dtype=U64)
+    win = np.lib.stride_tricks.sliding_window_view(flat, k)
+    acc = wanghash(win[:, 0])
+    for j in range(1, k):
+        acc = wanghash(acc ^ win[:, j])
+    rowid = np.repeat(np.arange(len(lengths)), lengths)
+    valid = rowid[: n - k + 1] == rowid[k - 1:]
+    return acc[valid]
+
+
+def items_from_batch(batch: pa.Table, column: str = "tokens", kgram: int = 1,
+                     weights_column: Optional[str] = None) -> np.ndarray:
+    """uint64 item stream for one Arrow batch.
+
+    * list<int*> column → flattened values (kgram-windowed if kgram>1);
+    * integer column → values widened to uint64;
+    * string/binary column → stable 64-bit hashes.
+    """
+    col_type = batch.schema.field(column).type
+    if pa.types.is_list(col_type) or pa.types.is_large_list(col_type):
+        flat, lengths = list_column_values(batch, column)
+        if kgram > 1:
+            return kgram_reduce(flat, lengths, kgram)
+        return flat.astype(U64, copy=False)
+    if pa.types.is_integer(col_type):
+        return _flat_numpy(batch.column(column)).astype(U64, copy=False)
+    if pa.types.is_string(col_type) or pa.types.is_large_string(col_type) \
+            or pa.types.is_binary(col_type):
+        return hash_string_array(batch.column(column))
+    if pa.types.is_floating(col_type):
+        # value sketches (KLL/t-digest) take floats; reinterpret losslessly
+        return _flat_numpy(batch.column(column)).astype(np.float64)
+    raise TypeError(f"unsupported column type for sketching: {col_type}")

@@ -96,6 +96,16 @@ class MergeableSketch:
         return obj
 
     # ---- conveniences -----------------------------------------------------
+    def ensure_writable(self) -> "MergeableSketch":
+        """Ray's object store deserializes numpy arrays as read-only
+        (zero-copy pickle5 buffers). Call before mutating a sketch that
+        came out of ``ray.get`` — copies only the frozen arrays."""
+        self._set_arrays({
+            k: (v.copy() if isinstance(v, np.ndarray) and not v.flags.writeable else v)
+            for k, v in self._arrays().items()
+        })
+        return self
+
     @property
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self._arrays().values())
