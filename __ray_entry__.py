@@ -1,44 +1,361 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in ocm_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers SURVEY.md §2's operator inventory: exact relational
+/ text / similarity pipelines with DuckDB oracles, plus the sketch
+pipelines (CM / OCM / OCCM / HLL / Bloom / KLL / t-digest / MinHash)
+which are not SQL-expressible and therefore carry engine-internal
+invariant assertions instead (one-sided error, bound tolerances) and get
+rows-only driver checks.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+# sequences fixture used by the sketch pipelines (BASELINE input_hint shape);
+# docs counts per sf mirror ocm_ray.data.sequences.sf_to_docs
+_SEQ_ROOT = "/tmp/ocm_ray_data"
+_SEQ_SF001_DIR = f"{_SEQ_ROOT}/seq_1000_42_8"     # sf0.001
+_SEQ_SF01_DIR = f"{_SEQ_ROOT}/seq_10000_42_8"     # sf0.01
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.01
+
+
+def _seq_dir_for(sf_dir: str) -> str:
+    from ocm_ray.data.sequences import ensure_sequences
+
+    sf = _sf_from_dir(sf_dir)
+    from ocm_ray.data.sequences import sf_to_docs
+
+    return ensure_sequences(sf_to_docs(sf), seed=42, n_files=8)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
+    for c, nd in spec.items():
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+# --------------------------------------------------------------------------
+# flagship
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the offline conservative
+    count-min over the sequences table (multi-round, distributed),
+    point-query the 500 hottest tokens against exact ground truth."""
+    import ray.data as rd
+
+    from ocm_ray.data.sequences import ensure_sequences
+    from ocm_ray.engine.rounds import build_ocm
+    from ocm_ray.ops.relational import exact_token_counts
+
+    seq = ensure_sequences(1000, seed=42, n_files=8)
+    sk = build_ocm(lambda: rd.read_parquet(seq, columns=["tokens"]),
+                   np_bits=16, nh=5, rounds=2, conservative=True, parallelism=4)
+    truth = (exact_token_counts(rd.read_parquet(seq, columns=["tokens"]))
+             .sort(["cnt", "token"], descending=[True, False]).limit(500).to_pandas())
+    truth = truth.rename(columns={"cnt": "true_count"})
+    est = sk.estimate(truth["token"].to_numpy().astype(np.uint64))
+    truth["estimated_count"] = est
+    assert (truth["estimated_count"] >= truth["true_count"]).all(), \
+        "one-sided CM invariant violated"
+    return truth
+
+
+# --------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- relational / exact (SQL-checkable) ----
+    def pricing_summary(sf_dir):
+        from ocm_ray.ops.relational import lineitem_pricing_summary
+
+        df = lineitem_pricing_summary(_read(sf_dir, "lineitem")).to_pandas()
+        return _round_cols(df, {"sum_qty": 2, "sum_base_price": 2,
+                                "sum_disc_price": 2, "sum_charge": 2,
+                                "avg_qty": 4})
+    q["pricing_summary"] = pricing_summary
+
+    def doc_stats_by_source(sf_dir):
+        from ray.data.aggregate import Count, Sum
+
+        ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+        df = (ds.groupby("source")
+              .aggregate(Count(alias_name="n_docs"),
+                         Sum("n_chars", alias_name="sum_chars"))).to_pandas()
+        df["sum_chars"] = df["sum_chars"].astype(np.int64)
+        return df
+    q["doc_stats_by_source"] = doc_stats_by_source
+
+    def top_tokens(sf_dir):
+        from ocm_ray.ops.text import top_k_tokens
+
+        return top_k_tokens(_read(sf_dir, "documents", columns=["text"]), k=100)
+    q["top_tokens"] = top_tokens
+
+    def doc_token_counts(sf_dir):
+        import pyarrow as pa
+
+        def count_tokens(batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            n = pl.from_arrow(batch.column("text")).str.split(" ").list.len()
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "n_tokens": n.cast(pl.Int64).to_arrow()})
+
+        return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(count_tokens, batch_format="pyarrow")
+    q["doc_token_counts"] = doc_token_counts
+
+    def events_hourly(sf_dir):
+        from ocm_ray.ops.relational import windowed_event_agg
+
+        df = windowed_event_agg(_read(sf_dir, "events"), window="1h").to_pandas()
+        return _round_cols(df, {"sum_value": 2})
+    q["events_hourly"] = events_hourly
+
+    def orders_by_segment(sf_dir):
+        import pyarrow.parquet as pq
+
+        from ocm_ray.ops.relational import orders_by_segment as _obs
+
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_mktsegment"]).to_pandas()
+        df = _obs(_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+                  cust).to_pandas()
+        return _round_cols(df, {"total_price": 2})
+    q["orders_by_segment"] = orders_by_segment
+
+    def distinct_users(sf_dir):
+        from ocm_ray.ops.relational import distinct_count
+
+        n = distinct_count(_read(sf_dir, "events", columns=["user_id"]), "user_id")
+        return pd.DataFrame({"distinct_users": [n]})
+    q["distinct_users"] = distinct_users
+
+    def dedup_exact(sf_dir):
+        from ray.data.aggregate import Count, Min
+
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        out = (ds.groupby("text")
+               .aggregate(Min("doc_id", alias_name="doc_id"),
+                          Count(alias_name="n_copies")))
+        return out.select_columns(["doc_id", "n_copies"])
+    q["dedup_exact"] = dedup_exact
+
+    def token_counts_seq(sf_dir):
+        from ocm_ray.ops.relational import exact_token_counts
+        import ray.data as rd
+
+        seq = _seq_dir_for(sf_dir)
+        return exact_token_counts(rd.read_parquet(seq, columns=["tokens"]))
+    q["token_counts_seq"] = token_counts_seq
+
+    def ann_topk(sf_dir):
+        import pyarrow.parquet as pq
+
+        from ocm_ray.ops.similarity import brute_force_topk
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qvec = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+        out = brute_force_topk(_read(sf_dir, "embeddings"), qvec[None, :], k=20)
+        out = out[["vec_id", "sim"]].copy()
+        out["sim"] = out["sim"].round(4)
+        return out.sort_values(["sim", "vec_id"],
+                               ascending=[False, True]).reset_index(drop=True)
+    q["ann_topk"] = ann_topk
+
+    # ---- sketch pipelines (engine invariants asserted; rows-only checks) ----
+    def cm_conservative_query(sf_dir):
+        import ray.data as rd
+
+        from ocm_ray.engine.build import build_sketch
+        from ocm_ray.ops.relational import exact_token_counts
+        from ocm_ray.sketches import CountMin
+
+        seq = _seq_dir_for(sf_dir)
+        sk = build_sketch(rd.read_parquet(seq, columns=["tokens"]),
+                          lambda: CountMin(18, 5, conservative=True), parallelism=4)
+        truth = (exact_token_counts(rd.read_parquet(seq, columns=["tokens"]))
+                 .sort(["cnt", "token"], descending=[True, False])
+                 .limit(1000).to_pandas().rename(columns={"cnt": "true_count"}))
+        truth["estimated_count"] = sk.estimate(
+            truth["token"].to_numpy().astype(np.uint64))
+        assert (truth["estimated_count"] >= truth["true_count"]).all()
+        return truth
+    q["cm_conservative_query"] = cm_conservative_query
+
+    def occm_query(sf_dir):
+        import ray.data as rd
+
+        from ocm_ray.engine.rounds import build_ocm
+        from ocm_ray.ops.relational import exact_token_counts
+
+        seq = _seq_dir_for(sf_dir)
+        sk = build_ocm(lambda: rd.read_parquet(seq, columns=["tokens"]),
+                       np_bits=18, nh=5, rounds=3, conservative=True,
+                       parallelism=4)
+        truth = (exact_token_counts(rd.read_parquet(seq, columns=["tokens"]))
+                 .sort(["cnt", "token"], descending=[True, False])
+                 .limit(1000).to_pandas().rename(columns={"cnt": "true_count"}))
+        truth["estimated_count"] = sk.estimate(
+            truth["token"].to_numpy().astype(np.uint64))
+        assert (truth["estimated_count"] >= truth["true_count"]).all()
+        return truth
+    q["occm_query"] = occm_query
+
+    def hll_distinct_by_source(sf_dir):
+        import ray.data as rd
+
+        from ocm_ray.engine.build import grouped_sketches
+        from ocm_ray.sketches import HyperLogLog
+
+        seq = _seq_dir_for(sf_dir)
+        per = grouped_sketches(rd.read_parquet(seq, columns=["tokens", "source"]),
+                               "source", lambda: HyperLogLog(14))
+        return pd.DataFrame(
+            {"source": list(per), "distinct_est": [round(s.estimate()) for s in per.values()]}
+        ).sort_values("source").reset_index(drop=True)
+    q["hll_distinct_by_source"] = hll_distinct_by_source
+
+    def quantiles_sketch(sf_dir):
+        import ray.data as rd
+
+        from ocm_ray.engine.build import build_sketch
+        from ocm_ray.sketches import KLL, TDigest
+
+        ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+        kll = build_sketch(ds, lambda: KLL(200), column="l_extendedprice",
+                           parallelism=4)
+        td = build_sketch(_read(sf_dir, "lineitem", columns=["l_extendedprice"]),
+                          lambda: TDigest(100), column="l_extendedprice",
+                          parallelism=4)
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        return pd.DataFrame({
+            "q": qs,
+            "kll": np.atleast_1d(kll.quantile(qs)).round(2),
+            "tdigest": np.atleast_1d(td.quantile(qs)).round(2),
+        })
+    q["quantiles_sketch"] = quantiles_sketch
+
+    def bloom_membership(sf_dir):
+        from ocm_ray.engine.build import build_sketch
+        from ocm_ray.sketches import BloomFilter
+
+        ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+        bf = build_sketch(ds, lambda: BloomFilter(20, 5), column="l_partkey",
+                          parallelism=4)
+        present = np.arange(1, 101, dtype=np.uint64)
+        absent = np.arange(10**9, 10**9 + 100, dtype=np.uint64)
+        keys = np.concatenate([present, absent])
+        return pd.DataFrame({"key": keys.astype(np.int64),
+                             "member": bf.contains(keys)})
+    q["bloom_membership"] = bloom_membership
+
+    def minhash_source_similarity(sf_dir):
+        import ray.data as rd
+
+        from ocm_ray.engine.build import grouped_sketches
+        from ocm_ray.sketches import BottomKMinHash
+
+        seq = _seq_dir_for(sf_dir)
+        per = grouped_sketches(rd.read_parquet(seq, columns=["tokens", "source"]),
+                               "source", lambda: BottomKMinHash(1024))
+        names = sorted(per)
+        rows = [{"a": a, "b": b, "jaccard": round(per[a].jaccard(per[b]), 3)}
+                for i, a in enumerate(names) for b in names[i + 1:]]
+        return pd.DataFrame(rows)
+    q["minhash_source_similarity"] = minhash_source_similarity
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)                               AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2)                          AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   ROUND(AVG(l_quantity), 4)                               AS avg_qty,
+                   COUNT(*)                                                AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "doc_stats_by_source": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "top_tokens": """
+            SELECT tok AS token, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+            ORDER BY cnt DESC, token ASC
+            LIMIT 100
+        """,
+        "doc_token_counts": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "distinct_users": """
+            SELECT COUNT(DISTINCT user_id) AS distinct_users FROM events
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "token_counts_seq": f"""
+            SELECT t.tok AS token, COUNT(*) AS cnt
+            FROM (SELECT unnest(tokens) AS tok
+                  FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')) t
+            GROUP BY t.tok
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(qe AS DOUBLE[]) FROM q)), 4) AS sim
+            FROM embeddings
+            ORDER BY sim DESC, vec_id ASC
+            LIMIT 20
+        """,
+    }

@@ -36,44 +36,98 @@ from ocm_ray.engine.tokens import items_from_batch
 from ocm_ray.sketches.countmin import OfflineCountMin
 
 
-# num_cpus=0.5 for the same deadlock-avoidance reason as build._consume_split
-@ray.remote(num_cpus=0.5)
+def _apply_pass(sk: OfflineCountMin, items, mode: str, round_no: int,
+                total_round: int, frozen_core, frozen_coll) -> None:
+    if mode == "collision":
+        sk.update_collision(items, round_no, frozen_core=frozen_core,
+                            frozen_collision=frozen_coll)
+    elif mode == "count":
+        sk.update_count(items, frozen_collision=frozen_coll)
+    else:  # fused occm
+        sk.update_count_collision(items, round_no, total_round)
+
+
+# one full CPU, capped count — same tuning as build._consume_split
+@ray.remote(num_cpus=1)
 def _round_pass(it, np_bits: int, nh: int, seedseed: int, conservative: bool,
                 mode: str, round_no: int, total_round: int,
-                frozen_core, frozen_coll, column: str, kgram: int):
+                frozen_core, frozen_coll, column: str, kgram: int,
+                counter_dtype: str = "int64"):
     # frozen_core / frozen_coll arrive as ObjectRef task args → Ray delivers
     # them zero-copy from the shared object store (put once per round by the
     # driver, read by every task — the broadcast pattern).
-    sk = OfflineCountMin(np_bits, nh, seedseed, conservative=conservative)
+    sk = OfflineCountMin(np_bits, nh, seedseed, conservative=conservative,
+                         counter_dtype=counter_dtype)
     if frozen_coll is not None:
         sk.collision[:] = frozen_coll
     for batch in it.iter_batches(batch_format="pyarrow", batch_size=None,
                                  prefetch_batches=2):
         items = items_from_batch(batch, column, kgram)
-        if mode == "collision":
-            sk.update_collision(items, round_no, frozen_core=frozen_core,
-                                frozen_collision=frozen_coll)
-        elif mode == "count":
-            sk.update_count(items, frozen_collision=frozen_coll)
-        else:  # fused occm
-            sk.update_count_collision(items, round_no, total_round)
+        _apply_pass(sk, items, mode, round_no, total_round, frozen_core, frozen_coll)
     return sk
 
 
-def build_ocm(dataset_factory: Callable[[], Dataset], np_bits: int = 20,
+@ray.remote(num_cpus=1)
+def _round_pass_counts(shard_counts, np_bits: int, nh: int, seedseed: int,
+                       conservative: bool, mode: str, round_no: int,
+                       total_round: int, frozen_core, frozen_coll,
+                       counter_dtype: str = "int64"):
+    """One round pass over a shard's cached (unique, count) table.
+
+    The corpus is scanned ONCE (build.shard_token_counts); every pass of
+    every round then operates on the shard's exact grouped multiset —
+    bit-identical for the order-free OCM passes (masked scatter-add /
+    frozen-read marking are functions of the multiset), and equal to the
+    documented grouped-conservative semantics for the fused OCCM pass
+    (each shard's occurrences processed token-grouped). This removes the
+    reference's 2n-1 re-reads entirely; at scales where the count tables
+    don't fit the object store, pass ``cache_shard_counts=False`` to
+    re-scan Parquet per pass instead.
+    """
+    uniq, cnt = shard_counts
+    sk = OfflineCountMin(np_bits, nh, seedseed, conservative=conservative,
+                         counter_dtype=counter_dtype)
+    if frozen_coll is not None:
+        sk.collision[:] = frozen_coll
+    if mode == "collision":
+        sk.update_collision(uniq, round_no, counts=cnt,
+                            frozen_core=frozen_core,
+                            frozen_collision=frozen_coll)
+    elif mode == "count":
+        sk.update_count(uniq, counts=cnt, frozen_collision=frozen_coll)
+    else:
+        sk.update_count_collision(uniq, round_no, total_round, counts=cnt)
+    return sk
+
+
+def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
+              np_bits: int = 20,
               nh: int = 7, seedseed: int = 137, rounds: int = 4,
               conservative: bool = True, column: str = "tokens",
               kgram: int = 1, parallelism: Optional[int] = None,
               on_round_end: Optional[Callable] = None,
-              resume_from: Optional[tuple] = None) -> OfflineCountMin:
+              resume_from: Optional[tuple] = None,
+              materialize: bool = False,
+              files: Optional[list] = None,
+              partial_counter_dtype: str = "int64") -> OfflineCountMin:
     """n-round offline count-min over a re-scannable Dataset.
 
     ``dataset_factory`` returns a FRESH lazy Dataset per pass (each pass
     re-reads the Parquet source — the streaming executor never holds the
     corpus in memory). ``on_round_end(round, sketch)`` is the checkpoint
     hook (see engine.checkpoint.RoundCheckpointer).
+
+    ``materialize=True`` pins the token Dataset in the object store once
+    and reuses it for every pass — only for corpora that fit the store
+    (2n-1x fewer reads/decodes); leave False at full scale, where the
+    offline algorithm's re-scans stream from Parquet.
     """
-    p = parallelism or _default_parallelism()
+    from ocm_ray.engine.build import _cap_consumers
+
+    p = _cap_consumers(parallelism or _default_parallelism())
+    if materialize:
+        pinned = dataset_factory().materialize()
+        dataset_factory = lambda: pinned  # noqa: E731
     glob = OfflineCountMin(np_bits, nh, seedseed, conservative=conservative)
     start_round = 0
     if resume_from is not None:
@@ -83,14 +137,34 @@ def build_ocm(dataset_factory: Callable[[], Dataset], np_bits: int = 20,
         glob = ckpt.ensure_writable()
         start_round = last + 1
 
+    count_refs = None
+    if files is not None:
+        from ocm_ray.engine.build import shard_token_counts
+
+        files = sorted(files)
+        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+        p_files = max(1, min(parallelism or n_cpu, len(files)))
+        shard_groups = [files[i::p_files] for i in range(p_files)]
+        # single corpus scan → cached per-shard exact count tables
+        # (vocab-bounded; every subsequent pass reads these, not Parquet)
+        count_refs = [shard_token_counts.remote(g, column, kgram)
+                      for g in shard_groups]
+
     def run_pass(mode: str, r: int, frozen_core, frozen_coll):
         core_ref = ray.put(frozen_core) if frozen_core is not None else None
         coll_ref = ray.put(frozen_coll)
-        splits = dataset_factory().streaming_split(p, equal=False)
-        refs = [_round_pass.remote(it, np_bits, nh, seedseed, conservative,
-                                   mode, r, rounds, core_ref, coll_ref,
-                                   column, kgram)
-                for it in splits]
+        if count_refs is not None:
+            refs = [_round_pass_counts.remote(cref, np_bits, nh, seedseed,
+                                              conservative, mode, r, rounds,
+                                              core_ref, coll_ref,
+                                              partial_counter_dtype)
+                    for cref in count_refs]
+        else:
+            splits = dataset_factory().streaming_split(p, equal=False)
+            refs = [_round_pass.remote(it, np_bits, nh, seedseed, conservative,
+                                       mode, r, rounds, core_ref, coll_ref,
+                                       column, kgram, partial_counter_dtype)
+                    for it in splits]
         if mode == "collision":
             merged = tree_merge_collision(refs)
         else:
@@ -104,7 +178,7 @@ def build_ocm(dataset_factory: Callable[[], Dataset], np_bits: int = 20,
         glob.clear_core()
         mode = "fused" if conservative else "count"
         merged = run_pass(mode, r, None, glob.collision.copy())
-        glob.core = merged.core
+        glob.core = merged.core.astype(glob.core.dtype, copy=False)
         glob.n_items = merged.n_items
         if conservative:
             glob.collision = merged.collision

@@ -1,0 +1,54 @@
+"""Tree-structured grouped aggregation for *shrinkable* keyspaces.
+
+Ray Data's native ``groupby().aggregate()`` executes a sort-based
+all-to-all — measured 35.7s for a 6.2M-row partial-count table at sf0.1
+where the per-block Arrow ``Table.group_by`` tree below takes 0.4s (85x).
+The tree is correct whenever the aggregate is commutative+associative and
+the key cardinality fits one block after dedup (token vocab, time
+buckets, category keys):
+
+    level 0: per-block Arrow group_by  (one row per key per block)
+    level k: coalesce ``fanin`` blocks (repartition, no shuffle) and
+             group_by again — block sizes collapse to ≤ |keys|
+    final:   one block holds the exact grouped sums
+
+For UNshrinkable keyspaces (near-unique keys, e.g. grouping by content
+hash for exact dedup), the tree degenerates — use Ray's native groupby
+there; it moves every row no matter what.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _block_group_sum(keys: List[str], sum_cols: List[str]):
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        cols = {k: g.column(k) for k in keys}
+        for c in sum_cols:
+            cols[c] = g.column(f"{c}_sum")
+        return pa.table(cols)
+
+    return combine
+
+
+def grouped_sum(ds: Dataset, keys: List[str], sum_cols: List[str],
+                fanin: int = 8, levels: int = 2) -> Dataset:
+    """Exact grouped sums via the per-block tree (see module docstring).
+    Returns a Dataset with columns ``keys + sum_cols`` (single block)."""
+    combine = _block_group_sum(keys, sum_cols)
+    out = ds.map_batches(combine, batch_size=None, batch_format="pyarrow")
+    width = fanin ** (levels - 1)
+    while width >= 1:
+        out = out.repartition(width).map_batches(
+            combine, batch_size=None, batch_format="pyarrow")
+        if width == 1:
+            break
+        width //= fanin
+    return out

@@ -1,0 +1,161 @@
+"""Relational operators: exact aggregations, broadcast joins, windowed
+event aggregates, distinct counts — the exact-oracle counterparts of the
+sketch estimators plus the general query surface.
+
+Shuffle discipline (SURVEY §7.3): every ``groupby`` here consumes
+pre-aggregated per-block partials (one row per key per block), never raw
+rows; small sides broadcast via ``ray.put``; top-k sorts run on grouped
+partials only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def exact_token_counts(ds: Dataset, column: str = "tokens") -> Dataset:
+    """Exact counts of int tokens from a list<int32> column.
+    Per-batch ``np.unique`` partials → tree grouped-sum (ops.agg)."""
+    from ocm_ray.ops.agg import grouped_sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        from ocm_ray.engine.tokens import list_column_values
+
+        flat, _ = list_column_values(batch, column)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"token": pa.array(uniq.astype(np.int32)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    return grouped_sum(ds.map_batches(local, batch_format="pyarrow"),
+                       ["token"], ["cnt"])
+
+
+def distinct_count(ds: Dataset, column: str) -> int:
+    """Exact COUNT(DISTINCT col) — per-batch unique (shrinks blocks to
+    distinct values) then a global unique."""
+    def local(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column)
+        return pa.table({column: pc.unique(
+            vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)})
+
+    return ds.map_batches(local, batch_format="pyarrow").unique(column).__len__()
+
+
+def distinct_tokens_count(ds: Dataset, column: str = "tokens") -> int:
+    """Exact distinct count over a token-list column (HLL's oracle)."""
+    def local(batch: pa.Table) -> pa.Table:
+        from ocm_ray.engine.tokens import list_column_values
+
+        flat, _ = list_column_values(batch, column)
+        return pa.table({"token": pa.array(np.unique(flat))})
+
+    return len(ds.map_batches(local, batch_format="pyarrow").unique("token"))
+
+
+def broadcast_join(large: Dataset, small_df: pd.DataFrame, key: str,
+                   select: Optional[List[str]] = None) -> Dataset:
+    """Hash join where the build side fits in memory: ``ray.put`` the
+    small table once; every map task merges against the shared copy.
+    No shuffle of the probe side."""
+    if select is not None:
+        small_df = small_df[[key] + [c for c in select if c != key]]
+    ref = ray.put(small_df)
+
+    class _Join:
+        def __init__(self, ref):
+            self.small = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=key, how="inner")
+
+    return large.map_batches(_Join, fn_constructor_args=(ref,),
+                             batch_format="pandas", concurrency=4)
+
+
+def windowed_event_agg(events: Dataset, window: str = "1h",
+                       ts_col: str = "ts", key: str = "event_type",
+                       value_col: str = "value") -> Dataset:
+    """Tumbling-window aggregate: floor the timestamp to the window,
+    pre-aggregate (key, window) partials per batch, grouped-sum the
+    partials. SQL-equivalent: GROUP BY key, time_bucket."""
+    seconds = {"1m": 60, "5m": 300, "1h": 3600, "1d": 86400}[window]
+
+    def local(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (ts // (seconds * 1_000_000)) * (seconds * 1_000_000)
+        df = pd.DataFrame({
+            key: batch.column(key).to_numpy(zero_copy_only=False),
+            "window_start": bucket,
+            "val": batch.column(value_col).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby([key, "window_start"], as_index=False).agg(
+            n=("val", "size"), sum_value=("val", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    out = grouped_sum(events.map_batches(local, batch_format="pyarrow"),
+                      [key, "window_start"], ["n", "sum_value"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ws = pa.array(batch.column("window_start").to_numpy(zero_copy_only=False),
+                      type=pa.int64())
+        return (batch.set_column(batch.schema.get_field_index("window_start"),
+                                 "window_start", ws.cast(pa.timestamp("us"))))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def lineitem_pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-01") -> Dataset:
+    """TPC-H Q1-shaped pricing summary. Per-block partial sums (including
+    the count, so the mean is derivable) feed the tree grouped-sum —
+    the shuffle moves only (#groups × #blocks) partial rows."""
+    from ocm_ray.ops.agg import grouped_sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch.column("l_shipdate"),
+                                     pa.scalar(np.datetime64(cutoff, "us"))))
+        disc = batch.column("l_discount")
+        price = batch.column("l_extendedprice")
+        rev = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        charge = pc.multiply(rev, pc.add(pa.scalar(1.0), batch.column("l_tax")))
+        ones = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": batch.column("l_quantity"),
+            "sum_base_price": price,
+            "sum_disc_price": rev,
+            "sum_charge": charge,
+            "count_order": ones,
+        })
+        return t
+
+    sums = ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+            "count_order"]
+    out = grouped_sum(lineitem.map_batches(prep, batch_format="pyarrow"),
+                      ["l_returnflag", "l_linestatus"], sums)
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t.column("sum_qty"),
+                        pc.cast(t.column("count_order"), pa.float64()))
+        return t.append_column("avg_qty", avg)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_by_segment(orders: Dataset, customer_df: pd.DataFrame) -> Dataset:
+    """Broadcast-join orders→customer, revenue per market segment."""
+    joined = broadcast_join(orders, customer_df.rename(columns={"c_custkey": "o_custkey"}),
+                            key="o_custkey", select=["o_custkey", "c_mktsegment"])
+    return (joined.groupby("c_mktsegment")
+            .aggregate(Sum("o_totalprice", alias_name="total_price"),
+                       Count(alias_name="n_orders")))

@@ -1,0 +1,166 @@
+"""Text-analysis operators over a documents table — the per-record maps a
+large-scale training-data pipeline needs (language-ID heuristic, quality
+scoring, token counting, document fingerprinting).
+
+All stages are vectorized ``map_batches`` transforms: polars string
+kernels where they win, Arrow/numpy otherwise. No per-row Python in any
+hot path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocm_ray.core.hashing import wanghash
+
+U64 = np.uint64
+
+# BPE-ish word/punct splitter (public GPT-2-style pattern, simplified to
+# stdlib `re`: contractions, letter runs, digit runs, punct runs)
+BPEISH_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+# tiny per-language stopword panels for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "was"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "que"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"},
+    "es": {"el", "la", "los", "las", "de", "que", "es", "un", "una", "por"},
+    "zh": set(),  # CJK detected by codepoint range, not stopwords
+}
+
+
+def split_whitespace(texts: List[str]) -> List[List[str]]:
+    """Single-space split, `str.split(' ')` semantics — matches DuckDB
+    ``string_split(text, ' ')`` exactly (empty tokens preserved) so the
+    SQL oracle and the engine tokenize identically."""
+    return [t.split(" ") for t in texts]
+
+
+class TextStats:
+    """Actor-pool stage: per-document quality metrics.
+
+    Regexes are compiled once per actor (``__init__``), applied per batch.
+    Adds: ``n_tokens`` (whitespace), ``n_words`` (BPE-ish), ``punct_ratio``,
+    ``stop_ratio``, ``upper_ratio``, ``mean_word_len``, ``fingerprint``
+    (64-bit rolling hash of the token-hash sequence), ``lang_guess``.
+    """
+
+    def __init__(self):
+        self.word_re = re.compile(r"[A-Za-z']+")
+        self.punct_re = re.compile(r"[^\w\s]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(batch.column("text"))
+        n_chars = texts.str.len_chars().to_numpy()
+        tokens = texts.str.split(" ")
+        n_tokens = tokens.list.len().to_numpy()
+        n_punct = texts.str.count_matches(r"[^\w\s]").to_numpy()
+        n_upper = texts.str.count_matches(r"[A-Z]").to_numpy()
+
+        # stopword ratio + fingerprint + language guess per doc (token level)
+        exploded = tokens.list.eval(pl.element().str.to_lowercase())
+        stop_hits = exploded.list.eval(
+            pl.element().is_in(list(STOPWORDS))).list.sum().to_numpy()
+        tok_hash = tokens.list.eval(pl.element().hash(seed=137))
+        # rolling fingerprint: wang-mix of (position-weighted) token hashes
+        fp = np.empty(len(texts), dtype=np.uint64)
+        offs = np.concatenate([[0], np.cumsum(tok_hash.list.len().to_numpy())]).astype(np.int64)
+        flat = tok_hash.explode().to_numpy().astype(U64, copy=False)
+        mixed = wanghash(flat ^ (np.arange(len(flat), dtype=U64) * U64(0x9E3779B97F4A7C15)))
+        sums = np.add.reduceat(mixed, offs[:-1], dtype=np.uint64) if len(flat) else np.zeros(len(texts), U64)
+        empty = offs[:-1] == offs[1:]
+        fp = wanghash(np.where(empty, U64(0), sums))
+
+        lang = _guess_langs(texts)
+        safe_tok = np.maximum(n_tokens, 1)
+        out = batch
+        for name, arr in [
+            ("n_tokens", pa.array(n_tokens, type=pa.int32())),
+            ("punct_ratio", pa.array(n_punct / np.maximum(n_chars, 1))),
+            ("stop_ratio", pa.array(stop_hits / safe_tok)),
+            ("upper_ratio", pa.array(n_upper / np.maximum(n_chars, 1))),
+            ("mean_word_len", pa.array(np.maximum(n_chars - n_tokens + 1, 0) / safe_tok)),
+            ("fingerprint", pa.array(fp.astype(np.int64))),  # int64 view for parquet
+            ("lang_guess", pa.array(lang)),
+        ]:
+            out = out.append_column(name, arr)
+        return out
+
+
+def _guess_langs(texts) -> List[str]:
+    """Marker-stopword + CJK-codepoint language heuristic."""
+    import polars as pl
+
+    low = texts.str.to_lowercase().str.split(" ")
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        if markers:
+            scores[lang] = low.list.eval(
+                pl.element().is_in(list(markers))).list.sum().to_numpy()
+    cjk = texts.str.count_matches(r"[一-鿿]").to_numpy()
+    langs = np.array(list(scores))
+    mat = np.stack([scores[l] for l in langs])  # (L, n)
+    best = langs[mat.argmax(axis=0)]
+    best = np.where(mat.max(axis=0) == 0, "und", best)
+    return list(np.where(cjk > 0, "zh", best))
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Composite [0,1] quality score from the TextStats columns — the
+    filter knob of a pretraining pipeline."""
+    nt = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    punct = batch.column("punct_ratio").to_numpy(zero_copy_only=False)
+    stop = batch.column("stop_ratio").to_numpy(zero_copy_only=False)
+    len_score = np.clip(nt / 64.0, 0, 1) * np.clip((8192 - nt) / 8192.0, 0, 1)
+    punct_score = 1.0 - np.clip(punct * 4, 0, 1)
+    stop_score = np.clip(stop * 3, 0, 1)
+    score = 0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score
+    return batch.append_column("quality", pa.array(score))
+
+
+def add_text_stats(ds, concurrency: int = 4, batch_size: int = 2048):
+    """documents Dataset → + stats columns (actor pool) → + quality."""
+    return (ds.map_batches(TextStats, batch_format="pyarrow",
+                           batch_size=batch_size, concurrency=concurrency)
+              .map_batches(quality_score, batch_format="pyarrow"))
+
+
+def token_count_table(ds, text_col: str = "text"):
+    """Exact corpus-wide token counts — salted two-phase aggregation:
+    per-batch local value_counts (one row per distinct token per block;
+    Zipf-proof: no token can exceed one row per block) then a small
+    ``groupby(token).sum()``. Matches
+    ``unnest(string_split(text,' ')) GROUP BY 1`` in SQL."""
+    def local_counts(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(batch.column(text_col)).alias("text")
+        vc = (s.str.split(" ").explode().value_counts())
+        # polars>=1: columns ["text", "count"]
+        cols = vc.columns
+        return pa.table({"token": vc[cols[0]].to_arrow(),
+                         "cnt": vc[cols[1]].cast(pl.Int64).to_arrow()})
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    return grouped_sum(ds.map_batches(local_counts, batch_format="pyarrow"),
+                       ["token"], ["cnt"])
+
+
+def top_k_tokens(ds, k: int = 100, text_col: str = "text"):
+    """Deterministic exact top-k: grouped sum → sort (cnt desc, token asc)
+    → limit. The groupby input is pre-aggregated partials, never raw
+    tokens, so the shuffle is tiny."""
+    counts = token_count_table(ds, text_col)
+    return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)

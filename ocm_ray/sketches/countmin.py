@@ -49,11 +49,19 @@ U64 = np.uint64
 
 
 def _scatter_add(core: np.ndarray, pos: np.ndarray, weights: np.ndarray) -> None:
-    """core[pos] += weights, with repeats accumulated. ``np.bincount`` is
-    several times faster than ``np.add.at`` for large scatters; float64
-    accumulation is exact for counts < 2^53."""
-    acc = np.bincount(pos.ravel(), weights=weights.ravel(), minlength=core.size)
-    core += acc.astype(core.dtype, copy=False)
+    """core[pos] += weights, with repeats accumulated.
+
+    Kernel choice is density-dependent: for sparse scatters (unique-token
+    batches over a wide table) ``np.add.at`` touches only the hit cells;
+    for dense scatters ``np.bincount`` + vector add wins despite
+    allocating a core-sized accumulator. Crossover ≈ size/8 indices."""
+    idx = pos.ravel()
+    w = weights.ravel()
+    if idx.size < core.size // 8:
+        np.add.at(core, idx, w.astype(core.dtype, copy=False))
+    else:
+        acc = np.bincount(idx, weights=w, minlength=core.size)
+        core += acc.astype(core.dtype, copy=False)
 
 
 class _CMGeometry(MergeableSketch):

@@ -56,6 +56,10 @@ class HyperLogLog(MergeableSketch):
         items = np.asarray(items).astype(U64, copy=False)
         if items.size == 0:
             return
+        # duplicates can't change a max-register — dedupe before hashing
+        # (Zipf batches shrink ~30x; unique-sort is cheaper than the hash)
+        if items.size > 4096:
+            items = np.unique(items)
         h = items if self.prehashed else wanghash(items ^ U64(self.seedseed))
         idx = (h >> U64(64 - self.p)).astype(np.int64)
         rest = h << U64(self.p)  # top 64-p bits of the remainder, left-aligned
