@@ -273,6 +273,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "member": bf.contains(keys)})
     q["bloom_membership"] = bloom_membership
 
+    # ---- dedup family ----
+    def embedding_dup_pairs(sf_dir):
+        from ocm_ray.ops.dedup import embedding_dup_pairs as _edp
+
+        out = _edp(_read(sf_dir, "embeddings"), threshold=0.4)
+        out = out[["a", "b", "sim"]].copy()
+        out["sim"] = out["sim"].round(4)
+        return out.reset_index(drop=True)
+    q["embedding_dup_pairs"] = embedding_dup_pairs
+
+    def minhash_dedup_pairs(sf_dir):
+        from ocm_ray.ops.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(_read(sf_dir, "documents",
+                                       columns=["doc_id", "text"]),
+                                 num_perm=128, bands=32, threshold=0.5)
+    q["minhash_dedup_pairs"] = minhash_dedup_pairs
+
+    def simhash_fingerprints(sf_dir):
+        from ocm_ray.ops.dedup import simhash_fingerprints as _sfp
+
+        return _sfp(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    q["simhash_fingerprints"] = simhash_fingerprints
+
+    def text_stats(sf_dir):
+        from ocm_ray.ops.text import add_text_stats
+
+        out = add_text_stats(_read(sf_dir, "documents"),
+                             concurrency=2).to_pandas()
+        cols = ["doc_id", "n_tokens", "punct_ratio", "stop_ratio",
+                "lang_guess", "quality", "fingerprint"]
+        out = out[cols].copy()
+        for c in ("punct_ratio", "stop_ratio", "quality"):
+            out[c] = out[c].round(4)
+        return out
+    q["text_stats"] = text_stats
+
+    def lsh_ann_topk(sf_dir):
+        import pyarrow.parquet as pq
+
+        from ocm_ray.ops.similarity import lsh_topk
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qvec = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+        out = lsh_topk(_read(sf_dir, "embeddings"), qvec[None, :], k=10,
+                       bits=6, multiprobe=1)
+        out = out[["vec_id", "sim"]].copy()
+        out["sim"] = out["sim"].round(4)
+        return out.reset_index(drop=True)
+    q["lsh_ann_topk"] = lsh_ann_topk
+
     def minhash_source_similarity(sf_dir):
         import ray.data as rd
 
@@ -347,6 +398,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(tokens) AS tok
                   FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')) t
             GROUP BY t.tok
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

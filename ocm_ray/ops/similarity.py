@@ -26,12 +26,21 @@ from ocm_ray.core.hashing import MT19937_64
 
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(n, dim) float64 from a list<float> / fixed_size_list / Ray tensor
+    extension column."""
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = len(arr[0])
-    return flat.reshape(-1, dim)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type) \
+            or pa.types.is_fixed_size_list(arr.type):
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(arr[0])
+        return flat.reshape(-1, dim)
+    # Ray's ArrowTensorArray (from_pandas with ndarray cells) or object rows
+    m = np.asarray(arr.to_numpy(zero_copy_only=False))
+    if m.dtype == object:
+        m = np.stack(m)
+    return m.astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -85,8 +94,8 @@ def _hyperplanes(dim: int, bits: int, seedseed: int = 137) -> np.ndarray:
     """Deterministic Gaussian hyperplanes via Box-Muller over mt19937_64."""
     rng = MT19937_64(seedseed)
     n = dim * bits
-    u = np.array([rng() for _ in range(2 * ((n + 1) // 2))],
-                 dtype=np.uint64).astype(np.float64) / 2**64
+    u = np.array([rng() for _ in range(2 * n)],
+                 dtype=np.uint64).astype(np.float64) / np.float64(2.0**64)
     u = u.reshape(2, -1)
     z = np.sqrt(-2 * np.log(np.clip(u[0], 1e-12, 1))) * np.cos(2 * np.pi * u[1])
     return z[:n].reshape(bits, dim)

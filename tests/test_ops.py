@@ -1,0 +1,216 @@
+"""Training-data ops: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _near_dup_docs():
+    """Synthetic corpus with known near/exact dup structure."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=60))
+        docs.append(" ".join(words))
+    near = docs[3].split(" ")
+    near[10] = "CHANGED"
+    texts = docs + [docs[5], " ".join(near)]       # 40=exact dup of 5, 41=near dup of 3
+    return pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+
+@pytest.fixture(scope="module")
+def dup_ds():
+    import ray.data as rd
+
+    return rd.from_pandas(_near_dup_docs())
+
+
+def test_minhash_lsh_finds_known_dups(dup_ds):
+    from ocm_ray.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(dup_ds, num_perm=128, bands=32, threshold=0.5)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (5, 40) in found, "exact dup not found"
+    assert (3, 41) in found, "near dup not found"
+    exact_pair = pairs[(pairs.a == 5) & (pairs.b == 40)]
+    assert exact_pair["jaccard"].iloc[0] == 1.0
+
+
+def test_ngram_jaccard_verify(dup_ds):
+    from ocm_ray.ops.dedup import minhash_lsh_pairs, ngram_jaccard_verify
+
+    docs = _near_dup_docs()
+    pairs = minhash_lsh_pairs(dup_ds, num_perm=128, bands=32, threshold=0.5)
+    verified = ngram_jaccard_verify(pairs, docs)
+    ex = verified[(verified.a == 5) & (verified.b == 40)]["jaccard_exact"].iloc[0]
+    assert ex == 1.0
+    near = verified[(verified.a == 3) & (verified.b == 41)]["jaccard_exact"].iloc[0]
+    assert 0.7 < near < 1.0
+    # estimator within MinHash tolerance of exact
+    err = (verified["jaccard"] - verified["jaccard_exact"]).abs()
+    assert err.max() < 0.2
+
+
+def test_simhash_pairs(dup_ds):
+    from ocm_ray.ops.dedup import simhash_pairs
+
+    pairs = simhash_pairs(dup_ds, max_hamming=6)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (5, 40) in found
+    ham = pairs[(pairs.a == 5) & (pairs.b == 40)]["hamming"].iloc[0]
+    assert ham == 0
+
+
+def test_exact_dedup(dup_ds):
+    from ocm_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(dup_ds).to_pandas()
+    assert out["n_copies"].sum() == 42
+    assert (out["n_copies"] == 2).sum() == 1       # one duplicated text
+    dup_rep = out[out.n_copies == 2]["doc_id"].iloc[0]
+    assert dup_rep == 5                             # min id kept
+
+
+def test_embedding_dup_pairs():
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(30, 16))
+    emb = np.concatenate([base, base[:2] + rng.normal(scale=0.01, size=(2, 16))])
+    df = pd.DataFrame({"vec_id": np.arange(32),
+                       "embedding": list(emb.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    pairs = embedding_dup_pairs(ds, threshold=0.99)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 30) in found and (1, 31) in found
+
+
+def test_brute_force_topk_matches_numpy():
+    import ray.data as rd
+
+    from ocm_ray.ops.similarity import brute_force_topk
+
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(200, 32))
+    df = pd.DataFrame({"vec_id": np.arange(200),
+                       "embedding": list(emb.astype(np.float32))})
+    q = emb[:3]
+    out = brute_force_topk(rd.from_pandas(df), q, k=5)
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ norm.T
+    for qi in range(3):
+        expect = set(np.argsort(-sims[qi])[:5].tolist())
+        got = set(out[out.query_idx == qi]["vec_id"].tolist())
+        assert got == expect
+        assert out[out.query_idx == qi]["vec_id"].iloc[0] == qi  # self first
+
+
+def test_lsh_topk_recall():
+    import ray.data as rd
+
+    from ocm_ray.ops.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(500, 32)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(500), "embedding": list(emb)})
+    q = emb[:4].astype(np.float64)
+    exact = brute_force_topk(rd.from_pandas(df), q, k=5)
+    approx = lsh_topk(rd.from_pandas(df), q, k=5, bits=6, multiprobe=1)
+    recall = 0.0
+    for qi in range(4):
+        e = set(exact[exact.query_idx == qi]["vec_id"])
+        a = set(approx[approx.query_idx == qi]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 4 >= 0.5  # multiprobe-1 LSH on random data
+
+
+def test_text_stats():
+    import ray.data as rd
+
+    from ocm_ray.ops.text import add_text_stats
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown fox and the dog",
+                 "le chat est sur la table et les livres de la maison",
+                 "x!!! ??? ###"],
+    })
+    out = add_text_stats(rd.from_pandas(df), concurrency=1).to_pandas()
+    out = out.sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [7, 12, 3]
+    assert out["lang_guess"].iloc[0] == "en"
+    assert out["lang_guess"].iloc[1] == "fr"
+    assert out["punct_ratio"].iloc[2] > 0.5
+    assert out["quality"].between(0, 1).all()
+    # fingerprint deterministic
+    out2 = add_text_stats(rd.from_pandas(df), concurrency=1).to_pandas().sort_values("doc_id")
+    assert (out["fingerprint"].to_numpy() == out2["fingerprint"].to_numpy()).all()
+
+
+def test_grouped_sum_matches_pandas():
+    import ray.data as rd
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 10000),
+                       "v": rng.integers(0, 100, 10000)})
+    out = grouped_sum(rd.from_pandas(df).repartition(13), ["k"], ["v"]).to_pandas()
+    expect = df.groupby("k", as_index=False)["v"].sum()
+    merged = out.sort_values("k").reset_index(drop=True)
+    assert merged.equals(expect.astype(merged.dtypes.to_dict()))
+
+
+# ---------------- multimodal plumbing ----------------
+
+def test_multimodal_decode_stub():
+    import ray.data as rd
+
+    from ocm_ray.ops.multimodal import DecodeImage, decode_images, synth_media_table
+
+    t = synth_media_table(32)
+    ds = rd.from_arrow(t).filter(lambda r: r["mime"].startswith("image"))
+    out = decode_images(ds, fake=True, target_size=16, batch_size=8,
+                        concurrency=2).to_pandas()
+    assert len(out) == 16
+    assert all(len(p) == 256 for p in out["pixels"])
+    # deterministic: same payload → same pixels
+    out2 = decode_images(rd.from_arrow(t).filter(
+        lambda r: r["mime"].startswith("image")), fake=True, target_size=16,
+        batch_size=8, concurrency=2).to_pandas()
+    m1 = out.sort_values("media_id")["mean_luma"].to_numpy()
+    m2 = out2.sort_values("media_id")["mean_luma"].to_numpy()
+    assert np.array_equal(m1, m2)
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)(t.slice(0, 2))
+
+
+def test_multimodal_audio_and_frames():
+    from ocm_ray.ops.multimodal import (
+        ExtractAudioFeatures,
+        sample_video_frames,
+        synth_media_table,
+    )
+
+    t = synth_media_table(16)
+    audio = t.filter(pa.compute.equal(t.column("mime"), "audio/wav"))
+    feats = ExtractAudioFeatures(fake=True)(audio)
+    assert feats.num_rows == audio.num_rows
+    assert len(feats.column("features")[0]) == 32
+    vids = t.filter(pa.compute.equal(t.column("mime"), "video/mp4"))
+    frames = sample_video_frames(vids, every_ms=1000)
+    assert frames.num_rows == int(
+        sum(d.as_py() // 1000 for d in vids.column("duration_ms")))
+    with pytest.raises(NotImplementedError):
+        ExtractAudioFeatures(fake=False)(audio)
