@@ -1,0 +1,226 @@
+"""Command-line entry points — the reference CLI re-expressed for Ray.
+
+Mirrors the reference's parameter surface (``main.cpp:16-28``, SURVEY
+§7.5): width ``-w`` (→ np = log2 w), depth ``--nh`` (odd-forced), rounds
+``-n``, ``--conservative``, ``--seed`` (137), plus engine-side
+``--parallelism``, ``--kgram``, ``--checkpoint-dir``.
+
+    python -m ocm_ray count -w 1048576 --nh 7 -n 4 --conservative \\
+        --input /data/sequences --column tokens -o /out/sketch.sk
+    python -m ocm_ray query -f /out/sketch.sk -q queries.parquet \\
+        --item-col token -o results.csv
+    python -m ocm_ray sketch --kind hll -p 14 --input DIR -o hll.sk
+
+Runs standalone (``ray.init`` guarded) or under ``ray job submit`` —
+the job submission entrypoint is just this module.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import sys
+import time
+
+
+def _init_ray(num_cpus):
+    import ray
+
+    if not ray.is_initialized():
+        kw = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _input_files(path: str):
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return sorted(glob.glob(path))
+
+
+def cmd_count(args) -> int:
+    from ocm_ray.engine.build import build_sketch_sharded
+    from ocm_ray.engine.checkpoint import RoundCheckpointer, build_sketch_checkpointed
+    from ocm_ray.engine.rounds import build_ocm
+    from ocm_ray.sketches import CountMin
+
+    _init_ray(args.num_cpus)
+    np_bits = int(math.log2(args.width))
+    files = _input_files(args.input)
+    if not files:
+        print(f"no parquet files under {args.input}", file=sys.stderr)
+        return 2
+    t0 = time.time()
+    if args.rounds > 1:
+        hook = RoundCheckpointer(args.checkpoint_dir) if args.checkpoint_dir else None
+        resume = None
+        if hook is not None and hook.last_completed() >= 0 and args.resume:
+            last = hook.last_completed()
+            resume = (last, hook.load(last))
+            print(f"resuming after completed round {last}", file=sys.stderr)
+        sk = build_ocm(np_bits=np_bits, nh=args.nh, seedseed=args.seed,
+                       rounds=args.rounds, conservative=args.conservative,
+                       column=args.column, kgram=args.kgram, files=files,
+                       parallelism=args.parallelism, on_round_end=hook,
+                       resume_from=resume)
+    elif args.checkpoint_dir:
+        sk = build_sketch_checkpointed(
+            files, lambda: CountMin(np_bits, args.nh, args.seed,
+                                    conservative=args.conservative),
+            args.checkpoint_dir, column=args.column, kgram=args.kgram,
+            resume=args.resume)
+    else:
+        sk = build_sketch_sharded(
+            files, lambda: CountMin(np_bits, args.nh, args.seed,
+                                    conservative=args.conservative),
+            column=args.column, kgram=args.kgram, shards=args.parallelism)
+    wall = time.time() - t0
+    with open(args.output, "wb") as f:
+        f.write(sk.to_bytes())
+    if args.reference_format:
+        sk.save_reference_format(args.output + ".ref")
+    meta = {"np_bits": np_bits, "nh": sk.nh, "rounds": args.rounds,
+            "conservative": args.conservative, "n_items": sk.total_items,
+            "wall_sec": round(wall, 3),
+            "tokens_per_sec": round(sk.total_items / max(wall, 1e-9))}
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_query(args) -> int:
+    import numpy as np
+
+    import ray.data as rd
+
+    from ocm_ray.engine.query import attach_estimates
+    from ocm_ray.sketches.base import MergeableSketch
+
+    _init_ray(args.num_cpus)
+    sk = MergeableSketch.from_bytes(open(args.sketch, "rb").read())
+    if args.queries.endswith(".parquet"):
+        qds = rd.read_parquet(args.queries)
+    elif args.queries.endswith(".csv"):
+        qds = rd.read_csv(args.queries)
+    else:
+        # reference text format: `item true_count` whitespace rows
+        # (main.cpp:121-132)
+        rows = []
+        for line in open(args.queries):
+            parts = line.split()
+            if len(parts) >= 2:
+                rows.append({args.item_col: int(parts[0]),
+                             "true_count": int(parts[1])})
+        qds = rd.from_items(rows)
+    out = attach_estimates(qds, sk, item_col=args.item_col).to_pandas()
+    if args.output.endswith(".parquet"):
+        out.to_parquet(args.output, index=False)
+    else:
+        out.to_csv(args.output, index=False)  # reference CSV contract
+    print(json.dumps({"queries": len(out), "output": args.output}))
+    return 0
+
+
+def cmd_sketch(args) -> int:
+    """Build any registered sketch kind over a column."""
+    from ocm_ray.engine.build import build_sketch_sharded
+    from ocm_ray.sketches import (
+        KLL,
+        BloomFilter,
+        BottomKMinHash,
+        CountSketch,
+        HyperLogLog,
+        TDigest,
+        TopK,
+    )
+
+    factories = {
+        "hll": lambda: HyperLogLog(args.p),
+        "bloom": lambda: BloomFilter(args.p, args.nh),
+        "kll": lambda: KLL(args.k),
+        "tdigest": lambda: TDigest(args.delta),
+        "bottomk": lambda: BottomKMinHash(args.k),
+        "countsketch": lambda: CountSketch(args.p, args.nh),
+        "topk": lambda: TopK(args.k),
+    }
+    _init_ray(args.num_cpus)
+    files = _input_files(args.input)
+    t0 = time.time()
+    sk = build_sketch_sharded(files, factories[args.kind], column=args.column,
+                              kgram=args.kgram, shards=args.parallelism)
+    with open(args.output, "wb") as f:
+        f.write(sk.to_bytes())
+    info = {"kind": args.kind, "wall_sec": round(time.time() - t0, 3),
+            "bytes": sk.nbytes}
+    if args.kind == "hll":
+        info["estimate"] = round(sk.estimate())
+    print(json.dumps(info))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ocm_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("count", help="build a (multi-round) count-min sketch")
+    c.add_argument("-w", "--width", type=int, default=1 << 20,
+                   help="counter width (power of two; np = log2 w)")
+    c.add_argument("--nh", type=int, default=7, help="rows (odd-forced)")
+    c.add_argument("-n", "--rounds", type=int, default=1)
+    c.add_argument("-c", "--conservative", action="store_true")
+    c.add_argument("-k", "--kgram", type=int, default=1)
+    c.add_argument("--seed", type=int, default=137)
+    c.add_argument("--input", required=True, help="parquet dir or glob")
+    c.add_argument("--column", default="tokens")
+    c.add_argument("-o", "--output", required=True)
+    c.add_argument("--checkpoint-dir")
+    c.add_argument("--resume", action="store_true", default=True)
+    c.add_argument("--parallelism", type=int)
+    c.add_argument("--num-cpus", type=int)
+    c.add_argument("--reference-format", action="store_true",
+                   help="also write the reference's binary layout")
+    c.set_defaults(fn=cmd_count)
+
+    qp = sub.add_parser("query", help="point-query a sketch file")
+    qp.add_argument("-f", "--sketch", required=True)
+    qp.add_argument("-q", "--queries", required=True,
+                    help="parquet/csv/whitespace query file")
+    qp.add_argument("--item-col", default="token")
+    qp.add_argument("-o", "--output", required=True)
+    qp.add_argument("--num-cpus", type=int)
+    qp.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("sketch", help="build any registered sketch kind")
+    s.add_argument("--kind", required=True,
+                   choices=["hll", "bloom", "kll", "tdigest", "bottomk",
+                            "countsketch", "topk"])
+    s.add_argument("-p", type=int, default=14)
+    s.add_argument("--nh", type=int, default=5)
+    s.add_argument("-k", type=int, default=1024)
+    s.add_argument("--delta", type=int, default=100)
+    s.add_argument("--kgram", type=int, default=1)
+    s.add_argument("--input", required=True)
+    s.add_argument("--column", default="tokens")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--parallelism", type=int)
+    s.add_argument("--num-cpus", type=int)
+    s.set_defaults(fn=cmd_sketch)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

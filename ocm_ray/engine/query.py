@@ -48,12 +48,15 @@ def attach_estimates(queries: Dataset, sketch: MergeableSketch,
     The sketch rides the object store once; actors hold it zero-copy.
     """
     ref = ray.put(sketch)
+    # half-CPU actors, pool ≤ half the cluster: a pool that reserves every
+    # CPU starves the upstream read tasks and deadlocks the pipeline
+    n = int(ray.cluster_resources().get("CPU", 8))
     return queries.map_batches(
         _Estimator,
         fn_constructor_args=(ref, item_col, out_col, kgram),
         batch_format="pyarrow",
-        concurrency=concurrency or 4,
-        num_cpus=1,
+        concurrency=concurrency or max(1, n // 2),
+        num_cpus=0.5,
     )
 
 

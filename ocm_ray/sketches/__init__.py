@@ -4,16 +4,25 @@ Importing this package registers every sketch kind for
 ``MergeableSketch.from_bytes`` deserialization.
 """
 
-from ocm_ray.sketches.base import MergeableSketch, dedupe_counts, merge_all, sketch_class
+from ocm_ray.sketches.base import (
+    CountCombiner,
+    MergeableSketch,
+    dedupe_counts,
+    merge_all,
+    merge_sorted_counts,
+    sketch_class,
+)
 from ocm_ray.sketches.bloom import BloomFilter
 from ocm_ray.sketches.countmin import CountMin, OfflineCountMin
+from ocm_ray.sketches.countsketch import CountSketch, TopK
 from ocm_ray.sketches.hll import HyperLogLog
 from ocm_ray.sketches.kll import KLL
 from ocm_ray.sketches.minhash import BottomKMinHash
 from ocm_ray.sketches.tdigest import TDigest
 
 __all__ = [
-    "MergeableSketch", "merge_all", "dedupe_counts", "sketch_class",
-    "CountMin", "OfflineCountMin", "HyperLogLog", "BloomFilter",
-    "KLL", "TDigest", "BottomKMinHash",
+    "MergeableSketch", "merge_all", "dedupe_counts", "merge_sorted_counts",
+    "CountCombiner", "sketch_class",
+    "CountMin", "OfflineCountMin", "CountSketch", "TopK",
+    "HyperLogLog", "BloomFilter", "KLL", "TDigest", "BottomKMinHash",
 ]
