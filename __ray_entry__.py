@@ -273,6 +273,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "member": bf.contains(keys)})
     q["bloom_membership"] = bloom_membership
 
+    def exact_value_quantiles(sf_dir):
+        from ocm_ray.ops.relational import exact_value_quantiles as _evq
+
+        return _evq(_read(sf_dir, "events", columns=["value"]), "value",
+                    [0.1, 0.5, 0.9, 0.99])
+    q["exact_value_quantiles"] = exact_value_quantiles
+
+    def supplier_by_region(sf_dir):
+        import pyarrow.parquet as pq
+
+        from ocm_ray.ops.relational import broadcast_join
+        from ray.data.aggregate import Count, Sum
+
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+        dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        dim = dim[["n_nationkey", "r_name"]].rename(
+            columns={"n_nationkey": "s_nationkey"})
+        joined = broadcast_join(_read(sf_dir, "supplier"), dim, key="s_nationkey")
+        df = (joined.groupby("r_name")
+              .aggregate(Count(alias_name="n_suppliers"),
+                         Sum("s_acctbal", alias_name="total_acctbal"))).to_pandas()
+        return _round_cols(df, {"total_acctbal": 2})
+    q["supplier_by_region"] = supplier_by_region
+
+    def lang_distribution(sf_dir):
+        from ray.data.aggregate import Count, Mean
+
+        df = (_read(sf_dir, "documents", columns=["lang", "n_chars"])
+              .groupby("lang")
+              .aggregate(Count(alias_name="n_docs"),
+                         Mean("n_chars", alias_name="avg_chars"))).to_pandas()
+        return _round_cols(df, {"avg_chars": 4})
+    q["lang_distribution"] = lang_distribution
+
+    def bigram_top50(sf_dir):
+        import ray.data as rd
+
+        from ocm_ray.ops.relational import bigram_counts
+
+        seq = _seq_dir_for(sf_dir)
+        return bigram_counts(rd.read_parquet(seq, columns=["tokens"]), k=50)
+    q["bigram_top50"] = bigram_top50
+
     # ---- dedup family ----
     def embedding_dup_pairs(sf_dir):
         from ocm_ray.ops.dedup import embedding_dup_pairs as _edp
@@ -398,6 +442,39 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(tokens) AS tok
                   FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')) t
             GROUP BY t.tok
+        """,
+        "exact_value_quantiles": """
+            SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(value, 0.1) AS value FROM events
+            UNION ALL
+            SELECT 0.5, quantile_disc(value, 0.5) FROM events
+            UNION ALL
+            SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT 0.99, quantile_disc(value, 0.99) FROM events
+        """,
+        "supplier_by_region": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   ROUND(SUM(s_acctbal), 2) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "lang_distribution": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "bigram_top50": f"""
+            SELECT a, b, COUNT(*) AS cnt FROM (
+                SELECT CAST(tokens[i] AS INT) AS a,
+                       CAST(tokens[i + 1] AS INT) AS b
+                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'),
+                     UNNEST(range(1, len(tokens))) AS u(i)
+            )
+            GROUP BY a, b
+            ORDER BY cnt DESC, a ASC, b ASC
+            LIMIT 50
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,

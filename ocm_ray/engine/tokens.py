@@ -53,6 +53,14 @@ def list_column_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.nda
     col = batch.column(column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+        # e.g. Ray's variable-shaped tensor extension (from_pandas with
+        # ndarray cells) — no offsets buffer; fall back to row assembly
+        rows = col.to_pylist()
+        lengths = np.array([len(r) for r in rows], dtype=np.int64)
+        flat = (np.concatenate([np.asarray(r) for r in rows if len(r)])
+                if lengths.sum() else np.empty(0, dtype=np.int64))
+        return flat, lengths
     offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = _flat_numpy(col.values)
     # honor list-array slicing: values may extend beyond this batch's rows

@@ -60,6 +60,69 @@ def distinct_tokens_count(ds: Dataset, column: str = "tokens") -> int:
     return len(ds.map_batches(local, batch_format="pyarrow").unique("token"))
 
 
+def exact_value_quantiles(ds: Dataset, column: str, qs: List[float]) -> pd.DataFrame:
+    """Exact discrete quantiles of a (shrinkable-domain) value column.
+
+    Distributed value histogram: per-block value_counts → tree grouped-sum
+    → cumulative walk on the (small) sorted distinct table. Matches SQL
+    ``quantile_disc`` (value at ceil(q·n), 1-indexed)."""
+    from ocm_ray.ops.agg import grouped_sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table({"value": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = grouped_sum(ds.map_batches(local, batch_format="pyarrow"),
+                       ["value"], ["cnt"]).to_pandas().sort_values("value")
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = cum[-1]
+    out = []
+    for q in qs:
+        target = int(np.ceil(q * n)) if q > 0 else 1
+        idx = int(np.searchsorted(cum, max(target, 1)))
+        out.append({"q": q, "value": float(hist["value"].iloc[idx])})
+    return pd.DataFrame(out)
+
+
+def bigram_counts(ds: Dataset, column: str = "tokens", k: int = 50) -> Dataset:
+    """Exact top-k counts of within-document token bigrams.
+
+    Per-block: adjacent pairs (never crossing row boundaries) packed into
+    one uint64 key, locally counted; tree grouped-sum; unpack + sort."""
+    from ocm_ray.ops.agg import grouped_sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        from ocm_ray.engine.tokens import list_column_values
+
+        flat, lengths = list_column_values(batch, column)
+        flat = flat.astype(np.uint64, copy=False)
+        if len(flat) < 2:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        rowid = np.repeat(np.arange(len(lengths)), lengths)
+        valid = rowid[:-1] == rowid[1:]
+        pair = ((flat[:-1] << np.uint64(32)) | flat[1:])[valid]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table({"pair": pa.array(uniq.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    summed = grouped_sum(ds.map_batches(local, batch_format="pyarrow"),
+                         ["pair"], ["cnt"])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pair = t.column("pair").to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({
+            "a": pa.array((pair >> np.uint64(32)).astype(np.int32)),
+            "b": pa.array((pair & np.uint64(0xFFFFFFFF)).astype(np.int32)),
+            "cnt": t.column("cnt"),
+        })
+
+    return (summed.map_batches(unpack, batch_format="pyarrow")
+            .sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k))
+
+
 def broadcast_join(large: Dataset, small_df: pd.DataFrame, key: str,
                    select: Optional[List[str]] = None) -> Dataset:
     """Hash join where the build side fits in memory: ``ray.put`` the

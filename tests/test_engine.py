@@ -232,3 +232,64 @@ def test_kgram_items(seq_dir):
     lens = t.column("n_tok").to_numpy(zero_copy_only=False)
     expect = int(np.maximum(lens - k + 1, 0).sum())
     assert len(items) == expect
+
+
+def test_resumable_etl(seq_dir, tmp_path):
+    """run_resumable_etl: atomic per-shard outputs + skip-on-rerun."""
+    import glob as g
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocm_ray.engine.io import run_resumable_etl
+
+    files = sorted(g.glob(os.path.join(seq_dir, "*.parquet")))
+
+    def keep_long(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n_tok"), 500))
+
+    out = str(tmp_path / "etl")
+    m1 = run_resumable_etl(files, out, keep_long, columns=["doc_id", "n_tok"])
+    assert m1["built"] == len(files) and m1["skipped"] == 0
+    # rerun: everything skipped, outputs unchanged
+    m2 = run_resumable_etl(files, out, keep_long, columns=["doc_id", "n_tok"])
+    assert m2["built"] == 0 and m2["skipped"] == len(files)
+    # crash simulation: lose one output part
+    os.remove(os.path.join(out, "part-00002.parquet"))
+    m3 = run_resumable_etl(files, out, keep_long, columns=["doc_id", "n_tok"])
+    assert m3["built"] == 1 and m3["skipped"] == len(files) - 1
+    # row counts correct vs duckdb
+    import duckdb
+
+    con = duckdb.connect()
+    expect = con.execute(
+        f"SELECT count(*) FROM read_parquet('{seq_dir}/*.parquet') WHERE n_tok > 500"
+    ).fetchone()[0]
+    total = sum(e["rows_out"] for e in m3["shards"])
+    assert total == expect
+    con.close()
+
+
+def test_write_partitioned_by(seq_dir, tmp_path):
+    import glob as g
+
+    import ray.data as rd
+
+    from ocm_ray.engine.io import write_partitioned_by
+
+    out = str(tmp_path / "bysource")
+    write_partitioned_by(rd.read_parquet(seq_dir, columns=["doc_id", "source"]),
+                         out, ["source"])
+    dirs = {os.path.basename(p) for p in g.glob(os.path.join(out, "*"))}
+    assert {"source=web", "source=books", "source=code", "source=wiki"} <= dirs
+    # pruned read sees only one partition
+    n_web = rd.read_parquet(os.path.join(out, "source=web")).count()
+    import duckdb
+
+    con = duckdb.connect()
+    expect = con.execute(
+        f"SELECT count(*) FROM read_parquet('{seq_dir}/*.parquet') WHERE source='web'"
+    ).fetchone()[0]
+    assert n_web == expect
+    con.close()

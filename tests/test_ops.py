@@ -214,3 +214,41 @@ def test_multimodal_audio_and_frames():
         sum(d.as_py() // 1000 for d in vids.column("duration_ms")))
     with pytest.raises(NotImplementedError):
         ExtractAudioFeatures(fake=False)(audio)
+
+
+def test_exact_value_quantiles_matches_numpy():
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import exact_value_quantiles
+
+    rng = np.random.default_rng(4)
+    vals = np.round(rng.lognormal(3, 1, 20000), 2)
+    df = pd.DataFrame({"value": vals})
+    out = exact_value_quantiles(rd.from_pandas(df).repartition(7), "value",
+                                [0.1, 0.5, 0.99])
+    srt = np.sort(vals)
+    for _, r in out.iterrows():
+        expect = srt[max(int(np.ceil(r.q * len(vals))), 1) - 1]
+        assert r.value == expect, (r.q, r.value, expect)
+
+
+def test_bigram_counts_matches_bruteforce():
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import bigram_counts
+
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(0, 20, size=rng.integers(2, 30)).astype(np.int32)
+            for _ in range(200)]
+    df = pd.DataFrame({"tokens": rows})
+    out = bigram_counts(rd.from_pandas(df).repartition(5), k=10).to_pandas()
+    from collections import Counter
+
+    brute = Counter()
+    for r in rows:
+        for a, b in zip(r[:-1], r[1:]):
+            brute[(int(a), int(b))] += 1
+    top = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(zip(out.a.astype(int), out.b.astype(int)), out.cnt))
+    assert [(tuple(k), int(c)) for k, c in top] == \
+        [(tuple(k), int(c)) for k, c in got]
