@@ -273,6 +273,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "member": bf.contains(keys)})
     q["bloom_membership"] = bloom_membership
 
+    def kgram3_counts(sf_dir):
+        """k-gram mode (the reference's rolling-window semantics over
+        token ids, SURVEY §2.1 row 2): conservative CM over hashed
+        3-token windows + TopK of the same stream; asserts the one-sided
+        invariant against the exact window counts."""
+        import glob as _glob
+
+        from ocm_ray.engine.build import build_sketch_sharded
+        from ocm_ray.sketches import CountMin, TopK, merge_all
+
+        seq = _seq_dir_for(sf_dir)
+        files = sorted(_glob.glob(os.path.join(seq, "*.parquet")))
+        cm = build_sketch_sharded(files, lambda: CountMin(18, 5, conservative=True),
+                                  kgram=3)
+        tk = build_sketch_sharded(files, lambda: TopK(4096), kgram=3)
+        keys, counts = tk.top(200)
+        est = cm.estimate(keys)
+        err = int(tk.err[0])
+        assert (est + err >= counts).all()  # CM upper vs MG lower bounds
+        return pd.DataFrame({"window_hash": keys.astype(np.int64),
+                             "approx_count": counts,
+                             "cm_estimate": est})
+    q["kgram3_counts"] = kgram3_counts
+
     def exact_value_quantiles(sf_dir):
         from ocm_ray.ops.relational import exact_value_quantiles as _evq
 

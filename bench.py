@@ -109,7 +109,21 @@ def run_bench() -> dict:
         rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
                         columns=["text"]), k=100).to_pandas())
 
-    # 9. similarity: brute-force cosine top-10 for 16 queries
+    # 9. dedup: MinHash-LSH near-dup pairs over documents
+    from ocm_ray.ops.dedup import minhash_lsh_pairs
+
+    queries["minhash_dedup"], _ = _timed(lambda: minhash_lsh_pairs(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"]), threshold=0.5))
+
+    # 10. text analysis over documents
+    from ocm_ray.ops.text import add_text_stats
+
+    queries["text_stats"], _ = _timed(lambda: add_text_stats(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+        concurrency=max(2, NUM_CPUS // 4)).count())
+
+    # 11. similarity: brute-force cosine top-10 for 16 queries
     import pyarrow.parquet as pq
 
     empb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),

@@ -94,17 +94,36 @@ def build_sketch(ds: Dataset, factory: SketchFactory, column: str = "tokens",
 
 @ray.remote(num_cpus=1)
 def _build_file_shard(files: List[str], factory: SketchFactory, column: str,
-                      kgram: int, batch_size: int) -> MergeableSketch:
+                      kgram: int, batch_size: int,
+                      metrics_dir: Optional[str] = None,
+                      shard_id: int = 0) -> MergeableSketch:
+    import json
+    import os
+    import time
+
     import pyarrow.parquet as pq
 
     from ocm_ray.sketches.base import CountCombiner
 
+    t0 = time.monotonic()
     comb = CountCombiner(factory())
+    rows = 0
     for f in files:
         pf = pq.ParquetFile(f)
         for rb in pf.iter_batches(batch_size=batch_size, columns=[column]):
-            comb.add(items_from_batch(pa.Table.from_batches([rb]), column, kgram))
-    return comb.finish()
+            t = pa.Table.from_batches([rb])
+            comb.add(items_from_batch(t, column, kgram))
+            rows += t.num_rows
+    sk = comb.finish()
+    if metrics_dir:
+        m = {"shard_id": shard_id, "files": [os.path.basename(f) for f in files],
+             "rows": rows, "items": getattr(sk, "total_items", None),
+             "wall_sec": round(time.monotonic() - t0, 4)}
+        p = os.path.join(metrics_dir, f"shard-{shard_id:05d}.json")
+        with open(p + ".tmp", "w") as fh:
+            json.dump(m, fh)
+        os.replace(p + ".tmp", p)
+    return sk
 
 
 @ray.remote(num_cpus=1)
@@ -126,7 +145,8 @@ def shard_token_counts(files: List[str], column: str, kgram: int,
 
 def build_sketch_sharded(files: List[str], factory: SketchFactory,
                          column: str = "tokens", shards: Optional[int] = None,
-                         kgram: int = 1, batch_size: int = 65536) -> MergeableSketch:
+                         kgram: int = 1, batch_size: int = 65536,
+                         metrics_dir: Optional[str] = None) -> MergeableSketch:
     """Fused read+accumulate over file shards — the throughput path.
 
     Each task streams its own Parquet files through pyarrow row-batch
@@ -148,8 +168,13 @@ def build_sketch_sharded(files: List[str], factory: SketchFactory,
     # so they can use every CPU (unlike the streaming_split path)
     p = max(1, min(shards or n, len(files)))
     groups = [files[i::p] for i in range(p)]
-    refs = [_build_file_shard.remote(g, factory, column, kgram, batch_size)
-            for g in groups]
+    if metrics_dir:
+        import os
+
+        os.makedirs(metrics_dir, exist_ok=True)
+    refs = [_build_file_shard.remote(g, factory, column, kgram, batch_size,
+                                     metrics_dir, i)
+            for i, g in enumerate(groups)]
     return tree_merge(refs)
 
 
