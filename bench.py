@@ -90,11 +90,9 @@ def run_bench() -> dict:
     queries["hll_distinct"], hll = _timed(lambda: build_sketch_sharded(
         seq_files, lambda: HyperLogLog(14)))
 
-    # 5. KLL quantiles over doc lengths
-    queries["kll_quantiles"], _ = _timed(lambda: build_sketch(
-        rd.read_parquet(seq_dir, columns=["n_tok"]).map_batches(
-            lambda t: t.rename_columns(["val"]), batch_format="pyarrow"),
-        lambda: KLL(200), column="val", parallelism=P).quantile([0.5, 0.99]))
+    # 5. KLL quantiles over doc lengths (sharded path)
+    queries["kll_quantiles"], _ = _timed(lambda: build_sketch_sharded(
+        seq_files, lambda: KLL(200), column="n_tok").quantile([0.5, 0.99]))
 
     # 6. exact token counts (the shuffle-bearing oracle path)
     queries["exact_token_counts"], _ = _timed(lambda: exact_token_counts(

@@ -73,9 +73,19 @@ def minhash_signatures(texts: List[str], num_perm: int = 128,
     if flat.size == 0:
         return sig
     starts = np.concatenate([[0], np.cumsum(lens)])[:-1][nonempty].astype(np.int64)
-    for j, s in enumerate(seeds):
-        h = wanghash(flat ^ U64(s))
-        sig[nonempty, j] = np.minimum.reduceat(h, starts)
+    # one (shingles × num_perm) hash matrix + a single axis-0 segment-min:
+    # ~100x fewer numpy dispatches than a per-permutation loop. Chunked so
+    # the matrix stays ~64 MB regardless of batch size.
+    chunk = max(1, (1 << 23) // num_perm)
+    lo = 0
+    while lo < len(starts):
+        hi = min(lo + chunk, len(starts))
+        s0 = starts[lo]
+        s1 = starts[hi] if hi < len(starts) else len(flat)
+        h = wanghash(flat[s0:s1, None] ^ seeds[None, :])
+        seg = starts[lo:hi] - s0
+        sig[np.flatnonzero(nonempty)[lo:hi]] = np.minimum.reduceat(h, seg, axis=0)
+        lo = hi
     return sig
 
 
@@ -95,54 +105,77 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
                       seedseed: int = 137) -> pd.DataFrame:
     """Near-duplicate pairs with estimated Jaccard ≥ threshold.
 
-    Pipeline: per-batch signatures → explode to (band, band_hash, id,
-    signature) rows → groupby band buckets → intra-bucket candidate
-    pairs → signature-Jaccard verify → dedup pairs. The grouped stage
-    sees only buckets with ≥2 docs; signatures ride along (num_perm·8 B
-    per doc) so verification needs no second join.
+    Pipeline: distributed per-batch signature computation (one
+    fixed-size-list row per doc) → compact band table (16 B per
+    (doc, band)) → sorted-run collision scan → signature-Jaccard verify
+    on candidates only. Signatures are computed once and never reshuffled.
+    The band scan runs on the collected band table here (sub-GB up to
+    ~10M docs); at larger scale shard the band table by bucket-key range
+    and run the identical scan per shard (runs cannot span shards).
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    # Stage 1: signatures once per doc, as a fixed-size-list column
+    # (zero-copy Arrow; one row per doc, num_perm·8 B)
+    def compute_sigs(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sig = minhash_signatures(texts, num_perm, shingle_k, seedseed)
-        band_view = sig.reshape(len(ids), bands, rows_per_band)
-        bh = band_view[:, :, 0].astype(U64)
-        for j in range(1, rows_per_band):
-            bh = wanghash(bh ^ band_view[:, :, j])
-        n = len(ids)
-        return pa.table({
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.ravel().astype(np.int64)),
-            id_col: pa.array(np.repeat(ids, bands)),
-            "sig": pa.array(list(np.repeat(sig, bands, axis=0).view(np.int64))),
-        })
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.ravel().view(np.int64)), num_perm)
+        return pa.table({id_col: batch.column(id_col), "sig": col})
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        ids = df[id_col].to_numpy()
-        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]]).view(U64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        jac = signature_jaccard(sigs[ii], sigs[jj])
-        keep = jac >= threshold
-        a, b = ids[ii[keep]], ids[jj[keep]]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"a": a2, "b": b2, "jaccard": jac[keep]})
+    sig_tbl = pa.concat_tables(ray.get(
+        ds.map_batches(compute_sigs, batch_format="pyarrow").to_arrow_refs()))
+    ids_all = sig_tbl.column(id_col).to_numpy(zero_copy_only=False)
+    sig_all = (sig_tbl.column("sig").combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False).view(U64)
+               .reshape(len(ids_all), num_perm))
 
-    pairs = (ds.map_batches(to_bands, batch_format="pyarrow")
-             .groupby(["band", "band_hash"])
-             .map_groups(bucket_pairs, batch_format="pandas")
-             .to_pandas())
-    if len(pairs) == 0:
+    # Stage 2: band table — only (band, band_hash, row_idx), 16 B/row,
+    # through the shuffle; signatures NEVER move again (broadcast once)
+    band_view = sig_all.reshape(len(ids_all), bands, rows_per_band)
+    bh = band_view[:, :, 0].copy()
+    for j in range(1, rows_per_band):
+        bh = wanghash(bh ^ band_view[:, :, j])
+
+    # bucket key: (band << 64-bits folded) — mix band index into the hash so
+    # one flat sort finds all collision runs. Most buckets are singletons;
+    # per-group task dispatch (groupby.map_groups) costs ~1 ms × #buckets,
+    # so candidate detection is a vectorized sorted-run scan instead. At
+    # cluster scale the band table shards by key range and each shard runs
+    # this same scan (runs never span shards when sharded by bucket key).
+    key = wanghash(bh.ravel() ^ (np.tile(np.arange(bands, dtype=U64),
+                                         len(ids_all)) << U64(48)))
+    rows = np.repeat(np.arange(len(ids_all), dtype=np.int64), bands)
+    order = np.argsort(key, kind="stable")
+    ks, rs = key[order], rows[order]
+    run_start = np.concatenate([[True], ks[1:] != ks[:-1]])
+    starts = np.flatnonzero(run_start)
+    lens = np.diff(np.concatenate([starts, [len(ks)]]))
+    cand_a, cand_b = [], []
+    for s, l in zip(starts[lens > 1], lens[lens > 1]):
+        grp = rs[s:s + l]
+        ii, jj = np.triu_indices(l, k=1)
+        cand_a.append(grp[ii])
+        cand_b.append(grp[jj])
+    if not cand_a:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    pairs = (pairs.sort_values(["a", "b"])
-             .drop_duplicates(["a", "b"]).reset_index(drop=True))
-    return pairs
+    a_rows = np.concatenate(cand_a)
+    b_rows = np.concatenate(cand_b)
+    swap = a_rows > b_rows
+    a_rows, b_rows = np.where(swap, b_rows, a_rows), np.where(swap, a_rows, b_rows)
+    uniq = np.unique(a_rows << np.int64(32) | b_rows)
+    a_rows = (uniq >> np.int64(32)).astype(np.int64)
+    b_rows = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    jac = signature_jaccard(sig_all[a_rows], sig_all[b_rows])
+    keep = jac >= threshold
+    out = pd.DataFrame({"a": ids_all[a_rows[keep]], "b": ids_all[b_rows[keep]],
+                        "jaccard": jac[keep]})
+    sw = out["a"] > out["b"]
+    out.loc[sw, ["a", "b"]] = out.loc[sw, ["b", "a"]].values
+    return (out.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
+            .reset_index(drop=True))
 
 
 def ngram_jaccard_verify(pairs: pd.DataFrame, docs: pd.DataFrame,
