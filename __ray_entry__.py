@@ -61,23 +61,13 @@ def entry() -> Any:
     """Flagship pipeline on sf0.001: build the offline conservative
     count-min over the sequences table (multi-round, distributed),
     point-query the 500 hottest tokens against exact ground truth."""
-    import ray.data as rd
-
     from ocm_ray.data.sequences import ensure_sequences
-    from ocm_ray.engine.rounds import build_ocm
-    from ocm_ray.ops.relational import exact_token_counts
+    from ocm_ray.pipelines.flagship import count_and_query
 
     seq = ensure_sequences(1000, seed=42, n_files=8)
-    sk = build_ocm(lambda: rd.read_parquet(seq, columns=["tokens"]),
-                   np_bits=16, nh=5, rounds=2, conservative=True, parallelism=4)
-    truth = (exact_token_counts(rd.read_parquet(seq, columns=["tokens"]))
-             .sort(["cnt", "token"], descending=[True, False]).limit(500).to_pandas())
-    truth = truth.rename(columns={"cnt": "true_count"})
-    est = sk.estimate(truth["token"].to_numpy().astype(np.uint64))
-    truth["estimated_count"] = est
-    assert (truth["estimated_count"] >= truth["true_count"]).all(), \
-        "one-sided CM invariant violated"
-    return truth
+    return count_and_query(seq, np_bits=16, nh=5, rounds=2,
+                           conservative=True, top_n_queries=500,
+                           parallelism=4)
 
 
 # --------------------------------------------------------------------------

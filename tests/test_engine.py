@@ -293,3 +293,16 @@ def test_write_partitioned_by(seq_dir, tmp_path):
     ).fetchone()[0]
     assert n_web == expect
     con.close()
+
+
+def test_flagship_pipeline(seq_dir, tmp_path):
+    from ocm_ray.pipelines.flagship import accuracy_report, count_and_query
+
+    df = count_and_query(seq_dir, np_bits=14, nh=5, rounds=2,
+                         top_n_queries=200, parallelism=4,
+                         checkpoint_dir=str(tmp_path / "fck"))
+    rep = accuracy_report(df)
+    assert rep["underestimates"] == 0
+    assert rep["exact_frac"] > 0.9
+    assert 0 < rep["spearman"] <= 1
+    assert os.path.exists(str(tmp_path / "fck" / "round-01.sk"))
