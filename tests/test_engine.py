@@ -306,3 +306,55 @@ def test_flagship_pipeline(seq_dir, tmp_path):
     assert rep["exact_frac"] > 0.9
     assert 0 < rep["spearman"] <= 1
     assert os.path.exists(str(tmp_path / "fck" / "round-01.sk"))
+
+
+def test_engine_parquet_matches_reference_binary(reference_binaries, parity_fasta,
+                                                 tmp_path):
+    """FIXTURES.md F4 closure: the ENGINE running over a token-equivalent
+    Parquet table produces the same sketch as the reference binary over
+    the FASTA (vanilla CM — bit-exact at any partitioning)."""
+    import subprocess
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocm_ray.core.dna_compat import kmer_stream_from_fasta
+    from ocm_ray.engine.build import build_sketch_sharded
+    from ocm_ray.sketches import CountMin
+
+    K, NP, NH = 11, 12, 5
+    ref_bin = str(tmp_path / "ref_cm.bin")
+    subprocess.run([reference_binaries["cm"], "count", "-k", str(K), "-h",
+                    str(NH), "-w", str(1 << NP), "-o", ref_bin,
+                    "-fa", parity_fasta, "pad"], check=True, capture_output=True)
+    # token table: the identical update stream as list<int64> rows
+    stream = kmer_stream_from_fasta(open(parity_fasta, "rb").read(), K,
+                                    canonicalize=True, chunk_size=1000)
+    d = tmp_path / "compat_tokens"
+    d.mkdir()
+    chunks = np.array_split(stream.view(np.int64), 6)
+    for i in range(3):  # multiple files → real shard boundaries
+        rows = chunks[2 * i: 2 * i + 2]
+        col = pa.array([r.tolist() for r in rows], type=pa.list_(pa.int64()))
+        pq.write_table(pa.table({"tokens": col}), str(d / f"part-{i}.parquet"))
+    files = sorted(str(p) for p in d.glob("*.parquet"))
+    sk = build_sketch_sharded(files, lambda: CountMin(NP, NH, 137), shards=3)
+    ref = CountMin.load_reference_format(ref_bin)
+    assert np.array_equal(sk.core, ref.core)
+
+
+def test_ocm_files_path_matches_dataset_path(seq_dir):
+    """The cached-counts files path and the streaming dataset path produce
+    identical non-conservative OCM state (frozen-read passes are pure
+    functions of the multiset)."""
+    import ray.data as rd
+
+    from ocm_ray.engine.rounds import build_ocm
+
+    files = sorted(glob.glob(os.path.join(seq_dir, "*.parquet")))
+    a = build_ocm(files=files, np_bits=13, nh=3, rounds=3, conservative=False,
+                  parallelism=4)
+    b = build_ocm(lambda: rd.read_parquet(seq_dir, columns=["tokens"]),
+                  np_bits=13, nh=3, rounds=3, conservative=False, parallelism=3)
+    assert np.array_equal(a.core, b.core)
+    assert np.array_equal(a.collision, b.collision)
