@@ -263,6 +263,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "member": bf.contains(keys)})
     q["bloom_membership"] = bloom_membership
 
+    def user_sessions(sf_dir):
+        from ocm_ray.ops.relational import sessionize
+
+        return sessionize(_read(sf_dir, "events", columns=["user_id", "ts"]),
+                          gap_sec=1800)
+    q["user_sessions"] = user_sessions
+
     def kgram3_counts(sf_dir):
         """k-gram mode (the reference's rolling-window semantics over
         token ids, SURVEY §2.1 row 2): conservative CM over hashed
@@ -456,6 +463,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(tokens) AS tok
                   FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')) t
             GROUP BY t.tok
+        """,
+        "user_sessions": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       epoch(ts) - LAG(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            )
+            GROUP BY user_id
         """,
         "exact_value_quantiles": """
             SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(value, 0.1) AS value FROM events

@@ -21,10 +21,18 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def _timed(fn):
-    t0 = time.perf_counter()
-    out = fn()
-    return time.perf_counter() - t0, out
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+
+
+def _timed(fn, repeats=None):
+    """Best-of-N wall time (the sandbox has noisy co-tenants; a single
+    sample can be 4x off — see BASELINE.md)."""
+    best, out = float("inf"), None
+    for _ in range(repeats or REPEATS):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
 
 
 def run_bench() -> dict:

@@ -177,6 +177,26 @@ def windowed_event_agg(events: Dataset, window: str = "1h",
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def sessionize(events: Dataset, gap_sec: int = 1800, key: str = "user_id",
+               ts_col: str = "ts") -> Dataset:
+    """Session counts per key — the order-sensitive streaming-shaped op
+    (ray_guide 'Streaming-shaped workloads'): events are grouped per key
+    and windowed over the sorted timestamps inside ``map_groups``; a gap
+    > ``gap_sec`` starts a new session. Ordering assumption: within-key
+    ordering only, established inside the group (no global sort)."""
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(df[ts_col].astype("datetime64[us]").to_numpy()).astype(np.int64)
+        gaps = np.diff(ts) / 1_000_000.0
+        return pd.DataFrame({
+            key: [df[key].iloc[0]],
+            "n_events": [len(df)],
+            "n_sessions": [1 + int((gaps > gap_sec).sum())],
+        })
+
+    return (events.groupby(key)
+            .map_groups(per_key, batch_format="pandas"))
+
+
 def lineitem_pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-01") -> Dataset:
     """TPC-H Q1-shaped pricing summary. Per-block partial sums (including
     the count, so the mean is derivable) feed the tree grouped-sum —

@@ -358,3 +358,38 @@ def test_ocm_files_path_matches_dataset_path(seq_dir):
                   np_bits=13, nh=3, rounds=3, conservative=False, parallelism=3)
     assert np.array_equal(a.core, b.core)
     assert np.array_equal(a.collision, b.collision)
+
+
+def test_pretraining_curation_pipeline(tmp_path):
+    """End-to-end curation flow over documents with planted dups."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocm_ray.pipelines.pretraining import curate
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    dup = docs.iloc[[3]].copy()
+    dup["doc_id"] = 100001          # exact dup of doc 3
+    near = docs.iloc[[7]].copy()
+    near["doc_id"] = 100002
+    near["text"] = near["text"].str.replace("value", "thing", n=1)
+    corpus = pd.concat([docs, dup, near], ignore_index=True)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False), src)
+
+    out = str(tmp_path / "curated")
+    summary = curate(src, out, quality_min=0.0, near_dup_threshold=0.8,
+                     concurrency=2)
+    assert summary["n_input"] == len(corpus)
+    assert summary["n_exact_unique"] == len(corpus) - 1   # exact dup folded
+    assert summary["n_near_dup_dropped"] >= 1             # near dup caught
+    assert summary["n_output"] <= summary["n_exact_unique"] - 1
+    # partitioned output readable + prunable
+    import glob as g
+
+    parts = {os.path.basename(p) for p in g.glob(os.path.join(out, "*"))}
+    assert any(p.startswith("source=") for p in parts)
+    import ray.data as rd
+
+    assert rd.read_parquet(out).count() == summary["n_output"]
