@@ -14,8 +14,13 @@ rows-only driver checks.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the driver may import this module from any CWD — make the repo-local
+# ocm_ray package importable regardless
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import pandas as pd
