@@ -95,8 +95,6 @@ def cmd_count(args) -> int:
 
 
 def cmd_query(args) -> int:
-    import numpy as np
-
     import ray.data as rd
 
     from ocm_ray.engine.query import attach_estimates

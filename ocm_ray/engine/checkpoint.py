@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import pyarrow.parquet as pq
 import ray

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
 import pyarrow as pa
 import ray
 from ray.data import Dataset

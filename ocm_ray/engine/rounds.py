@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import numpy as np
 import ray
 from ray.data import Dataset
 
@@ -84,19 +83,26 @@ def _round_pass_counts(shard_counts, np_bits: int, nh: int, seedseed: int,
     don't fit the object store, pass ``cache_shard_counts=False`` to
     re-scan Parquet per pass instead.
     """
-    uniq, cnt = shard_counts
+    # refs nested inside a list are NOT auto-resolved by Ray — fetch them
+    # (zero-copy from the shared store; the tables were put once)
+    if shard_counts and isinstance(shard_counts[0], ray.ObjectRef):
+        shard_counts = ray.get(list(shard_counts))
     sk = OfflineCountMin(np_bits, nh, seedseed, conservative=conservative,
                          counter_dtype=counter_dtype)
     if frozen_coll is not None:
         sk.collision[:] = frozen_coll
-    if mode == "collision":
-        sk.update_collision(uniq, round_no, counts=cnt,
-                            frozen_core=frozen_core,
-                            frozen_collision=frozen_coll)
-    elif mode == "count":
-        sk.update_count(uniq, counts=cnt, frozen_collision=frozen_coll)
-    else:
-        sk.update_count_collision(uniq, round_no, total_round, counts=cnt)
+    # shard_counts is a LIST of (uniq, cnt) tables: pass parallelism is
+    # decoupled from scan parallelism — fewer, fatter pass tasks mean
+    # fewer sketch-sized partials through the per-round merge
+    for uniq, cnt in shard_counts:
+        if mode == "collision":
+            sk.update_collision(uniq, round_no, counts=cnt,
+                                frozen_core=frozen_core,
+                                frozen_collision=frozen_coll)
+        elif mode == "count":
+            sk.update_count(uniq, counts=cnt, frozen_collision=frozen_coll)
+        else:
+            sk.update_count_collision(uniq, round_no, total_round, counts=cnt)
     return sk
 
 
@@ -154,11 +160,16 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
         core_ref = ray.put(frozen_core) if frozen_core is not None else None
         coll_ref = ray.put(frozen_coll)
         if count_refs is not None:
-            refs = [_round_pass_counts.remote(cref, np_bits, nh, seedseed,
+            # ≤8 pass tasks regardless of scan width: each folds several
+            # cached count tables before emitting one partial sketch
+            fan = max(1, (len(count_refs) + 7) // 8)
+            groups_of_refs = [count_refs[i:i + fan]
+                              for i in range(0, len(count_refs), fan)]
+            refs = [_round_pass_counts.remote(grp, np_bits, nh, seedseed,
                                               conservative, mode, r, rounds,
                                               core_ref, coll_ref,
                                               partial_counter_dtype)
-                    for cref in count_refs]
+                    for grp in groups_of_refs]
         else:
             splits = dataset_factory().streaming_split(p, equal=False)
             refs = [_round_pass.remote(it, np_bits, nh, seedseed, conservative,

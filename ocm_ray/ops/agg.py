@@ -19,7 +19,7 @@ there; it moves every row no matter what.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import pyarrow as pa
 from ray.data import Dataset

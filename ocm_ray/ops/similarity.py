@@ -14,7 +14,7 @@ this into an index at 100 TB scale.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -10,11 +10,10 @@ hot path.
 from __future__ import annotations
 
 import re
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ocm_ray.core.hashing import wanghash
 

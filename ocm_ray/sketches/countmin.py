@@ -42,7 +42,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ocm_ray.core.hashing import derive_seeds, force_odd_nh, positions, wanghash
+from ocm_ray.core.hashing import derive_seeds, force_odd_nh, positions
 from ocm_ray.sketches.base import MergeableSketch, dedupe_counts, register_sketch
 
 U64 = np.uint64
