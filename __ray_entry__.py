@@ -268,6 +268,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "member": bf.contains(keys)})
     q["bloom_membership"] = bloom_membership
 
+    def lineitem_semi_join(sf_dir):
+        import pyarrow.parquet as pq
+
+        from ocm_ray.ops.relational import semi_join_filter
+        from ocm_ray.ops.agg import grouped_sum
+        import pyarrow as pa
+
+        part_keys = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_size"]).to_pandas()
+        big = part_keys.loc[part_keys.p_size > 40, "p_partkey"].to_numpy()
+        ds = semi_join_filter(_read(sf_dir, "lineitem",
+                                    columns=["l_partkey", "l_returnflag",
+                                             "l_quantity"]),
+                              big, "l_partkey")
+
+        def local(t: pa.Table) -> pa.Table:
+            import pandas as pd_
+
+            df = t.to_pandas().groupby("l_returnflag", as_index=False).agg(
+                n=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        out = grouped_sum(ds.map_batches(local, batch_format="pyarrow"),
+                          ["l_returnflag"], ["n", "sum_qty"]).to_pandas()
+        return _round_cols(out, {"sum_qty": 2})
+    q["lineitem_semi_join"] = lineitem_semi_join
+
     def user_sessions(sf_dir):
         from ocm_ray.ops.relational import sessionize
 
@@ -394,6 +422,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.reset_index(drop=True)
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    def hll_source_overlap(sf_dir):
+        """Sketch set-algebra (hll.h:1124-1160 semantics): pairwise union
+        size + Jaccard between per-source token sets."""
+        import ray.data as rd
+
+        from ocm_ray.engine.build import grouped_sketches
+        from ocm_ray.sketches import HyperLogLog
+
+        seq = _seq_dir_for(sf_dir)
+        per = grouped_sketches(rd.read_parquet(seq, columns=["tokens", "source"]),
+                               "source", lambda: HyperLogLog(14))
+        names = sorted(per)
+        rows = [{"a": a, "b": b,
+                 "union_est": round(per[a].union_size(per[b])),
+                 "jaccard_est": round(per[a].jaccard_index(per[b]), 3)}
+                for i, a in enumerate(names) for b in names[i + 1:]]
+        return pd.DataFrame(rows)
+    q["hll_source_overlap"] = hll_source_overlap
+
     def minhash_source_similarity(sf_dir):
         import ray.data as rd
 
@@ -468,6 +515,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(tokens) AS tok
                   FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')) t
             GROUP BY t.tok
+        """,
+        "lineitem_semi_join": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+            GROUP BY l_returnflag
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,

@@ -177,6 +177,28 @@ def windowed_event_agg(events: Dataset, window: str = "1h",
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def semi_join_filter(large: Dataset, keys: np.ndarray, key_col: str,
+                     anti: bool = False) -> Dataset:
+    """Semi/anti join against a broadcast key set (ray_guide 'Joins'):
+    the key array rides the object store once; every batch filters with a
+    vectorized ``np.isin``/Arrow ``is_in``. For key sets too large to
+    broadcast, substitute a Bloom filter of the keys (approximate anti-
+    join: no false drops for semi, bounded false keeps for anti)."""
+    import ray
+
+    ref = ray.put(np.asarray(keys))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        mask = pc.is_in(batch.column(key_col),
+                        value_set=pa.array(ks))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return large.map_batches(filt, batch_format="pyarrow")
+
+
 def sessionize(events: Dataset, gap_sec: int = 1800, key: str = "user_id",
                ts_col: str = "ts") -> Dataset:
     """Session counts per key — the order-sensitive streaming-shaped op

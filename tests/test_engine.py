@@ -393,3 +393,30 @@ def test_pretraining_curation_pipeline(tmp_path):
     import ray.data as rd
 
     assert rd.read_parquet(out).count() == summary["n_output"]
+
+
+def test_grouped_udaf_via_native_aggregate(seq_dir):
+    """SketchAggregate composes with ds.groupby(key).aggregate(...) —
+    one serialized sketch per key, estimates near exact distincts."""
+    import duckdb
+    import ray.data as rd
+
+    from ocm_ray.engine.build import SketchAggregate
+    from ocm_ray.sketches import HyperLogLog, MergeableSketch
+
+    out = (rd.read_parquet(seq_dir, columns=["tokens", "source"])
+           .groupby("source")
+           .aggregate(SketchAggregate(lambda: HyperLogLog(14), on="tokens"))
+           .to_pandas())
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT source, count(DISTINCT tok) AS d FROM
+            (SELECT source, unnest(tokens) AS tok
+             FROM read_parquet('{seq_dir}/*.parquet')) GROUP BY 1"""
+    ).df().set_index("source")["d"]
+    con.close()
+    assert len(out) == len(exact)
+    for _, row in out.iterrows():
+        sk = MergeableSketch.from_bytes(row["sketch(tokens)"])
+        true = exact[row["source"]]
+        assert abs(sk.estimate() - true) / true < 0.05
