@@ -132,6 +132,7 @@ def cmd_sketch(args) -> int:
         KLL,
         BloomFilter,
         BottomKMinHash,
+        CountingBloomFilter,
         CountSketch,
         HyperLogLog,
         TDigest,
@@ -141,6 +142,7 @@ def cmd_sketch(args) -> int:
     factories = {
         "hll": lambda: HyperLogLog(args.p),
         "bloom": lambda: BloomFilter(args.p, args.nh),
+        "cbf": lambda: CountingBloomFilter(args.p, args.nh),
         "kll": lambda: KLL(args.k),
         "tdigest": lambda: TDigest(args.delta),
         "bottomk": lambda: BottomKMinHash(args.k),
@@ -196,7 +198,7 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("sketch", help="build any registered sketch kind")
     s.add_argument("--kind", required=True,
-                   choices=["hll", "bloom", "kll", "tdigest", "bottomk",
+                   choices=["hll", "bloom", "cbf", "kll", "tdigest", "bottomk",
                             "countsketch", "topk"])
     s.add_argument("-p", type=int, default=14)
     s.add_argument("--nh", type=int, default=5)

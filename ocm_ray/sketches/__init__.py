@@ -12,7 +12,7 @@ from ocm_ray.sketches.base import (
     merge_sorted_counts,
     sketch_class,
 )
-from ocm_ray.sketches.bloom import BloomFilter
+from ocm_ray.sketches.bloom import BloomFilter, CountingBloomFilter
 from ocm_ray.sketches.countmin import CountMin, OfflineCountMin
 from ocm_ray.sketches.countsketch import CountSketch, TopK
 from ocm_ray.sketches.hll import HyperLogLog
@@ -24,5 +24,6 @@ __all__ = [
     "MergeableSketch", "merge_all", "dedupe_counts", "merge_sorted_counts",
     "CountCombiner", "sketch_class",
     "CountMin", "OfflineCountMin", "CountSketch", "TopK",
-    "HyperLogLog", "BloomFilter", "KLL", "TDigest", "BottomKMinHash",
+    "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
+    "BottomKMinHash",
 ]

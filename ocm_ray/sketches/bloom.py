@@ -109,3 +109,75 @@ class BloomFilter(MergeableSketch):
 
     def _arrays(self) -> Dict[str, np.ndarray]:
         return {"words": self.words}
+
+
+@register_sketch
+class CountingBloomFilter(MergeableSketch):
+    """Counting Bloom filter — membership with deletion (the vendored
+    ``cbf.h`` contract): per-slot counters instead of bits; insert = +1
+    on each probe slot, delete = −1, contains = all slots > 0;
+    **merge = cell-wise sum** (deletions compose across partitions).
+    Slot layout / seeds identical to :class:`BloomFilter` with ``p`` as
+    log2(slots)."""
+
+    kind = "cbf"
+
+    def __init__(self, p: int = 18, nh: int = 5, seedseed: int = 137):
+        self.p = int(p)
+        self.nh = int(nh)
+        self.seedseed = int(seedseed)
+        self.nslots = 1 << self.p
+        self.counts = np.zeros(self.nslots, dtype=np.int32)
+        rng = MT19937_64(seedseed)
+        self.seeds = np.array([rng() for _ in range(self.nh)], dtype=U64)
+
+    def _slots(self, items: np.ndarray) -> np.ndarray:
+        items = np.asarray(items).astype(U64, copy=False)
+        mask = U64(self.nslots - 1)
+        out = np.empty((len(items), self.nh), dtype=np.int64)
+        for j, s in enumerate(self.seeds):
+            out[:, j] = (wanghash(items ^ U64(s)) & mask).astype(np.int64)
+        return out
+
+    def update(self, items: np.ndarray, counts=None) -> None:
+        items = np.asarray(items)
+        if items.size == 0:
+            return
+        from ocm_ray.sketches.base import dedupe_counts
+
+        uniq, cnt = dedupe_counts(items, counts)
+        pos = self._slots(uniq)
+        np.add.at(self.counts, pos.ravel(),
+                  np.repeat(cnt, self.nh).astype(np.int32))
+
+    def delete(self, items: np.ndarray, counts=None) -> None:
+        """Remove previously-inserted items (caller guarantees they were
+        inserted — the classic CBF contract; over-deletion would break
+        the no-false-negative property for remaining items)."""
+        items = np.asarray(items)
+        if items.size == 0:
+            return
+        from ocm_ray.sketches.base import dedupe_counts
+
+        uniq, cnt = dedupe_counts(items, counts)
+        pos = self._slots(uniq)
+        np.add.at(self.counts, pos.ravel(),
+                  -np.repeat(cnt, self.nh).astype(np.int32))
+
+    def contains(self, items: np.ndarray) -> np.ndarray:
+        items = np.asarray(items)
+        if items.size == 0:
+            return np.zeros(0, dtype=bool)
+        return (self.counts[self._slots(items)] > 0).all(axis=1)
+
+    def merge(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
+        assert (self.p, self.nh, self.seedseed) == \
+               (other.p, other.nh, other.seedseed), "geometry mismatch"
+        self.counts += other.counts
+        return self
+
+    def _params(self) -> Dict:
+        return dict(p=self.p, nh=self.nh, seedseed=self.seedseed)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        return {"counts": self.counts}

@@ -217,3 +217,33 @@ def test_family_roundtrip(factory, rng):
     assert type(s2) is type(s)
     a1, a2 = s._arrays(), s2._arrays()
     assert all(np.array_equal(a1[k], a2[k]) for k in a1)
+
+
+# ---------------- counting Bloom ----------------
+
+def test_counting_bloom_insert_delete_merge(rng):
+    from ocm_ray.sketches import CountingBloomFilter
+
+    a = rng.integers(0, 2**60, 2000).astype(np.uint64)
+    b = rng.integers(2**60, 2**61, 2000).astype(np.uint64)
+    f1, f2 = CountingBloomFilter(16, 5), CountingBloomFilter(16, 5)
+    f1.update(a)
+    f2.update(b)
+    f1.merge(f2)
+    assert f1.contains(a).all() and f1.contains(b).all()
+    # delete the b-set (possibly from a different partition's sketch)
+    f1.delete(b)
+    assert f1.contains(a).all()            # no false negatives after delete
+    assert f1.contains(b).mean() < 0.05    # deleted mass mostly gone (FP-rate residue)
+    # deletion composes through merge: (insert a) + (insert b, delete b) == insert a
+    g1, g2 = CountingBloomFilter(16, 5), CountingBloomFilter(16, 5)
+    g1.update(a)
+    g2.update(b)
+    g2.delete(b)
+    g1.merge(g2)
+    ref = CountingBloomFilter(16, 5)
+    ref.update(a)
+    assert np.array_equal(g1.counts, ref.counts)
+    # roundtrip
+    s2 = MergeableSketch.from_bytes(f1.to_bytes())
+    assert np.array_equal(f1.counts, s2.counts)
