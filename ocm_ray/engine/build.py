@@ -1,23 +1,30 @@
 """Distributed sketch building over ``ray.data.Dataset``.
 
-Two build paths, both producing ONE merged sketch from a token Dataset:
+Three build paths, all producing ONE merged sketch from a token source:
 
-1. ``build_sketch`` (primary, scale path) — ``Dataset.streaming_split(P)``
-   feeds P concurrent accumulator tasks; each task streams its shard's
-   Arrow batches with backpressure and owns exactly one partial sketch
-   (the "stateful stage" pattern: state allocated once per worker, not
-   per batch), then the P partials — MBs each, independent of input size
-   — are tree-merged with fan-in 8. No shuffle of token data ever happens:
-   partial+merge is salted pre-aggregation by construction (SURVEY §4.2).
+1. ``build_sketch_sharded`` (throughput path) — deterministic file shards;
+   each task fuses pyarrow row-batch reads with its in-shard
+   ``CountCombiner`` accumulation, so tokens never cross a process
+   boundary and there is no central coordinator (the streaming_split
+   SplitCoordinator caps at ~11M tokens/s regardless of CPUs; this path
+   measures 50–200M tokens/s). Shards are the same unit the checkpointed
+   builder persists.
 
-2. ``SketchAggregate`` — an ``AggregateFnV2`` UDAF so sketches compose
+2. ``build_sketch`` — ``Dataset.streaming_split(P)`` feeds P accumulator
+   tasks (the pure-Dataset mode for inputs that aren't parquet files);
+   each task owns one partial sketch (state once per worker, not per
+   batch).
+
+3. ``SketchAggregate`` — an ``AggregateFnV2`` UDAF so sketches compose
    with the native Dataset API: ``ds.aggregate(SketchAggregate(...))`` and
    per-key ``ds.groupby("source").aggregate(...)`` (per-source sketches).
-   Ray Data executes this as per-block partials + tree combine.
 
-Both paths are correctness-equivalent; the order-free sketches (vanilla
-CM, HLL, Bloom, bottom-k, OCM passes) are bit-identical between them and
-across any parallelism (property-tested).
+All partials — MBs each, independent of input size — tree-merge with
+fan-in 8; no token shuffle ever happens (partial+merge is salted
+pre-aggregation by construction, SURVEY §4.2). The paths are
+correctness-equivalent; order-free sketches (vanilla CM, HLL, Bloom,
+bottom-k, OCM passes) are bit-identical between them and across any
+parallelism (property-tested).
 """
 
 from __future__ import annotations

@@ -18,9 +18,16 @@ stream cannot do. Per round r (``main.cpp:35-62`` non-conservative,
         collision=max. Order-dependent → sandwiched
         (true ≤ est ≤ vanilla-CM), tested.
 
-The Dataset is scanned once per pass via ``streaming_split`` accumulator
-tasks; the only cross-round state is the broadcast sketch arrays
-(``ray.put`` once per round, read zero-copy by every task).
+Two execution modes:
+  * ``files=...`` (throughput path): ONE corpus scan builds per-shard
+    exact (token, count) tables cached in the object store; every pass
+    of every round then folds the cached tables (grouped ≤8 pass tasks)
+    — the reference's 2n−1 re-reads disappear entirely.
+  * ``dataset_factory=...``: each pass re-streams a fresh Dataset via
+    ``streaming_split`` accumulator tasks (the mode for corpora whose
+    count tables exceed the object store).
+The only cross-round state is the broadcast sketch arrays (``ray.put``
+once per round, read zero-copy by every task).
 """
 
 from __future__ import annotations
