@@ -25,6 +25,10 @@ U64 = np.uint64
 def _flat_numpy(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # null elements would round-trip through float NaN and alias to
+        # garbage ids — drop them (a null token is not an item)
+        arr = arr.drop_null()
     try:
         return arr.to_numpy(zero_copy_only=True)
     except pa.ArrowInvalid:
@@ -53,10 +57,14 @@ def list_column_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.nda
     col = batch.column(column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
-        # e.g. Ray's variable-shaped tensor extension (from_pandas with
-        # ndarray cells) — no offsets buffer; fall back to row assembly
+    if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)) \
+            or col.null_count or col.values.null_count:
+        # Non-list layouts (Ray's tensor extension) have no offsets buffer;
+        # null rows / null elements would misalign the offsets against a
+        # null-dropped values buffer. Both fall back to row assembly.
         rows = col.to_pylist()
+        rows = [[x for x in (r if r is not None else []) if x is not None]
+                for r in rows]
         lengths = np.array([len(r) for r in rows], dtype=np.int64)
         flat = (np.concatenate([np.asarray(r) for r in rows if len(r)])
                 if lengths.sum() else np.empty(0, dtype=np.int64))

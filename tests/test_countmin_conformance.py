@@ -177,3 +177,22 @@ def test_occm_distributed_sandwich(streams):
     est = g.estimate(uniq)
     assert (est >= cnt).all()
     assert (est <= estv).all()
+
+
+def test_even_nh_odd_forcing_matches_reference(streams, reference_binaries,
+                                               parity_fasta, tmp_path):
+    """Second geometry + the odd-forcing edge: requesting nh=4 must yield
+    the reference's nh=5 sketch bit-exactly (``nh += (nh % 2 == 0)``,
+    include/ocm.h:38)."""
+    import subprocess
+
+    p = str(tmp_path / "even_nh.bin")
+    subprocess.run([reference_binaries["cm"], "count", "-k", str(K), "-h", "4",
+                    "-w", str(1 << 10), "-o", p, "-fa", parity_fasta, "pad"],
+                   check=True, capture_output=True)
+    ref = CountMin.load_reference_format(p)
+    assert ref.nh == 5  # header already odd-forced
+    ours = CountMin(10, 4, 137)  # engine applies the same normalization
+    assert ours.nh == 5
+    ours.update(streams[1000])
+    assert np.array_equal(ours.core, ref.core)
