@@ -156,7 +156,10 @@ def decode_images(ds: Dataset, fake: bool = False, target_size: int = 64,
                   batch_size: int = 32, concurrency: int = 4) -> Dataset:
     """images → pixel tensors via the actor pool (see batch-size note in
     the module docstring)."""
+    import ray as _ray
+
+    n = int(_ray.cluster_resources().get("CPU", 8))
     return ds.map_batches(DecodeImage, fn_constructor_kwargs={
         "fake": fake, "target_size": target_size},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=max(1, min(concurrency, n // 2)), num_cpus=0.5)

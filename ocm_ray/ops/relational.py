@@ -139,8 +139,13 @@ def broadcast_join(large: Dataset, small_df: pd.DataFrame, key: str,
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=key, how="inner")
 
+    import ray as _ray
+
+    n = int(_ray.cluster_resources().get("CPU", 8))
+    # half-CPU actors, pool <= n/2: a full-CPU pool starves the read tasks
     return large.map_batches(_Join, fn_constructor_args=(ref,),
-                             batch_format="pandas", concurrency=4)
+                             batch_format="pandas",
+                             concurrency=max(1, min(4, n // 2)), num_cpus=0.5)
 
 
 def windowed_event_agg(events: Dataset, window: str = "1h",

@@ -130,8 +130,13 @@ def quality_score(batch: pa.Table) -> pa.Table:
 
 def add_text_stats(ds, concurrency: int = 4, batch_size: int = 2048):
     """documents Dataset → + stats columns (actor pool) → + quality."""
+    import ray as _ray
+
+    n = int(_ray.cluster_resources().get("CPU", 8))
     return (ds.map_batches(TextStats, batch_format="pyarrow",
-                           batch_size=batch_size, concurrency=concurrency)
+                           batch_size=batch_size,
+                           concurrency=max(1, min(concurrency, n // 2)),
+                           num_cpus=0.5)
               .map_batches(quality_score, batch_format="pyarrow"))
 
 
