@@ -72,7 +72,7 @@ def entry() -> Any:
     seq = ensure_sequences(1000, seed=42, n_files=8)
     return count_and_query(seq, np_bits=16, nh=5, rounds=2,
                            conservative=True, top_n_queries=500,
-                           parallelism=4)
+                           parallelism=4, validate_input=True)
 
 
 # --------------------------------------------------------------------------

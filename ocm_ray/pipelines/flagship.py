@@ -22,16 +22,25 @@ def count_and_query(seq_dir: str, np_bits: int = 20, nh: int = 7,
                     rounds: int = 4, conservative: bool = True,
                     seedseed: int = 137, top_n_queries: int = 1000,
                     checkpoint_dir: Optional[str] = None,
-                    parallelism: Optional[int] = None) -> pd.DataFrame:
+                    parallelism: Optional[int] = None,
+                    validate_input: bool = False,
+                    data_seed: int = 42) -> pd.DataFrame:
     """Build the flagship sketch over ``seq_dir`` and return the query
     table ``(token, true_count, estimated_count)`` for the ``top_n``
     hottest tokens, with the one-sided invariant asserted
-    (``output/analysis.py:7-9`` semantics)."""
+    (``output/analysis.py:7-9`` semantics). ``validate_input=True`` first
+    runs the per-row token-array-equality stage against the regenerated
+    reference input (north-rule invariant)."""
     import ray.data as rd
 
     from ocm_ray.engine.checkpoint import RoundCheckpointer
     from ocm_ray.engine.rounds import build_ocm
     from ocm_ray.ops.relational import exact_token_counts
+
+    if validate_input:
+        from ocm_ray.data.sequences import validate_sequences
+
+        validate_sequences(seq_dir, seed=data_seed)
 
     files = sorted(glob.glob(os.path.join(seq_dir, "*.parquet")))
     hook = RoundCheckpointer(checkpoint_dir) if checkpoint_dir else None

@@ -420,3 +420,30 @@ def test_grouped_udaf_via_native_aggregate(seq_dir):
         sk = MergeableSketch.from_bytes(row["sketch(tokens)"])
         true = exact[row["source"]]
         assert abs(sk.estimate() - true) / true < 0.05
+
+
+def test_validate_sequences_invariant(seq_dir, tmp_path):
+    """The per-row token-array-equality stage passes on pristine data and
+    catches a corrupted row."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ocm_ray.data.sequences import validate_sequences
+
+    rep = validate_sequences(seq_dir)
+    assert rep["mismatched_rows"] == 0 and rep["rows"] == 500
+
+    # corrupt one file: swap a token
+    bad_dir = str(tmp_path / "corrupt")
+    shutil.copytree(seq_dir, bad_dir)
+    f = os.path.join(bad_dir, "part-00002.parquet")
+    t = pq.read_table(f).to_pandas()
+    row = t.loc[0, "tokens"].copy()
+    row[0] = row[0] + 1
+    t.at[0, "tokens"] = row
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+    with pytest.raises(AssertionError):
+        validate_sequences(bad_dir)
