@@ -131,16 +131,67 @@ def positions(vals: np.ndarray, seeds: np.ndarray, np_bits: int) -> np.ndarray:
     return out
 
 
-def hash_strings(arr) -> np.ndarray:
-    """Map an arbitrary string/bytes sequence to uint64 items via FNV-1a
-    (public domain Fowler-Noll-Vo) then Wang finalization — the engine's
-    codec for hashing non-integer columns into the sketch domain."""
-    out = np.empty(len(arr), dtype=U64)
-    for i, s in enumerate(arr):
-        if isinstance(s, str):
-            s = s.encode("utf-8", "surrogatepass")
-        h = 0xCBF29CE484222325
-        for b in s:
-            h = ((h ^ b) * 0x100000001B3) & _MASK64
-        out[i] = h
-    return wanghash(out)
+_CHUNK_SEED = 0x9E3779B97F4A7C15  # golden-ratio odd constant (public)
+
+
+def stable_hash_scalar(s, seed: int = 137) -> int:
+    """Scalar reference implementation of the engine's ONE string→uint64
+    codec (see :func:`stable_hash_bytes`): split the UTF-8 bytes into
+    zero-padded little-endian 8-byte chunks, XOR the position-seeded Wang
+    hashes of the chunks, finalize with the length and seed. Pure
+    function of the bytes — stable across library versions and
+    environments (unlike polars' xxhash, whose value is explicitly not
+    stable across polars releases)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8", "surrogatepass")
+    acc = 0
+    for i in range(0, len(s), 8):
+        chunk = int.from_bytes(s[i:i + 8].ljust(8, b"\0"), "little")
+        acc ^= wanghash_scalar(chunk ^ wanghash_scalar((i >> 3) ^ _CHUNK_SEED))
+    return wanghash_scalar(acc ^ wanghash_scalar(len(s) ^ seed))
+
+
+def stable_hash_bytes(data: np.ndarray, offsets: np.ndarray,
+                      seed: int = 137) -> np.ndarray:
+    """Vectorized stable string/bytes hash over a flat uint8 buffer with
+    int64 offsets (Arrow binary layout): one uint64 per string.
+
+    Algorithm (order-aware despite the XOR — each chunk is mixed with a
+    Wang hash of its position before combining):
+
+        h(s) = wang( XOR_i wang(c_i ^ wang(i ^ GOLD)) ^ wang(len ^ seed) )
+
+    where ``c_i`` are zero-padded little-endian 8-byte chunks. Everything
+    is numpy scatter/reduceat — O(total bytes), no per-row Python. This
+    is the engine's single hash codec for string-keyed sketches, content
+    hashes and shingles; :func:`stable_hash_scalar` is the bit-identical
+    scalar form."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    src = data[offsets[0]:offsets[-1]]
+    nchunks = (lens + 7) >> 3
+    cstarts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nchunks, out=cstarts[1:])
+    total_chunks = int(cstarts[-1])
+    padded = np.zeros(total_chunks * 8, dtype=np.uint8)
+    if len(src):
+        starts_in_src = offsets[:-1] - offsets[0]
+        within = np.arange(len(src), dtype=np.int64) - np.repeat(starts_in_src, lens)
+        padded[np.repeat(cstarts[:-1] * 8, lens) + within] = src
+    chunks = padded.view("<u8")
+    cpos = (np.arange(total_chunks, dtype=np.int64)
+            - np.repeat(cstarts[:-1], nchunks)).astype(U64)
+    h = wanghash(chunks ^ wanghash(cpos ^ U64(_CHUNK_SEED)))
+    acc = np.zeros(n, dtype=U64)
+    nonempty = nchunks > 0
+    if total_chunks:
+        acc[nonempty] = np.bitwise_xor.reduceat(h, cstarts[:-1][nonempty])
+    return wanghash(acc ^ wanghash(lens.astype(U64) ^ U64(seed)))
+
+
+def hash_strings(arr, seed: int = 137) -> np.ndarray:
+    """Map an arbitrary string/bytes sequence to uint64 items through the
+    engine's stable codec (scalar path — for driver-side / test use; hot
+    paths go through :func:`stable_hash_bytes` on Arrow buffers)."""
+    return np.array([stable_hash_scalar(s, seed) for s in arr], dtype=U64)

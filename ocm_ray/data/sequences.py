@@ -60,8 +60,15 @@ def generate_file(path: str, n_docs: int, start_idx: int, seed: int = 42,
     src = SOURCES[rng.choice(len(SOURCES), size=n_docs, p=SOURCE_P)]
     if hot_source_skew:
         lens = np.where(src == "web", np.minimum(lens * 4, 8192), lens).astype(np.int32)
-    flat = sample_tokens(rng, int(lens.sum()), vocab, s)
-    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    total = int(lens.astype(np.int64).sum())
+    # list<int32> offsets are int32: a part file whose token total exceeded
+    # 2^31 would silently wrap to negative offsets and corrupt the column.
+    # Shard into more files (n_files) before that — fail loudly here.
+    assert total < 2**31, (
+        f"part file token total {total} overflows int32 list offsets; "
+        "increase n_files so each part stays under 2^31 tokens")
+    flat = sample_tokens(rng, total, vocab, s)
+    offsets = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)]).astype(np.int32)
     tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
     doc_id = pa.array([f"doc-{i:08d}" for i in range(start_idx, start_idx + n_docs)])
     table = pa.table({

@@ -35,20 +35,44 @@ def _flat_numpy(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
         return arr.to_numpy(zero_copy_only=False)
 
 
-def hash_string_array(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Vectorized stable hash of a string/binary column to uint64 via
-    polars (xxhash, seed-pinned) with a pure-Python FNV fallback."""
+def hash_string_array(arr: pa.ChunkedArray | pa.Array, seed: int = 137) -> np.ndarray:
+    """Vectorized stable hash of a string/binary column to uint64 via the
+    engine's in-repo codec (``core.hashing.stable_hash_bytes``) — one
+    hash everywhere, stable across environments and library versions, so
+    string-keyed sketches persisted on one cluster stay queryable on
+    another. Operates directly on the Arrow offsets/data buffers."""
+    from ocm_ray.core.hashing import stable_hash_bytes
+
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    try:
-        import polars as pl
+    if arr.null_count:
+        arr = arr.fill_null("")
+    # large_binary gives a uniform int64-offset layout for every
+    # string/binary width (cast is O(bytes), no per-row Python)
+    arr = arr.cast(pa.large_binary())
+    buf_off, buf_data = arr.buffers()[1], arr.buffers()[2]
+    offsets = np.frombuffer(buf_off, dtype=np.int64,
+                            count=len(arr) + 1, offset=arr.offset * 8)
+    data = np.frombuffer(buf_data, dtype=np.uint8) if buf_data is not None \
+        else np.empty(0, dtype=np.uint8)
+    return stable_hash_bytes(data, offsets, seed)
 
-        s = pl.from_arrow(arr)
-        return s.hash(seed=137).to_numpy().astype(U64)
-    except Exception:
-        from ocm_ray.core.hashing import hash_strings
 
-        return hash_strings(arr.to_pylist())
+def split_words_hashed(arr: pa.ChunkedArray | pa.Array, lowercase: bool = True,
+                       seed: int = 137) -> tuple[np.ndarray, np.ndarray]:
+    """(flat word hashes uint64, words-per-row int64) for a string column,
+    split on single spaces (``str.split(' ')`` semantics, empties kept —
+    matches DuckDB ``string_split``). Arrow-kernel split + the engine's
+    stable hash; no per-row Python."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if lowercase:
+        arr = pc.utf8_lower(arr)
+    toks = pc.split_pattern(arr, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    return hash_string_array(toks.flatten(), seed), lens
 
 
 def list_column_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:

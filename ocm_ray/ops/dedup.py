@@ -38,14 +38,14 @@ U64 = np.uint64
 # shingling + signatures
 
 
-def _word_shingles(texts: List[str], k: int = 3) -> Tuple[np.ndarray, np.ndarray]:
+def _word_shingles(texts, k: int = 3) -> Tuple[np.ndarray, np.ndarray]:
     """(flat shingle hashes, per-doc lengths): k-word shingles hashed to
-    uint64 via chained WangHash over polars-hashed words."""
-    import polars as pl
+    uint64 via chained WangHash over stable-hashed lowercase words
+    (``texts`` may be a Python list or an Arrow string array)."""
+    from ocm_ray.engine.tokens import split_words_hashed
 
-    s = pl.Series(texts).str.to_lowercase().str.split(" ")
-    lens = s.list.len().to_numpy().astype(np.int64)
-    flat = s.explode().hash(seed=137).to_numpy().astype(U64, copy=False)
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts)
+    flat, lens = split_words_hashed(arr)
     if k <= 1:
         return flat, lens
     n = len(flat)
@@ -207,11 +207,9 @@ def simhash_fingerprints(ds: Dataset, id_col: str = "doc_id",
     """64-bit SimHash per document: sign-sum of token-hash bit vectors.
     Near-dup docs differ in few bits (Hamming)."""
     def fp(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from ocm_ray.engine.tokens import split_words_hashed
 
-        s = pl.from_arrow(batch.column(text_col)).str.to_lowercase().str.split(" ")
-        lens = s.list.len().to_numpy().astype(np.int64)
-        flat = s.explode().hash(seed=137).to_numpy().astype(U64, copy=False)
+        flat, lens = split_words_hashed(batch.column(text_col))
         bits = ((flat[:, None] >> np.arange(64, dtype=U64)) & U64(1)).astype(np.int32)
         bits = bits * 2 - 1  # ±1
         starts = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.int64)

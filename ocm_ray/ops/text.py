@@ -71,11 +71,12 @@ class TextStats:
         exploded = tokens.list.eval(pl.element().str.to_lowercase())
         stop_hits = exploded.list.eval(
             pl.element().is_in(list(STOPWORDS))).list.sum().to_numpy()
-        tok_hash = tokens.list.eval(pl.element().hash(seed=137))
-        # rolling fingerprint: wang-mix of (position-weighted) token hashes
-        fp = np.empty(len(texts), dtype=np.uint64)
-        offs = np.concatenate([[0], np.cumsum(tok_hash.list.len().to_numpy())]).astype(np.int64)
-        flat = tok_hash.explode().to_numpy().astype(U64, copy=False)
+        from ocm_ray.engine.tokens import split_words_hashed
+
+        # rolling fingerprint: wang-mix of (position-weighted) stable
+        # token hashes — one in-repo hash codec everywhere
+        flat, tok_lens = split_words_hashed(batch.column("text"), lowercase=False)
+        offs = np.concatenate([[0], np.cumsum(tok_lens)]).astype(np.int64)
         mixed = wanghash(flat ^ (np.arange(len(flat), dtype=U64) * U64(0x9E3779B97F4A7C15)))
         sums = np.add.reduceat(mixed, offs[:-1], dtype=np.uint64) if len(flat) else np.zeros(len(texts), U64)
         empty = offs[:-1] == offs[1:]

@@ -78,3 +78,38 @@ def test_hash_strings_deterministic():
     a = hash_strings(["foo", "bar", "foo"])
     assert a[0] == a[2] and a[0] != a[1]
     assert a.dtype == np.uint64
+
+
+def test_stable_hash_vectorized_matches_scalar():
+    """The Arrow-buffer vectorized codec and the scalar reference produce
+    identical uint64 values — including empties, chunk boundaries (7/8/9
+    bytes), unicode, and embedded NULs."""
+    import pyarrow as pa
+
+    from ocm_ray.core.hashing import stable_hash_scalar
+    from ocm_ray.engine.tokens import hash_string_array
+
+    strs = ["", "a", "hello world", "x" * 7, "y" * 8, "z" * 9,
+            "é—漢字 test", "long " * 500, "\x00bin\x00"]
+    expect = np.array([stable_hash_scalar(s) for s in strs], dtype=np.uint64)
+    assert (hash_string_array(pa.array(strs)) == expect).all()
+    # sliced and chunked layouts hit the buffer-offset paths
+    arr = pa.array(strs)
+    assert (hash_string_array(arr.slice(2, 5)) == expect[2:7]).all()
+    chunked = pa.chunked_array([arr.slice(0, 4), arr.slice(4)])
+    assert (hash_string_array(chunked) == expect).all()
+    # position-seeding makes the combine order-aware
+    assert stable_hash_scalar("abcdefgh" + "ijklmnop") != \
+        stable_hash_scalar("ijklmnop" + "abcdefgh")
+
+
+def test_stable_hash_seed_and_distribution():
+    import pyarrow as pa
+
+    from ocm_ray.engine.tokens import hash_string_array
+
+    strs = [f"tok-{i}" for i in range(50000)]
+    h = hash_string_array(pa.array(strs))
+    assert len(np.unique(h)) == len(strs)  # no collisions on 50k keys
+    h2 = hash_string_array(pa.array(strs), seed=7)
+    assert (h != h2).mean() > 0.999  # seed actually changes the codec
