@@ -98,71 +98,118 @@ def signature_jaccard(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # MinHash-LSH near-dup pairs
 
 
+def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) wang-mixed bucket keys from a (n, num_perm) signature
+    matrix: chain-hash each band's rows, mix in the band index so one
+    flat key space holds all bands."""
+    n, num_perm = sig.shape
+    rows_per_band = num_perm // bands
+    band_view = sig.reshape(n, bands, rows_per_band)
+    bh = band_view[:, :, 0].copy()
+    for j in range(1, rows_per_band):
+        bh = wanghash(bh ^ band_view[:, :, j])
+    return wanghash(bh ^ (np.arange(bands, dtype=U64)[None, :] << U64(48)))
+
+
 def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 128,
                       bands: int = 32, shingle_k: int = 3,
                       threshold: float = 0.8,
-                      seedseed: int = 137) -> pd.DataFrame:
+                      seedseed: int = 137, n_shards: int = 64,
+                      max_bucket=None, local: bool = False) -> pd.DataFrame:
     """Near-duplicate pairs with estimated Jaccard ≥ threshold.
 
-    Pipeline: distributed per-batch signature computation (one
-    fixed-size-list row per doc) → compact band table (16 B per
-    (doc, band)) → sorted-run collision scan → signature-Jaccard verify
-    on candidates only. Signatures are computed once and never reshuffled.
-    The band scan runs on the collected band table here (sub-GB up to
-    ~10M docs); at larger scale shard the band table by bucket-key range
-    and run the identical scan per shard (runs cannot span shards).
+    Fully distributed: per-batch signature computation (one
+    fixed-size-list row per doc, pinned in the object store) → compact
+    band-table Dataset (16 B per (doc, band)) → ``ops.pairs`` key-prefix
+    shard shuffle + per-shard vectorized run scan → candidate pairs →
+    signature-Jaccard verify against the candidate signatures only
+    (fetched by broadcast-id filter). Driver memory is bounded by the
+    candidate/output set — never by the corpus. ``local=True`` selects
+    the single-process reference path (testing / tiny inputs).
     """
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
+    if local:
+        return _minhash_lsh_pairs_local(ds, id_col, text_col, num_perm,
+                                        bands, shingle_k, threshold, seedseed)
 
-    # Stage 1: signatures once per doc, as a fixed-size-list column
-    # (zero-copy Arrow; one row per doc, num_perm·8 B)
+    from ocm_ray.ops.pairs import (collect_unique_pairs, collision_pairs,
+                                   lookup_rows_for_ids)
+
     def compute_sigs(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        sig = minhash_signatures(texts, num_perm, shingle_k, seedseed)
+        sig = minhash_signatures(batch.column(text_col), num_perm,
+                                 shingle_k, seedseed)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sig.ravel().view(np.int64)), num_perm)
         return pa.table({id_col: batch.column(id_col), "sig": col})
 
+    # signatures computed once, pinned distributed (1 KB/doc; consumed by
+    # both the band stage and the candidate-verify lookup)
+    sig_ds = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig = (batch.column("sig").combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False).view(U64).reshape(n, num_perm))
+        keys = _band_keys(sig, bands)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = ids.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), bands)))
+        return pa.table({"key": pa.array(keys.ravel().view(np.int64)),
+                         "id": rep})
+
+    band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow")
+    cand = collect_unique_pairs(
+        collision_pairs(band_ds, n_shards, max_bucket=max_bucket))
+    if len(cand) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+
+    ids_needed = np.unique(np.concatenate([cand["a"].to_numpy(),
+                                           cand["b"].to_numpy()]))
+    sig_tbl = lookup_rows_for_ids(sig_ds, ids_needed, id_col)
+    ids_have = sig_tbl.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_have, kind="stable")
+    sig_have = (sig_tbl.column("sig").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).view(U64)
+                .reshape(len(ids_have), num_perm))[order]
+    ids_sorted = ids_have[order]
+    ai = np.searchsorted(ids_sorted, cand["a"].to_numpy())
+    bi = np.searchsorted(ids_sorted, cand["b"].to_numpy())
+    jac = signature_jaccard(sig_have[ai], sig_have[bi])
+    keep = jac >= threshold
+    out = cand.loc[keep].copy()
+    out["jaccard"] = jac[keep]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _minhash_lsh_pairs_local(ds: Dataset, id_col: str, text_col: str,
+                             num_perm: int, bands: int, shingle_k: int,
+                             threshold: float, seedseed: int) -> pd.DataFrame:
+    """Single-process reference path: identical banding/scan semantics,
+    everything on the driver. Used by tests to prove the distributed
+    path emits the same pairs, and for tiny in-memory tables."""
     sig_tbl = pa.concat_tables(ray.get(
-        ds.map_batches(compute_sigs, batch_format="pyarrow").to_arrow_refs()))
+        ds.map_batches(
+            lambda b: pa.table({
+                id_col: b.column(id_col),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(minhash_signatures(b.column(text_col), num_perm,
+                                                shingle_k, seedseed)
+                             .ravel().view(np.int64)), num_perm)}),
+            batch_format="pyarrow").to_arrow_refs()))
     ids_all = sig_tbl.column(id_col).to_numpy(zero_copy_only=False)
     sig_all = (sig_tbl.column("sig").combine_chunks().flatten()
                .to_numpy(zero_copy_only=False).view(U64)
                .reshape(len(ids_all), num_perm))
-
-    # Stage 2: band table — only (band, band_hash, row_idx), 16 B/row,
-    # through the shuffle; signatures NEVER move again (broadcast once)
-    band_view = sig_all.reshape(len(ids_all), bands, rows_per_band)
-    bh = band_view[:, :, 0].copy()
-    for j in range(1, rows_per_band):
-        bh = wanghash(bh ^ band_view[:, :, j])
-
-    # bucket key: (band << 64-bits folded) — mix band index into the hash so
-    # one flat sort finds all collision runs. Most buckets are singletons;
-    # per-group task dispatch (groupby.map_groups) costs ~1 ms × #buckets,
-    # so candidate detection is a vectorized sorted-run scan instead. At
-    # cluster scale the band table shards by key range and each shard runs
-    # this same scan (runs never span shards when sharded by bucket key).
-    key = wanghash(bh.ravel() ^ (np.tile(np.arange(bands, dtype=U64),
-                                         len(ids_all)) << U64(48)))
+    key = _band_keys(sig_all, bands).ravel()
     rows = np.repeat(np.arange(len(ids_all), dtype=np.int64), bands)
-    order = np.argsort(key, kind="stable")
-    ks, rs = key[order], rows[order]
-    run_start = np.concatenate([[True], ks[1:] != ks[:-1]])
-    starts = np.flatnonzero(run_start)
-    lens = np.diff(np.concatenate([starts, [len(ks)]]))
-    cand_a, cand_b = [], []
-    for s, l in zip(starts[lens > 1], lens[lens > 1]):
-        grp = rs[s:s + l]
-        ii, jj = np.triu_indices(l, k=1)
-        cand_a.append(grp[ii])
-        cand_b.append(grp[jj])
-    if not cand_a:
+    from ocm_ray.ops.pairs import _scan_runs
+
+    ii, jj = _scan_runs(key, None)
+    if len(ii) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    a_rows = np.concatenate(cand_a)
-    b_rows = np.concatenate(cand_b)
+    a_rows, b_rows = rows[ii], rows[jj]
     swap = a_rows > b_rows
     a_rows, b_rows = np.where(swap, b_rows, a_rows), np.where(swap, a_rows, b_rows)
     uniq = np.unique(a_rows << np.int64(32) | b_rows)
@@ -176,6 +223,82 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
     out.loc[sw, ["a", "b"]] = out.loc[sw, ["b", "a"]].values
     return (out.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
             .reset_index(drop=True))
+
+
+def _distinct_doc_shingles(batch: pa.Table, id_col: str, text_col: str,
+                           shingle_k: int):
+    """Per-doc DISTINCT shingle hashes for one batch: (rowid, hash)
+    arrays + per-doc distinct counts — all lexsort/bincount, no Python
+    rows."""
+    flat, lens = _word_shingles(batch.column(text_col), shingle_k)
+    n = batch.num_rows
+    rowid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order = np.lexsort((flat, rowid))
+    rs, fs = rowid[order], flat[order]
+    if len(rs):
+        keep = np.concatenate([[True], (rs[1:] != rs[:-1]) | (fs[1:] != fs[:-1])])
+        rs, fs = rs[keep], fs[keep]
+    sizes = np.bincount(rs, minlength=n).astype(np.int64)
+    return rs, fs, sizes
+
+
+def exact_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_k: int = 3,
+                        threshold: float = 0.5, n_shards: int = 64,
+                        max_bucket=None) -> pd.DataFrame:
+    """EXACT n-gram (word-shingle) Jaccard pairs ≥ threshold, fully
+    distributed and SQL-equivalent (the DuckDB oracle joins the distinct
+    shingle-string sets; the engine joins their 64-bit stable hashes —
+    identical up to negligible hash collisions).
+
+    Shape: per-batch distinct-shingle explode (16 B/row, hashes only —
+    text never moves) → ``ops.pairs`` shard shuffle; a pair of docs is
+    emitted once per SHARED shingle, so a native ``groupby(a,b).count``
+    yields |A∩B| — then Jaccard = c / (|A| + |B| − c) with per-doc set
+    sizes computed shuffle-free in a second text scan and fetched for
+    candidate ids only. Cost is inherently quadratic in shingle-bucket
+    size (this is the exact algorithm; ``max_bucket`` caps pathological
+    stop-shingle buckets at scale, default exact/uncapped)."""
+    from ocm_ray.ops.pairs import collision_pairs, lookup_rows_for_ids
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        rs, fs, _ = _distinct_doc_shingles(batch, id_col, text_col, shingle_k)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"key": pa.array(fs.view(np.int64)),
+                         "id": ids.take(pa.array(rs))})
+
+    shingle_ds = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    cand_ds = collision_pairs(shingle_ds, n_shards, max_bucket=max_bucket)
+    from ray.data.aggregate import Count
+
+    inter = cand_ds.groupby(["a", "b"]).aggregate(Count(alias_name="c")) \
+        .to_pandas()  # one row per candidate pair — output-sized
+    if len(inter) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+
+    def size_rows(batch: pa.Table) -> pa.Table:
+        _, _, sizes = _distinct_doc_shingles(batch, id_col, text_col, shingle_k)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_shingles": pa.array(sizes)})
+
+    sizes_ds = ds.map_batches(size_rows, batch_format="pyarrow")
+    ids_needed = np.unique(np.concatenate([inter["a"].to_numpy(),
+                                           inter["b"].to_numpy()]))
+    st = lookup_rows_for_ids(sizes_ds, ids_needed, id_col)
+    sid = st.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(sid, kind="stable")
+    sid, sn = sid[order], st.column("n_shingles").to_numpy(
+        zero_copy_only=False)[order]
+    sa = sn[np.searchsorted(sid, inter["a"].to_numpy())]
+    sb = sn[np.searchsorted(sid, inter["b"].to_numpy())]
+    c = inter["c"].to_numpy().astype(np.int64)
+    jac = c / (sa + sb - c)
+    keep = jac >= threshold
+    out = inter.loc[keep, ["a", "b"]].copy()
+    out["jaccard"] = jac[keep]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_verify(pairs: pd.DataFrame, docs: pd.DataFrame,
@@ -225,36 +348,61 @@ def simhash_fingerprints(ds: Dataset, id_col: str = "doc_id",
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no
+    bitwise_count): unpack to bits bytewise and sum per word."""
+    bits = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+    return bits.sum(axis=1).astype(np.int64)
+
+
 def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs by SimHash banding: fingerprints agreeing on one of
-    4 16-bit bands are candidates; verify exact Hamming distance."""
-    fps = simhash_fingerprints(ds, id_col, text_col).to_pandas()
-    ids = fps[id_col].to_numpy()
-    h = fps["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-    cands = set()
-    for band in range(4):
-        key = (h >> U64(band * 16)) & U64(0xFFFF)
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
-        ends = np.concatenate([starts[1:], [len(ks)]])
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                grp = order[s:e]
-                for i in range(len(grp)):
-                    for j in range(i + 1, len(grp)):
-                        a, b = sorted((int(grp[i]), int(grp[j])))
-                        cands.add((a, b))
-    rows = []
-    for i, j in cands:
-        d = int(bin(int(h[i]) ^ int(h[j])).count("1"))
-        if d <= max_hamming:
-            a, b = sorted((ids[i], ids[j]))
-            rows.append({"a": a, "b": b, "hamming": d})
-    return pd.DataFrame(rows, columns=["a", "b", "hamming"]).sort_values(
-        ["a", "b"]).reset_index(drop=True) if rows else \
-        pd.DataFrame({"a": [], "b": [], "hamming": []})
+                  max_hamming: int = 3, n_shards: int = 64,
+                  max_bucket=None) -> pd.DataFrame:
+    """Near-dup pairs by SimHash banding, fully distributed: fingerprints
+    agreeing on one of 4 16-bit bands are candidates (``ops.pairs`` shard
+    shuffle + run scan over an 16 B/row band table); exact Hamming
+    distance verified on the candidate fingerprints only (broadcast-id
+    fetch — driver memory is output-bounded)."""
+    from ocm_ray.ops.pairs import (collect_unique_pairs, collision_pairs,
+                                   lookup_rows_for_ids)
+
+    fp_ds = simhash_fingerprints(ds, id_col, text_col).materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        h = batch.column("simhash").to_numpy(zero_copy_only=False).view(U64)
+        n = len(h)
+        keys = np.empty((n, 4), dtype=U64)
+        for band in range(4):
+            frag = (h >> U64(band * 16)) & U64(0xFFFF)
+            keys[:, band] = wanghash(frag | (U64(band) << U64(16)))
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = ids.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), 4)))
+        return pa.table({"key": pa.array(keys.ravel().view(np.int64)),
+                         "id": rep})
+
+    band_ds = fp_ds.map_batches(to_bands, batch_format="pyarrow")
+    cand = collect_unique_pairs(
+        collision_pairs(band_ds, n_shards, max_bucket=max_bucket))
+    if len(cand) == 0:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+
+    ids_needed = np.unique(np.concatenate([cand["a"].to_numpy(),
+                                           cand["b"].to_numpy()]))
+    fp_tbl = lookup_rows_for_ids(fp_ds, ids_needed, id_col)
+    ids_have = fp_tbl.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_have, kind="stable")
+    h_have = (fp_tbl.column("simhash").to_numpy(zero_copy_only=False)
+              .view(U64))[order]
+    ids_sorted = ids_have[order]
+    ai = np.searchsorted(ids_sorted, cand["a"].to_numpy())
+    bi = np.searchsorted(ids_sorted, cand["b"].to_numpy())
+    d = _popcount64(h_have[ai] ^ h_have[bi])
+    keep = d <= max_hamming
+    out = cand.loc[keep].copy()
+    out["hamming"] = d[keep]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -273,26 +421,36 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
     from ocm_ray.ops.similarity import _embedding_matrix, _normalize, add_lsh_bucket
 
     if bits:
-        bucketed = add_lsh_bucket(ds, dim=None or len(ds.take(1)[0][emb_col]),
+        # 2^bits groups only — map_groups dispatch cost is negligible at
+        # this group count, and each bucket is scored by one vectorized
+        # matmul inside its task (nothing corpus-sized on the driver)
+        bucketed = add_lsh_bucket(ds, dim=len(ds.take(1)[0][emb_col]),
                                   bits=bits, emb_col=emb_col, seedseed=seedseed)
-        df = bucketed.to_pandas()
-        out = []
-        for _, grp in df.groupby("bucket"):
-            m = _normalize(np.stack(grp[emb_col].to_numpy()).astype(np.float64))
-            ids = grp[id_col].to_numpy()
+
+        def score_bucket(group: pa.Table) -> pa.Table:
+            m = _normalize(_embedding_matrix(group, emb_col))
+            ids = group.column(id_col).to_numpy(zero_copy_only=False)
             sims = m @ m.T
             ii, jj = np.where(np.triu(sims >= threshold, k=1))
-            for i, j in zip(ii, jj):
-                a, b = sorted((ids[i], ids[j]))
-                out.append({"a": a, "b": b, "sim": sims[i, j]})
-        return pd.DataFrame(out, columns=["a", "b", "sim"]).sort_values(
-            ["a", "b"]).reset_index(drop=True) if out else \
-            pd.DataFrame({"a": [], "b": [], "sim": []})
+            a, b = ids[ii], ids[jj]
+            swap = a > b
+            a, b = np.where(swap, b, a), np.where(swap, a, b)
+            return pa.table({"a": pa.array(a), "b": pa.array(b),
+                             "sim": pa.array(sims[ii, jj])})
 
-    # brute force: broadcast the whole normalized matrix once
-    full = ds.to_pandas()
-    ids_all = full[id_col].to_numpy()
-    m_all = _normalize(np.stack(full[emb_col].to_numpy()).astype(np.float64))
+        out = (bucketed.groupby("bucket")
+               .map_groups(score_bucket, batch_format="pyarrow").to_pandas())
+        if len(out) == 0:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        return (out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+                .reset_index(drop=True))
+
+    # brute force: broadcast the whole normalized matrix once (inherent to
+    # exact all-pairs; built straight from Arrow refs, no pandas hop)
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    ids_all = np.concatenate(
+        [t.column(id_col).to_numpy(zero_copy_only=False) for t in tables])
+    m_all = _normalize(np.vstack([_embedding_matrix(t, emb_col) for t in tables]))
     ref = ray.put((ids_all, m_all))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -310,11 +468,10 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def exact_dedup(ds: Dataset, id_col: str = "doc_id",
-                text_col: str = "text") -> Dataset:
-    """Exact dedup by content: one representative (min id) per distinct
-    text + multiplicity. Content is grouped via its hash (the 100 TB
-    shuffle key), not the raw text."""
+def add_content_hash(ds: Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> Dataset:
+    """(id, content_hash) — the 64-bit stable content key the exact-dedup
+    shuffle groups on (the raw text never moves)."""
     def hash_col(batch: pa.Table) -> pa.Table:
         from ocm_ray.engine.tokens import hash_string_array
 
@@ -322,10 +479,27 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id",
         return pa.table({id_col: batch.column(id_col),
                          "content_hash": pa.array(h)})
 
-    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [df[id_col].min()],
-                             "n_copies": [len(df)]})
+    return ds.map_batches(hash_col, batch_format="pyarrow")
 
-    return (ds.map_batches(hash_col, batch_format="pyarrow")
+
+def exact_dedup_groups(ds: Dataset, id_col: str = "doc_id",
+                       text_col: str = "text") -> Dataset:
+    """(content_hash, id, n_copies) per distinct content — NATIVE
+    ``groupby().aggregate`` (hash-based, no per-group task dispatch; the
+    map_groups form costs ~1 ms/group over a near-unique keyspace,
+    CLAUDE.md rule 3)."""
+    from ray.data.aggregate import Count, Min
+
+    return (add_content_hash(ds, id_col, text_col)
             .groupby("content_hash")
-            .map_groups(keep_min, batch_format="pandas"))
+            .aggregate(Min(id_col, alias_name=id_col),
+                       Count(alias_name="n_copies")))
+
+
+def exact_dedup(ds: Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> Dataset:
+    """Exact dedup by content: one representative (min id) per distinct
+    text + multiplicity. Content is grouped via its hash (the 100 TB
+    shuffle key), not the raw text."""
+    return exact_dedup_groups(ds, id_col, text_col) \
+        .select_columns([id_col, "n_copies"])

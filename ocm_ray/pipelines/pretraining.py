@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -27,7 +28,7 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     import ray.data as rd
 
     from ocm_ray.engine.build import grouped_sketches
-    from ocm_ray.ops.dedup import exact_dedup, minhash_lsh_pairs
+    from ocm_ray.ops.dedup import minhash_lsh_pairs
     from ocm_ray.ops.text import add_text_stats
 
     ds = rd.read_parquet(documents_path)
@@ -48,38 +49,88 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
                 "n_near_dup_dropped": 0, "n_output": 0,
                 "distinct_docs_per_source": {}, "out_dir": out_dir}
 
-    # 2. exact dedup: representative id per distinct text
-    reps = exact_dedup(kept).to_pandas()
-    keep_ids = set(reps["doc_id"].tolist())
+    # 2. exact dedup — native groupby/aggregate; only the DUPLICATED
+    # hashes (small by construction) come back: (content_hash → min id)
+    from ocm_ray.ops.dedup import exact_dedup_groups
 
-    # 3. near-dedup: drop the higher id of each near-dup pair
+    groups = exact_dedup_groups(kept)
+    n_exact_unique = groups.count()
+    dup_map = groups.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_copies"), pa.scalar(1))),
+        batch_format="pyarrow").to_pandas()
+
+    # 3. near-dedup: drop the higher id of each near-dup pair (drop set
+    # is output-sized — the near-dup b-sides only)
     pairs = minhash_lsh_pairs(kept.select_columns(["doc_id", "text"]),
                               threshold=near_dup_threshold)
-    drop = set(pairs["b"].tolist())
-    keep_ids -= drop
+    drop_near = np.unique(pairs["b"].to_numpy()) if len(pairs) else \
+        np.empty(0, dtype=np.int64)
 
-    keep_ref = sorted(keep_ids)
-    final = kept.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("doc_id"),
-                                    value_set=pa.array(keep_ref))),
-        batch_format="pyarrow")
+    # 4. anti-join filter: broadcast ONLY the small drop-side state
+    # (duplicated hashes + their keeper ids + near-dup drops) once via
+    # ray.put; each batch recomputes its content hashes and drops rows
+    # that are (a) non-keeper exact copies or (b) near-dup b-sides.
+    order = np.argsort(dup_map["content_hash"].to_numpy()) if len(dup_map) \
+        else np.empty(0, dtype=np.int64)
+    dup_hashes = dup_map["content_hash"].to_numpy()[order]
+    dup_keep_id = dup_map["doc_id"].to_numpy()[order]
+    import ray as _ray
 
-    # 4. per-source distinct-document estimates over the surviving docs
+    drop_ref = _ray.put((dup_hashes, dup_keep_id, np.sort(drop_near)))
+
+    class _DropFilter:
+        def __init__(self, ref):
+            self.dup_hashes, self.dup_keep_id, self.drop_near = _ray.get(ref) \
+                if isinstance(ref, _ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from ocm_ray.engine.tokens import hash_string_array
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            h = hash_string_array(t.column("text")).astype(np.int64)
+            pos = np.searchsorted(self.dup_hashes, h)
+            pos = np.minimum(pos, max(len(self.dup_hashes) - 1, 0))
+            hit = (self.dup_hashes[pos] == h) if len(self.dup_hashes) else \
+                np.zeros(len(h), dtype=bool)
+            drop_exact = hit & (ids != (self.dup_keep_id[pos]
+                                        if len(self.dup_hashes) else 0))
+            npos = np.searchsorted(self.drop_near, ids)
+            npos = np.minimum(npos, max(len(self.drop_near) - 1, 0))
+            drop_nd = (self.drop_near[npos] == ids) if len(self.drop_near) \
+                else np.zeros(len(h), dtype=bool)
+            return t.filter(pa.array(~(drop_exact | drop_nd)))
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    final = kept.map_batches(_DropFilter, fn_constructor_args=(drop_ref,),
+                             batch_format="pyarrow",
+                             concurrency=max(1, min(concurrency, ncpu // 2)),
+                             num_cpus=0.5)
+
+    # 5. per-source distinct-document estimates over the surviving docs
     from ocm_ray.sketches import HyperLogLog
 
     per_src = grouped_sketches(final.select_columns(["text", "source"]),
                                "source", lambda: HyperLogLog(12),
                                column="text")
 
-    # 5. partitioned output (prunable layout + resumable unit per key)
+    # 6. partitioned output (prunable layout + resumable unit per key);
+    # output row count read back from the written Parquet metadata —
+    # no second execution of the filter pipeline just to count
     final.write_parquet(out_dir, partition_cols=["source"])
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n_output = sum(pq.read_metadata(f).num_rows for f in
+                   _glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                              recursive=True))
 
     return {
         "n_input": n_in,
         "n_after_quality": n_quality,
-        "n_exact_unique": len(reps),
-        "n_near_dup_dropped": len(drop),
-        "n_output": len(keep_ref),
+        "n_exact_unique": n_exact_unique,
+        "n_near_dup_dropped": int(len(drop_near)),
+        "n_output": n_output,
         "distinct_docs_per_source": {k: round(v.estimate())
                                      for k, v in sorted(per_src.items())},
         "out_dir": out_dir,

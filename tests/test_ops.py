@@ -252,3 +252,89 @@ def test_bigram_counts_matches_bruteforce():
     got = list(zip(zip(out.a.astype(int), out.b.astype(int)), out.cnt))
     assert [(tuple(k), int(c)) for k, c in top] == \
         [(tuple(k), int(c)) for k, c in got]
+
+
+def _dedup_corpus(n_base=200, seed=0):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(20, 60)))
+            for _ in range(n_base)]
+    for i in range(0, 30, 2):          # near dups
+        w = docs[i].split(" ")
+        w[3] = "CHANGED"
+        docs.append(" ".join(w))
+    docs += [docs[5], docs[7], docs[7]]  # exact dups
+    return pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+
+
+def test_minhash_distributed_matches_local_8_partitions():
+    """The sharded band-shuffle path emits EXACTLY the pairs of the
+    single-process reference path, at 8 partitions (VERDICT r1 #1)."""
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import minhash_lsh_pairs
+
+    ds = rd.from_pandas(_dedup_corpus()).repartition(8)
+    dist = minhash_lsh_pairs(ds, threshold=0.5, n_shards=16)
+    loc = minhash_lsh_pairs(ds, threshold=0.5, local=True)
+    pd.testing.assert_frame_equal(dist.reset_index(drop=True),
+                                  loc.reset_index(drop=True))
+    assert len(dist) >= 15  # the injected dups are found
+
+
+def test_exact_jaccard_pairs_matches_bruteforce():
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import _word_shingles, exact_jaccard_pairs
+
+    df = _dedup_corpus(n_base=120, seed=3)
+    ds = rd.from_pandas(df).repartition(8)
+    got = exact_jaccard_pairs(ds, threshold=0.5, n_shards=16)
+    flat, lens = _word_shingles(df["text"].tolist(), 3)
+    b = np.concatenate([[0], np.cumsum(lens)])
+    sets = [set(flat[b[i]:b[i + 1]].tolist()) for i in range(len(df))]
+    exp = []
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            u = len(sets[i] | sets[j])
+            if u and len(sets[i] & sets[j]) / u >= 0.5:
+                exp.append((i, j, len(sets[i] & sets[j]) / u))
+    exp = pd.DataFrame(exp, columns=["a", "b", "jaccard"])
+    got = got.astype({"a": np.int64, "b": np.int64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False, atol=1e-12)
+
+
+def test_collision_pairs_empty_and_schema():
+    """No collisions → empty result with stable schema, not a crash."""
+    import ray.data as rd
+
+    from ocm_ray.ops.pairs import collect_unique_pairs, collision_pairs
+
+    df = pd.DataFrame({"key": np.arange(100, dtype=np.int64),
+                       "id": np.arange(100, dtype=np.int64)})
+    out = collect_unique_pairs(collision_pairs(rd.from_pandas(df), 16))
+    assert len(out) == 0 and list(out.columns) == ["a", "b"]
+
+
+def test_curate_drop_semantics(tmp_path):
+    """curate drops exactly: non-keeper exact copies ∪ near-dup b-sides;
+    broadcast drop-state only (no corpus-sized driver sets)."""
+    import pyarrow.parquet as pq
+
+    from ocm_ray.pipelines.pretraining import curate
+
+    df = _dedup_corpus(n_base=100, seed=1)
+    df["source"] = np.where(df["doc_id"] % 3 == 0, "web", "books")
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+    summ = curate(p, str(tmp_path / "out"), quality_min=0.0,
+                  near_dup_threshold=0.6)
+    assert summ["n_input"] == len(df)
+    assert summ["n_exact_unique"] == len(df) - 3
+    # drops = near-dup b-sides (added ids 100..114) ∪ exact-copy ids
+    # (115..117, also minhash b-sides) — never the low-id keepers
+    assert summ["n_output"] == summ["n_input"] - 18
+    out = pq.read_table(str(tmp_path / "out")).to_pandas()
+    assert len(out) == summ["n_output"]
