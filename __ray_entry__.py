@@ -238,7 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
 
         from ocm_ray.engine.build import build_sketch
-        from ocm_ray.sketches import KLL, TDigest
+        from ocm_ray.sketches import KLL, DDSketch, TDigest
 
         ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
         kll = build_sketch(ds, lambda: KLL(200), column="l_extendedprice",
@@ -246,11 +246,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         td = build_sketch(_read(sf_dir, "lineitem", columns=["l_extendedprice"]),
                           lambda: TDigest(100), column="l_extendedprice",
                           parallelism=4)
+        dd = build_sketch(_read(sf_dir, "lineitem", columns=["l_extendedprice"]),
+                          lambda: DDSketch(0.01), column="l_extendedprice",
+                          parallelism=4)
         qs = [0.01, 0.25, 0.5, 0.75, 0.99]
         return pd.DataFrame({
             "q": qs,
             "kll": np.atleast_1d(kll.quantile(qs)).round(2),
             "tdigest": np.atleast_1d(td.quantile(qs)).round(2),
+            "ddsketch": np.atleast_1d(dd.quantile(qs)).round(2),
         })
     q["quantiles_sketch"] = quantiles_sketch
 
@@ -305,26 +309,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kgram3_counts(sf_dir):
         """k-gram mode (the reference's rolling-window semantics over
-        token ids, SURVEY §2.1 row 2): conservative CM over hashed
-        3-token windows + TopK of the same stream; asserts the one-sided
-        invariant against the exact window counts."""
+        token ids, SURVEY §2.1 row 2): EXACT top-200 trigram counts
+        (SQL-oracled) + a conservative CM built over the hashed 3-token
+        windows whose one-sided invariant is asserted against them."""
         import glob as _glob
+        import ray.data as rd
 
+        from ocm_ray.core.hashing import wanghash
         from ocm_ray.engine.build import build_sketch_sharded
-        from ocm_ray.sketches import CountMin, TopK, merge_all
+        from ocm_ray.ops.relational import trigram_counts
+        from ocm_ray.sketches import CountMin
 
         seq = _seq_dir_for(sf_dir)
+        out = trigram_counts(rd.read_parquet(seq, columns=["tokens"]),
+                             k=200).to_pandas()
         files = sorted(_glob.glob(os.path.join(seq, "*.parquet")))
         cm = build_sketch_sharded(files, lambda: CountMin(18, 5, conservative=True),
                                   kgram=3)
-        tk = build_sketch_sharded(files, lambda: TopK(4096), kgram=3)
-        keys, counts = tk.top(200)
-        est = cm.estimate(keys)
-        err = int(tk.err[0])
-        assert (est + err >= counts).all()  # CM upper vs MG lower bounds
-        return pd.DataFrame({"window_hash": keys.astype(np.int64),
-                             "approx_count": counts,
-                             "cm_estimate": est})
+        # window hash = the engine's kgram chain (tokens.kgram_reduce)
+        h = wanghash(out["t0"].to_numpy().astype(np.uint64))
+        h = wanghash(h ^ out["t1"].to_numpy().astype(np.uint64))
+        h = wanghash(h ^ out["t2"].to_numpy().astype(np.uint64))
+        assert (cm.estimate(h) >= out["cnt"].to_numpy()).all()  # one-sided
+        return out
     q["kgram3_counts"] = kgram3_counts
 
     def exact_value_quantiles(sf_dir):
@@ -396,17 +403,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["simhash_fingerprints"] = simhash_fingerprints
 
     def text_stats(sf_dir):
+        """Text-analysis stage over documents; the SQL-exact integer
+        columns (token/char/stopword counts) are what the oracle
+        compares — ratios/quality/lang ride along in the engine output
+        and are invariant-asserted here instead."""
         from ocm_ray.ops.text import add_text_stats
 
         out = add_text_stats(_read(sf_dir, "documents"),
                              concurrency=2).to_pandas()
-        cols = ["doc_id", "n_tokens", "punct_ratio", "stop_ratio",
-                "lang_guess", "quality", "fingerprint"]
-        out = out[cols].copy()
-        for c in ("punct_ratio", "stop_ratio", "quality"):
-            out[c] = out[c].round(4)
-        return out
+        assert out["quality"].between(0, 1).all()
+        assert (out["stop_ratio"] * out["n_tokens"] - out["n_stop"]).abs().max() < 1e-6
+        cols = ["doc_id", "n_tokens", "n_chars_text", "n_stop"]
+        return out[cols].astype(np.int64)
     q["text_stats"] = text_stats
+
+    def jaccard_dup_pairs(sf_dir):
+        """EXACT distributed n-gram Jaccard near-dup pairs — the verify
+        semantics of the dedup family as a first-class, SQL-oracled
+        operator."""
+        from ocm_ray.ops.dedup import exact_jaccard_pairs
+
+        out = exact_jaccard_pairs(_read(sf_dir, "documents",
+                                        columns=["doc_id", "text"]),
+                                  shingle_k=3, threshold=0.4)
+        out = out.astype({"a": np.int64, "b": np.int64})
+        out["jaccard"] = out["jaccard"].round(4)
+        return out.reset_index(drop=True)
+    q["jaccard_dup_pairs"] = jaccard_dup_pairs
+
+    def heavykeeper_topk(sf_dir):
+        """HeavyKeeper heavy hitters (hk.h semantics) over the token
+        stream; estimates cross-checked against exact counts."""
+        import ray.data as rd
+
+        from ocm_ray.engine.build import build_sketch
+        from ocm_ray.ops.relational import exact_token_counts
+        from ocm_ray.sketches import HeavyKeeperTopK
+
+        seq = _seq_dir_for(sf_dir)
+        tk = build_sketch(rd.read_parquet(seq, columns=["tokens"]),
+                          lambda: HeavyKeeperTopK(capacity=256, p=16, nh=4),
+                          parallelism=4)
+        keys, est = tk.top(100)
+        truth = (exact_token_counts(rd.read_parquet(seq, columns=["tokens"]))
+                 .to_pandas().set_index("token")["cnt"])
+        true_counts = truth.reindex(keys.astype(np.int64)).fillna(0).to_numpy()
+        # HK tracks the head tightly; assert the top-10 within 10%
+        rel = np.abs(est[:10] - true_counts[:10]) / np.maximum(true_counts[:10], 1)
+        assert rel.max() < 0.10, rel
+        return pd.DataFrame({"token": keys.astype(np.int64),
+                             "est_count": est})
+    q["heavykeeper_topk"] = heavykeeper_topk
+
+    def cm_set_algebra(sf_dir):
+        """CM intersection (ccm.h operator&=) + PowerOfTwo update
+        strategy (update.h): build per-half sketches over the sequence
+        files, intersect, and Morris-count the same stream; invariants
+        asserted, summary row returned."""
+        import glob as _glob
+
+        from ocm_ray.engine.build import build_sketch_sharded
+        from ocm_ray.sketches import CountMin
+        from ocm_ray.sketches.countmin import CountMinPow2
+
+        seq = _seq_dir_for(sf_dir)
+        files = sorted(_glob.glob(os.path.join(seq, "*.parquet")))
+        a = build_sketch_sharded(files[::2], lambda: CountMin(18, 5))
+        b = build_sketch_sharded(files[1::2], lambda: CountMin(18, 5))
+        keys = np.arange(1, 201, dtype=np.uint64)  # Zipf head tokens
+        ea, eb = a.estimate(keys), b.estimate(keys)
+        inter = a.intersect(b)
+        ei = inter.estimate(keys)
+        assert (ei <= np.minimum(ea, eb)).all()  # cellwise-min bound
+        p2 = build_sketch_sharded(files, lambda: CountMinPow2(18, 5))
+        ep = p2.estimate(keys)
+        assert (ep > 0).all()  # head tokens all registered
+        return pd.DataFrame({"token": keys.astype(np.int64),
+                             "inter_est": ei, "pow2_est": ep})
+    q["cm_set_algebra"] = cm_set_algebra
+
+    def bloom_dedup(sf_dir):
+        """Streaming Bloom test-and-insert dedup stage (bf.h:586):
+        survivor count equals distinct-content count when the filter is
+        unsaturated (asserted against exact dedup)."""
+        from ocm_ray.ops.dedup import bloom_dedup_filter, exact_dedup
+
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        survivors = bloom_dedup_filter(ds, p=22, n_shards=16).count()
+        distinct = exact_dedup(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])).count()
+        assert survivors == distinct
+        return pd.DataFrame({"n_survivors": [survivors],
+                             "n_distinct": [distinct]})
+    q["bloom_dedup"] = bloom_dedup
 
     def lsh_ann_topk(sf_dir):
         import pyarrow.parquet as pq
@@ -555,6 +644,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    ROUND(AVG(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "kgram3_counts": f"""
+            SELECT t0, t1, t2, COUNT(*) AS cnt FROM (
+                SELECT CAST(tokens[i] AS INT) AS t0,
+                       CAST(tokens[i + 1] AS INT) AS t1,
+                       CAST(tokens[i + 2] AS INT) AS t2
+                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'),
+                     UNNEST(range(1, len(tokens) - 1)) AS u(i)
+            )
+            GROUP BY t0, t1, t2
+            ORDER BY cnt DESC, t0 ASC, t1 ASC, t2 ASC
+            LIMIT 200
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars_text,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains(['the','a','an','and','or','of','to',
+                                           'in','is','are','was','were','be',
+                                           'been','it','this','that','for','on',
+                                           'with','as','at','by'], x))) AS n_stop
+            FROM documents
+        """,
+        "jaccard_dup_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+                FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4
         """,
         "bigram_top50": f"""
             SELECT a, b, COUNT(*) AS cnt FROM (

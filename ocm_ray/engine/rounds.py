@@ -49,6 +49,12 @@ def _apply_pass(sk: OfflineCountMin, items, mode: str, round_no: int,
                             frozen_collision=frozen_coll)
     elif mode == "count":
         sk.update_count(items, frozen_collision=frozen_coll)
+    elif mode == "paper_sweep":
+        # the reference's CODED r>0 "collision pass" (main.cpp:69-75): the
+        # function pointer still targets update_count_collision and
+        # total_round arrives as 0, so collision writes are suppressed
+        # (ocm.h:338) and the core writes are wiped by clear_core()
+        sk.update_count_collision(items, round_no, 0)
     else:  # fused occm
         sk.update_count_collision(items, round_no, total_round)
 
@@ -108,6 +114,8 @@ def _round_pass_counts(shard_counts, np_bits: int, nh: int, seedseed: int,
                                 frozen_collision=frozen_coll)
         elif mode == "count":
             sk.update_count(uniq, counts=cnt, frozen_collision=frozen_coll)
+        elif mode == "paper_sweep":
+            sk.update_count_collision(uniq, round_no, 0, counts=cnt)
         else:
             sk.update_count_collision(uniq, round_no, total_round, counts=cnt)
     return sk
@@ -122,7 +130,8 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
               resume_from: Optional[tuple] = None,
               materialize: bool = False,
               files: Optional[list] = None,
-              partial_counter_dtype: str = "int64") -> OfflineCountMin:
+              partial_counter_dtype: str = "int64",
+              paper_collision_pass: bool = False) -> OfflineCountMin:
     """n-round offline count-min over a re-scannable Dataset.
 
     ``dataset_factory`` returns a FRESH lazy Dataset per pass (each pass
@@ -193,6 +202,15 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
         if not conservative and r > 0:
             merged = run_pass("collision", r, glob.core.copy(), glob.collision.copy())
             glob.collision = merged.collision
+        if conservative and paper_collision_pass and r > 0:
+            # The reference's CODED conservative schedule runs an extra
+            # pre-pass per round (2n−1 total passes, main.cpp:68-86) that
+            # is algorithmically a no-op (SURVEY §2.1 row 20): its
+            # collision writes are suppressed by total_round=0 and its
+            # core writes die in clear_core(). Exposed for conformance
+            # demonstration; default off saves a corpus pass per round.
+            merged = run_pass("paper_sweep", r, None, glob.collision.copy())
+            glob.collision = merged.collision  # provably unchanged
         glob.clear_core()
         mode = "fused" if conservative else "count"
         merged = run_pass(mode, r, None, glob.collision.copy())

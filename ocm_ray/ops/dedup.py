@@ -496,6 +496,45 @@ def exact_dedup_groups(ds: Dataset, id_col: str = "doc_id",
                        Count(alias_name="n_copies")))
 
 
+def bloom_dedup_filter(ds: Dataset, id_col: str = "doc_id",
+                       text_col: str = "text", p: int = 24, nh: int = 5,
+                       n_shards: int = 32, seedseed: int = 137) -> Dataset:
+    """Memory-bounded streaming dedup via Bloom test-and-insert
+    (``bf.h:586`` ``may_contain_and_addh``): keep the first-seen copy of
+    each content, drop later ones — using ``2^p`` BITS per shard instead
+    of a content-hash set.
+
+    Partitioning contract (documented assumption): content hashes are
+    sharded by hash prefix and each shard's rows pass through ONE task
+    holding its own filter, so every copy of a given content meets the
+    same filter; cross-shard duplicates are impossible by construction.
+    Approximate: a false positive (probability from ``BloomFilter.fpr``)
+    drops a non-duplicate row. Which copy survives follows shard-local
+    encounter order (one copy always survives)."""
+    from ocm_ray.sketches import BloomFilter
+
+    bits = int(n_shards).bit_length() - 1
+    assert n_shards == 1 << bits, "n_shards must be a power of 2"
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        from ocm_ray.engine.tokens import hash_string_array
+
+        h = hash_string_array(batch.column(text_col))
+        shard = (h >> U64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(h), np.int32)
+        return (batch.append_column("content_hash", pa.array(h.view(np.int64)))
+                .append_column("shard", pa.array(shard)))
+
+    def dedup_shard(group: pa.Table) -> pa.Table:
+        bf = BloomFilter(p, nh, seedseed)
+        h = group.column("content_hash").to_numpy(zero_copy_only=False).view(U64)
+        seen = bf.test_and_add(h)
+        return group.filter(pa.array(~seen)).drop_columns(["content_hash", "shard"])
+
+    return (ds.map_batches(add_keys, batch_format="pyarrow")
+            .groupby("shard").map_groups(dedup_shard, batch_format="pyarrow"))
+
+
 def exact_dedup(ds: Dataset, id_col: str = "doc_id",
                 text_col: str = "text") -> Dataset:
     """Exact dedup by content: one representative (min id) per distinct

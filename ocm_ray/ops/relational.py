@@ -123,6 +123,53 @@ def bigram_counts(ds: Dataset, column: str = "tokens", k: int = 50) -> Dataset:
             .sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k))
 
 
+def trigram_counts(ds: Dataset, column: str = "tokens", k: int = 200) -> Dataset:
+    """Exact top-k counts of within-document token TRIGRAMS (the k-gram
+    window semantics of ``include/ocm.h:85-105`` at k=3, kept exact and
+    SQL-comparable: raw token triples, not window hashes).
+
+    Same shape as :func:`bigram_counts`: per-block windows packed into
+    one uint64 key (3 × 21 bits — token ids must be < 2^21; the 50,257
+    vocab fits), local ``np.unique`` partials, tree grouped-sum, unpack +
+    deterministic sort."""
+    from ocm_ray.ops.agg import grouped_sum
+
+    B = np.uint64(21)
+    MASK = np.uint64((1 << 21) - 1)
+
+    def local(batch: pa.Table) -> pa.Table:
+        from ocm_ray.engine.tokens import list_column_values
+
+        flat, lengths = list_column_values(batch, column)
+        flat = flat.astype(np.uint64, copy=False)
+        if len(flat) < 3:
+            return pa.table({"tri": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        assert (flat < (1 << 21)).all(), "token id exceeds 21-bit pack"
+        rowid = np.repeat(np.arange(len(lengths)), lengths)
+        valid = (rowid[:-2] == rowid[1:-1]) & (rowid[1:-1] == rowid[2:])
+        tri = ((flat[:-2] << (B + B)) | (flat[1:-1] << B) | flat[2:])[valid]
+        uniq, cnt = np.unique(tri, return_counts=True)
+        return pa.table({"tri": pa.array(uniq.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    summed = grouped_sum(ds.map_batches(local, batch_format="pyarrow"),
+                         ["tri"], ["cnt"])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        tri = t.column("tri").to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({
+            "t0": pa.array(((tri >> (B + B)) & MASK).astype(np.int32)),
+            "t1": pa.array(((tri >> B) & MASK).astype(np.int32)),
+            "t2": pa.array((tri & MASK).astype(np.int32)),
+            "cnt": t.column("cnt"),
+        })
+
+    return (summed.map_batches(unpack, batch_format="pyarrow")
+            .sort(["cnt", "t0", "t1", "t2"],
+                  descending=[True, False, False, False]).limit(k))
+
+
 def broadcast_join(large: Dataset, small_df: pd.DataFrame, key: str,
                    select: Optional[List[str]] = None) -> Dataset:
     """Hash join where the build side fits in memory: ``ray.put`` the

@@ -87,6 +87,10 @@ class TextStats:
         out = batch
         for name, arr in [
             ("n_tokens", pa.array(n_tokens, type=pa.int32())),
+            # integer counterparts of the ratio columns — exactly
+            # SQL-expressible (the driver oracle compares these)
+            ("n_chars_text", pa.array(n_chars.astype(np.int64))),
+            ("n_stop", pa.array(stop_hits.astype(np.int64))),
             ("punct_ratio", pa.array(n_punct / np.maximum(n_chars, 1))),
             ("stop_ratio", pa.array(stop_hits / safe_tok)),
             ("upper_ratio", pa.array(n_upper / np.maximum(n_chars, 1))),

@@ -15,6 +15,8 @@ from ocm_ray.sketches.base import (
 from ocm_ray.sketches.bloom import BloomFilter, CountingBloomFilter
 from ocm_ray.sketches.countmin import CountMin, OfflineCountMin
 from ocm_ray.sketches.countsketch import CountSketch, TopK
+from ocm_ray.sketches.ddsketch import DDSketch
+from ocm_ray.sketches.heavykeeper import HeavyKeeper, HeavyKeeperTopK
 from ocm_ray.sketches.hll import HyperLogLog
 from ocm_ray.sketches.kll import KLL
 from ocm_ray.sketches.minhash import BottomKMinHash
@@ -25,5 +27,5 @@ __all__ = [
     "CountCombiner", "sketch_class",
     "CountMin", "OfflineCountMin", "CountSketch", "TopK",
     "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
-    "BottomKMinHash",
+    "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
 ]

@@ -63,6 +63,27 @@ class BloomFilter(MergeableSketch):
         b = np.left_shift(U64(1), (pos & 63).astype(U64))
         return ((w & b) != 0).all(axis=1)
 
+    def test_and_add(self, items: np.ndarray) -> np.ndarray:
+        """Test-and-insert in one pass (``bf.h:586``
+        ``may_contain_and_addh``): returns the pre-insert membership mask
+        while inserting every item — the natural streaming-dedup
+        primitive (True = seen before / probable duplicate). Batched
+        semantics: repeats WITHIN the batch are resolved sequentially
+        (the first occurrence reports False, later ones True), matching
+        the per-item reference loop."""
+        items = np.asarray(items)
+        if items.size == 0:
+            return np.zeros(0, dtype=bool)
+        uniq, inverse = np.unique(items, return_inverse=True)
+        # first occurrence index of each unique item (min over positions)
+        first_pos = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_pos, inverse, np.arange(len(items)))
+        seen_before = self.contains(uniq)
+        self.update(uniq)
+        out = np.ones(len(items), dtype=bool)  # non-first repeats → True
+        out[first_pos] = seen_before
+        return out
+
     # ---- estimators --------------------------------------------------------
     def popcount(self) -> int:
         return int(np.unpackbits(self.words.view(np.uint8)).sum())

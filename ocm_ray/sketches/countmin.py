@@ -162,6 +162,19 @@ class CountMin(_CMGeometry):
         pos = self._positions(items)
         return self.core[pos].min(axis=1).astype(np.int64)
 
+    # ---- set algebra -------------------------------------------------------
+    def intersect(self, other: "CountMin") -> "CountMin":
+        """Cell-wise minimum (``include/ccm.h:393-400`` ``operator&=``):
+        the CM of the multiset intersection's upper bound — items present
+        in both streams keep ≥ min of their counts; items in only one
+        stream drop toward 0 wherever the other sketch left a cell
+        empty."""
+        assert (self.np_bits, self.nh, self.seedseed) == \
+               (other.np_bits, other.nh, other.seedseed), "geometry mismatch"
+        np.minimum(self.core, other.core, out=self.core)
+        self.n_items[0] = min(int(self.n_items[0]), int(other.n_items[0]))
+        return self
+
     # ---- merge / io --------------------------------------------------------
     def merge(self, other: "CountMin") -> "CountMin":
         assert (self.np_bits, self.nh, self.seedseed) == \
@@ -194,6 +207,107 @@ class CountMin(_CMGeometry):
             obj = cls(np_bits, nh, seed, conservative=conservative)
             obj.core = np.frombuffer(f.read(obj.size * 8), dtype="<u8").astype(obj.core.dtype)
         return obj
+
+
+@register_sketch
+class CountMinPow2(_CMGeometry):
+    """Count-min with the ``PowerOfTwo`` update strategy
+    (``include/update.h:35-84``) — Morris-style probabilistic counters:
+    each cell stores an exponent ``v``; an occurrence increments ``v``
+    with probability ``2^-v`` (first occurrence sets ``v=1``);
+    ``est_count(v) = 2^(v-1)`` (``update.h:81-83``); **combine =
+    max(a,b) + (a==b)** (``update.h:73-78``) — with the engine deviation
+    that two EMPTY cells combine to 0, not 1 (the reference formula
+    yields 1 for v=a=b=0, which would corrupt empty-sketch merges).
+    Point query = min over rows of the per-cell estimates. ~64x less
+    counter memory (uint8 exponents) at a bounded relative-error cost —
+    the update-strategy extension surface of SURVEY §2.4.
+
+    Batched semantics: occurrences land pre-aggregated per cell; the
+    sequential per-occurrence trial chain is simulated exactly via
+    geometric skipping (between increments the success probability is
+    constant), with a deterministic counter-mode WangHash RNG.
+    """
+
+    kind = "countmin_pow2"
+
+    def __init__(self, np_bits: int = 20, nh: int = 7, seedseed: int = 137):
+        super().__init__(np_bits, nh, seedseed, counter_dtype="uint8")
+
+    def _uniform(self, k: int) -> np.ndarray:
+        self._rng_ctr = getattr(self, "_rng_ctr", np.zeros(1, dtype=np.int64))
+        self._rng_ctr[0] += 1
+        from ocm_ray.core.hashing import wanghash as _wh
+
+        base = _wh(self._rng_ctr.astype(U64) ^ U64(self.seedseed))[0]
+        h = _wh(np.arange(k, dtype=U64) ^ base)
+        return (h.astype(np.float64) + 1.0) / np.float64(2.0**64)
+
+    def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
+        items = np.asarray(items).astype(U64, copy=False)
+        if items.size == 0:
+            return
+        uniq, cnt = dedupe_counts(items, counts)
+        self.n_items[0] += int(cnt.sum())
+        pos = self._positions(uniq)
+        # occurrences are indistinguishable to a Morris counter — pool the
+        # batch's occurrence total per distinct cell, then simulate each
+        # cell's sequential trial chain once
+        flat_pos = pos.ravel()
+        w = np.repeat(cnt, self.nh)
+        cells, inv = np.unique(flat_pos, return_inverse=True)
+        n_per_cell = np.bincount(inv, weights=w).astype(np.int64)
+        v = self.core[cells].astype(np.int64)
+        rem = n_per_cell.copy()
+        first = v == 0
+        v[first] += 1
+        rem[first] -= 1
+        while True:
+            active = rem > 0
+            if not active.any():
+                break
+            idx = np.flatnonzero(active)
+            pinc = np.exp2(-v[idx].astype(np.float64))
+            u = self._uniform(len(idx))
+            with np.errstate(divide="ignore", over="ignore"):
+                G = np.where(pinc >= 1.0, 1.0,
+                             np.ceil(np.log(u) / np.log1p(-pinc)))
+            G = np.maximum(G, 1.0)
+            succ = G <= rem[idx]
+            g_int = np.where(succ, G, 0).astype(np.int64)
+            rem[idx] = np.where(succ, rem[idx] - g_int, 0)
+            v[idx] += succ.astype(np.int64)
+        self.core[cells] = np.minimum(v, 255).astype(self.core.dtype)
+
+    @staticmethod
+    def est_count(v: np.ndarray) -> np.ndarray:
+        return np.where(v > 0, np.exp2(np.maximum(
+            v.astype(np.float64) - 1, 0)), 0.0)
+
+    def estimate(self, items: np.ndarray) -> np.ndarray:
+        items = np.asarray(items).astype(U64, copy=False)
+        if items.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        pos = self._positions(items)
+        est = self.est_count(self.core[pos]).min(axis=1)
+        return np.minimum(est, np.float64(2.0**62)).astype(np.int64)
+
+    def merge(self, other: "CountMinPow2") -> "CountMinPow2":
+        assert (self.np_bits, self.nh, self.seedseed) == \
+               (other.np_bits, other.nh, other.seedseed), "geometry mismatch"
+        a = self.core.astype(np.int64)
+        b = other.core.astype(np.int64)
+        combined = np.maximum(a, b) + (a == b)
+        combined[(a == 0) & (b == 0)] = 0
+        self.core = np.minimum(combined, 255).astype(self.core.dtype)
+        self.n_items += other.n_items
+        return self
+
+    def _params(self) -> Dict:
+        return dict(np_bits=self.np_bits, nh=self.nh, seedseed=self.seedseed)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        return {"core": self.core, "n_items": self.n_items}
 
 
 @register_sketch

@@ -7,11 +7,21 @@ Behavioral contract from the reference's vendored ``hll.h`` (SURVEY §2.3):
 hashes through WangHash first (``hll.h:842-845``); **merge = element-wise
 max** (``hll.h:957-985``); relative error ``1.03896/√m`` (``hll.h:737-739``).
 
-Estimator: the classic Flajolet-Fuss-Gandouet-Meunier HLL estimator with
-linear-counting small-range correction (public algorithm), which is the
-vendored library's ORIGINAL mode (``hll.h:60-64``). Implemented fully
-vectorized (numpy); exact integer bit-length is computed via 32-bit
-log2 halves (float64 log2 is exact for ints < 2^53).
+Estimators (``hll.h:60-64`` enumerates ORIGINAL / ERTL_IMPROVED /
+ERTL_MLE; the vendored default is the Ertl family, ``hll.h:203``):
+
+* ``"ertl_improved"`` (default) — Ertl's improved raw estimator (public
+  algorithm: Ertl, "New cardinality estimation algorithms for
+  HyperLogLog sketches", 2017, §5): bias-free across the whole range via
+  the ``sigma``/``tau`` corrections on the register histogram — no
+  hard-switched linear-counting / large-range patches.
+* ``"original"`` — the classic Flajolet-Fuss-Gandouet-Meunier estimator
+  with linear-counting small-range correction, kept behind a flag for
+  comparison (carries the classic mid-range bias every modern HLL
+  removed).
+
+``update`` is fully vectorized (numpy); exact integer bit-length is
+computed via 32-bit log2 halves (float64 log2 is exact for ints < 2^53).
 """
 
 from __future__ import annotations
@@ -39,14 +49,45 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _ertl_sigma(x: float) -> float:
+    """Ertl 2017 Alg. 5: sigma(x) = x + sum_{k≥1} x^(2^k) · 2^(k-1)."""
+    if x == 1.0:
+        return float("inf")
+    y, z = 1.0, x
+    while True:
+        x = x * x
+        z_prev = z
+        z += x * y
+        y += y
+        if z == z_prev:
+            return z
+
+
+def _ertl_tau(x: float) -> float:
+    """Ertl 2017 Alg. 6: tau(x) = (1/3)·(1 − x − sum corrections)."""
+    if x == 0.0 or x == 1.0:
+        return 0.0
+    y, z = 1.0, 1.0 - x
+    while True:
+        x = np.sqrt(x)
+        z_prev = z
+        y *= 0.5
+        z -= (1.0 - x) ** 2 * y
+        if z == z_prev:
+            return z / 3.0
+
+
 @register_sketch
 class HyperLogLog(MergeableSketch):
     kind = "hll"
 
-    def __init__(self, p: int = 14, seedseed: int = 137, prehashed: bool = False):
+    def __init__(self, p: int = 14, seedseed: int = 137, prehashed: bool = False,
+                 estimator: str = "ertl_improved"):
+        assert estimator in ("ertl_improved", "original")
         self.p = int(p)
         self.seedseed = int(seedseed)
         self.prehashed = bool(prehashed)
+        self.estimator = estimator
         self.m = 1 << self.p
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
@@ -69,6 +110,27 @@ class HyperLogLog(MergeableSketch):
 
     # ---- estimate ----------------------------------------------------------
     def estimate(self) -> float:
+        if self.estimator == "ertl_improved":
+            return self._estimate_ertl()
+        return self._estimate_original()
+
+    def _estimate_ertl(self) -> float:
+        """Ertl 2017 §5 improved raw estimator over the register
+        histogram C[0..q+1] (q = 64 − p): unbiased across the whole
+        range, no switched corrections."""
+        q = 64 - self.p
+        m = float(self.m)
+        C = np.bincount(self.registers, minlength=q + 2).astype(np.float64)
+        z = m * _ertl_tau(1.0 - C[q + 1] / m)
+        for k in range(q, 0, -1):
+            z = 0.5 * (z + C[k])
+        z += m * _ertl_sigma(C[0] / m)
+        if z == 0 or not np.isfinite(z):
+            return 0.0
+        alpha_inf = 1.0 / (2.0 * np.log(2.0))
+        return float(alpha_inf * m * m / z)
+
+    def _estimate_original(self) -> float:
         regs = self.registers.astype(np.float64)
         m = float(self.m)
         if self.p >= 7:
@@ -118,7 +180,8 @@ class HyperLogLog(MergeableSketch):
         return out
 
     def _params(self) -> Dict:
-        return dict(p=self.p, seedseed=self.seedseed, prehashed=self.prehashed)
+        return dict(p=self.p, seedseed=self.seedseed, prehashed=self.prehashed,
+                    estimator=self.estimator)
 
     def _arrays(self) -> Dict[str, np.ndarray]:
         return {"registers": self.registers}

@@ -447,3 +447,22 @@ def test_validate_sequences_invariant(seq_dir, tmp_path):
     pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
     with pytest.raises(AssertionError):
         validate_sequences(bad_dir)
+
+
+def test_occm_paper_collision_pass_is_noop(seq_dir):
+    """SURVEY §7.4 / §2.1 row 20: the reference's CODED conservative
+    schedule runs a separate collision sweep before every fused pass
+    (2n−1 passes, main.cpp:68-86), but those marks are already written by
+    the previous round's fused pass — byte-identical final sketches."""
+    import ray.data as rd
+
+    from ocm_ray.engine.rounds import build_ocm
+
+    factory = lambda: rd.read_parquet(seq_dir, columns=["tokens"])  # noqa: E731
+    eff = build_ocm(factory, np_bits=13, nh=3, rounds=3, conservative=True,
+                    parallelism=2)
+    paper = build_ocm(factory, np_bits=13, nh=3, rounds=3, conservative=True,
+                      parallelism=2, paper_collision_pass=True)
+    assert np.array_equal(eff.core, paper.core)
+    assert np.array_equal(eff.collision, paper.collision)
+    assert eff.n_items == paper.n_items

@@ -338,3 +338,16 @@ def test_curate_drop_semantics(tmp_path):
     assert summ["n_output"] == summ["n_input"] - 18
     out = pq.read_table(str(tmp_path / "out")).to_pandas()
     assert len(out) == summ["n_output"]
+
+
+def test_bloom_dedup_filter_keeps_one_copy():
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import bloom_dedup_filter
+
+    df = _dedup_corpus(n_base=150, seed=9)
+    ds = rd.from_pandas(df).repartition(8)
+    out = bloom_dedup_filter(ds, n_shards=16).to_pandas()
+    # one survivor per distinct text (no false positives at this load)
+    assert len(out) == df["text"].nunique()
+    assert set(out["text"]) == set(df["text"])

@@ -247,3 +247,130 @@ def test_counting_bloom_insert_delete_merge(rng):
     # roundtrip
     s2 = MergeableSketch.from_bytes(f1.to_bytes())
     assert np.array_equal(f1.counts, s2.counts)
+
+
+def test_hll_ertl_beats_original_midrange():
+    """Ertl's improved raw estimator (the default) removes the classic
+    mid-range bias of the ORIGINAL FFGM estimator (hll.h:60-64 estimator
+    enum; VERDICT r1 #3). Deterministic inputs → deterministic check."""
+    from ocm_ray.sketches.hll import HyperLogLog
+
+    sigma = 1.03896 / np.sqrt(2.0**14)
+    for n in [1_000, 10_000, 40_000, 60_000, 100_000, 1_000_000]:
+        he = HyperLogLog(14)
+        ho = HyperLogLog(14, estimator="original")
+        vals = np.arange(n, dtype=np.uint64)
+        he.update(vals)
+        ho.update(vals)
+        rel_e = abs(he.estimate() - n) / n
+        assert rel_e < 3 * sigma, f"ertl off at n={n}: {rel_e}"
+        if n == 40_000:  # the classic bias hump at ~2.5·m
+            rel_o = abs(ho.estimate() - n) / n
+            assert rel_e < rel_o / 2, (rel_e, rel_o)
+
+
+def test_hll_estimator_roundtrip_and_merge_unaffected():
+    from ocm_ray.sketches.base import MergeableSketch
+    from ocm_ray.sketches.hll import HyperLogLog
+
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.update(np.arange(0, 30000, dtype=np.uint64))
+    b.update(np.arange(20000, 50000, dtype=np.uint64))
+    a.merge(b)
+    assert abs(a.estimate() - 50000) / 50000 < 0.05
+    back = MergeableSketch.from_bytes(a.to_bytes())
+    assert back.estimator == "ertl_improved"
+    assert back.estimate() == a.estimate()
+
+
+def test_heavykeeper_finds_heavy_hitters():
+    """HK top estimates track exact counts on Zipf (hk.h contract: decay
+    evicts light items, heavy items keep their cells); distributed
+    (merge) build agrees with the guarantee too."""
+    from ocm_ray.data.sequences import sample_tokens
+    from ocm_ray.sketches import HeavyKeeper, merge_all
+
+    rng = np.random.default_rng(11)
+    stream = sample_tokens(rng, 300_000, vocab=20_000, s=1.2).astype(np.uint64)
+    true = np.bincount(stream.astype(np.int64))
+    top_true = np.argsort(-true)[:20].astype(np.uint64)
+
+    hk = HeavyKeeper(p=14, nh=4)
+    hk.update(stream)
+    rel = np.abs(hk.estimate(top_true) - true[top_true.astype(np.int64)]) \
+        / true[top_true.astype(np.int64)]
+    assert rel.max() < 0.05
+
+    parts = []
+    for chunk in np.array_split(stream, 8):
+        h = HeavyKeeper(p=14, nh=4)
+        h.update(chunk)
+        parts.append(h)
+    merged = merge_all(parts)
+    rel_m = np.abs(merged.estimate(top_true) - true[top_true.astype(np.int64)]) \
+        / true[top_true.astype(np.int64)]
+    assert rel_m.max() < 0.10
+
+
+def test_heavykeeper_topk_tracks_keys():
+    from ocm_ray.data.sequences import sample_tokens
+    from ocm_ray.sketches import HeavyKeeperTopK, MergeableSketch, merge_all
+
+    rng = np.random.default_rng(5)
+    stream = sample_tokens(rng, 200_000, vocab=20_000, s=1.2).astype(np.uint64)
+    true = np.bincount(stream.astype(np.int64))
+    top_true = set(np.argsort(-true)[:10].tolist())
+
+    parts = []
+    for chunk in np.array_split(stream, 4):
+        t = HeavyKeeperTopK(capacity=64, p=14, nh=4)
+        t.update(chunk)
+        parts.append(t)
+    tk = merge_all(parts)
+    keys, ests = tk.top(10)
+    assert len(set(keys.tolist()) & top_true) >= 9  # ≥9/10 of true top-10
+    # serialization roundtrip preserves the candidate table
+    back = MergeableSketch.from_bytes(tk.to_bytes())
+    k2, e2 = back.top(10)
+    assert (k2 == keys).all() and (e2 == ests).all()
+
+
+def test_ddsketch_relative_error_and_merge():
+    """DDSketch guarantee: every quantile within alpha relative error;
+    merge = aligned bucket addition (exactly mergeable)."""
+    from ocm_ray.sketches import DDSketch, MergeableSketch, merge_all
+
+    rng = np.random.default_rng(3)
+    x = np.concatenate([rng.lognormal(3, 1.5, 40_000),
+                        -rng.lognormal(1, 1, 10_000),
+                        np.zeros(500)])
+    dd = DDSketch(alpha=0.01)
+    dd.update(x)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = dd.quantile(qs)
+    truth = np.quantile(x, qs, method="lower")
+    rel = np.abs(est - truth) / np.maximum(np.abs(truth), 1e-9)
+    assert rel.max() < 0.021, rel  # alpha=1% midpoint + order-stat slack
+
+    parts = []
+    for chunk in np.array_split(x, 8):
+        d = DDSketch(alpha=0.01)
+        d.update(chunk)
+        parts.append(d)
+    merged = merge_all(parts)
+    assert np.allclose(merged.quantile(qs), est)
+    back = MergeableSketch.from_bytes(merged.to_bytes())
+    assert np.allclose(back.quantile(qs), est)
+
+
+def test_bloom_test_and_add():
+    """may_contain_and_addh (bf.h:586): pre-insert membership returned,
+    items inserted; in-batch repeats resolve sequentially."""
+    from ocm_ray.sketches import BloomFilter
+
+    bf = BloomFilter(16, 5)
+    first = bf.test_and_add(np.array([1, 2, 3, 2, 1], dtype=np.uint64))
+    assert first.tolist() == [False, False, False, True, True]
+    again = bf.test_and_add(np.array([3, 4], dtype=np.uint64))
+    assert again.tolist() == [True, False]
+    assert bf.contains(np.array([1, 2, 3, 4], dtype=np.uint64)).all()

@@ -113,3 +113,62 @@ def test_epsilon_bound_vanilla():
 def _upd(s, items):
     s.update(items)
     return s
+
+
+def test_cm_intersection_vs_exact_sets():
+    """operator&= semantics (ccm.h:393-400): common items keep ≥ min of
+    their per-stream counts; exclusive items mostly vanish."""
+    from ocm_ray.sketches import CountMin
+
+    rng = np.random.default_rng(2)
+    a_items = np.arange(0, 3000, dtype=np.uint64)          # [0, 3000)
+    b_items = np.arange(2000, 5000, dtype=np.uint64)       # [2000, 5000)
+    ca = rng.integers(1, 50, len(a_items))
+    cb = rng.integers(1, 50, len(b_items))
+    sa, sb = CountMin(16, 5), CountMin(16, 5)
+    sa.update(a_items, ca)
+    sb.update(b_items, cb)
+    inter = sa.intersect(sb)  # in-place on sa
+    common = np.arange(2000, 3000, dtype=np.uint64)
+    true_min = np.minimum(ca[2000:], cb[:1000])
+    assert (inter.estimate(common) >= true_min).all()
+    only_a = np.arange(0, 2000, dtype=np.uint64)
+    assert (inter.estimate(only_a) == 0).mean() > 0.9
+
+
+def test_countmin_pow2_morris_semantics():
+    """PowerOfTwo updater (update.h:35-84): est = 2^(v-1); combine law
+    max+(equal); empty cells stay empty through merges; estimates track
+    truth within Morris-counter tolerance."""
+    from ocm_ray.sketches import MergeableSketch, merge_all
+    from ocm_ray.sketches.countmin import CountMinPow2
+
+    items = np.arange(64, dtype=np.uint64)
+    true_n = 4096
+    sk = CountMinPow2(16, 5)
+    for _ in range(4):
+        sk.update(items, np.full(len(items), true_n // 4))
+    est = sk.estimate(items).astype(np.float64)
+    # the reference's est_count(v)=2^(v-1) with increment prob 2^-v gives
+    # E[2^v] ≈ n, i.e. E[est] ≈ n/2 (verified against a per-occurrence
+    # simulation of update.h's exact rule); Morris spread is ~one octave
+    assert (est >= true_n / 16).all() and (est <= true_n * 4).all()
+    assert 0.25 * true_n < est.mean() < 1.0 * true_n
+
+    # distributed build via combine merge
+    parts = []
+    for _ in range(4):
+        p = CountMinPow2(16, 5)
+        p.update(items, np.full(len(items), true_n // 4))
+        parts.append(p)
+    merged = merge_all(parts)
+    est_m = merged.estimate(items).astype(np.float64)
+    # combine = max+(equal) is the reference's own crude merge ("Not
+    # rigorous", update.h:76) — it under-adds relative to a true sum;
+    # assert order-of-magnitude sanity only
+    assert 0.0625 * true_n <= est_m.mean() < 2.0 * true_n
+    # untouched keys estimate 0 (empty cells merged to 0, not 1)
+    absent = np.arange(10**6, 10**6 + 1000, dtype=np.uint64)
+    assert (merged.estimate(absent) == 0).mean() > 0.95
+    back = MergeableSketch.from_bytes(merged.to_bytes())
+    assert (back.estimate(items) == merged.estimate(items)).all()
