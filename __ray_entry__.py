@@ -498,14 +498,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bloom_dedup"] = bloom_dedup
 
     def lsh_ann_topk(sf_dir):
+        """LSH ANN through the PERSISTENT bucket-partitioned index:
+        built once per corpus (cache under /tmp), every probe reads only
+        the probed bucket partitions (pruned read_parquet)."""
         import pyarrow.parquet as pq
 
-        from ocm_ray.ops.similarity import lsh_topk
+        from ocm_ray.ops.similarity import build_ann_index, lsh_topk
 
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         qvec = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
-        out = lsh_topk(_read(sf_dir, "embeddings"), qvec[None, :], k=10,
-                       bits=6, multiprobe=1)
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        idx_dir = f"{_SEQ_ROOT}/ann_index_{tag}_b6"
+        if not os.path.exists(os.path.join(idx_dir, "_ann_meta.json")):
+            build_ann_index(_read(sf_dir, "embeddings"), idx_dir, bits=6)
+        out = lsh_topk(None, qvec[None, :], k=10, multiprobe=1,
+                       index_dir=idx_dir)
         out = out[["vec_id", "sim"]].copy()
         out["sim"] = out["sim"].round(4)
         return out.reset_index(drop=True)

@@ -1,6 +1,6 @@
 """Resumable ETL output: per-input-shard Parquet writing with lineage.
 
-"Resumable output" for a batch pipeline (ray_guide 'Sources & sinks')
+"Resumable output" for a batch pipeline
 means: one output unit per input shard, written atomically (tmp +
 rename), plus a manifest of completed shards — a rerun skips finished
 work. ``run_resumable_etl`` is the generic runner: per input file, a Ray

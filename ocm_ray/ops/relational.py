@@ -231,7 +231,7 @@ def windowed_event_agg(events: Dataset, window: str = "1h",
 
 def semi_join_filter(large: Dataset, keys: np.ndarray, key_col: str,
                      anti: bool = False) -> Dataset:
-    """Semi/anti join against a broadcast key set (ray_guide 'Joins'):
+    """Semi/anti join against a broadcast key set:
     the key array rides the object store once; every batch filters with a
     vectorized ``np.isin``/Arrow ``is_in``. For key sets too large to
     broadcast, substitute a Bloom filter of the keys (approximate anti-
@@ -254,7 +254,7 @@ def semi_join_filter(large: Dataset, keys: np.ndarray, key_col: str,
 def sessionize(events: Dataset, gap_sec: int = 1800, key: str = "user_id",
                ts_col: str = "ts") -> Dataset:
     """Session counts per key — the order-sensitive streaming-shaped op
-    (ray_guide 'Streaming-shaped workloads'): events are grouped per key
+    (streaming-shaped workload): events are grouped per key
     and windowed over the sorted timestamps inside ``map_groups``; a gap
     > ``gap_sec`` starts a new session. Ordering assumption: within-key
     ordering only, established inside the group (no global sort)."""

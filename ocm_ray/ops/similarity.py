@@ -122,23 +122,70 @@ def add_lsh_bucket(ds: Dataset, dim: int, bits: int = 8,
                           batch_format="pyarrow", concurrency=2)
 
 
-def lsh_topk(ds: Dataset, queries: np.ndarray, k: int = 10, bits: int = 8,
-             multiprobe: int = 1, id_col: str = "vec_id",
-             emb_col: str = "embedding", seedseed: int = 137) -> pd.DataFrame:
-    """Approximate top-k: score only vectors whose LSH bucket is within
-    ``multiprobe`` bit-flips of the query's bucket."""
-    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+def _probe_buckets(q: np.ndarray, bits: int, multiprobe: int,
+                   seedseed: int) -> list:
     planes = _hyperplanes(q.shape[1], bits, seedseed)
     qbits = (q @ planes.T) > 0
     qbuckets = (qbits @ (1 << np.arange(bits))).astype(np.int32)
-    probe_sets = []
+    probe = set()
     for b in qbuckets:
-        s = {int(b)}
+        probe.add(int(b))
         if multiprobe >= 1:
-            s |= {int(b) ^ (1 << j) for j in range(bits)}
-        probe_sets.append(s)
-    allowed = sorted(set().union(*probe_sets))
+            probe |= {int(b) ^ (1 << j) for j in range(bits)}
+    return sorted(probe)
 
+
+def build_ann_index(ds: Dataset, index_dir: str, bits: int = 8,
+                    emb_col: str = "embedding", seedseed: int = 137) -> dict:
+    """Materialize the LSH-bucketed corpus as an on-disk ANN index:
+    Parquet partitioned by ``bucket`` (one directory per bucket — the
+    prunable layout), plus a small JSON sidecar with the geometry. Build
+    once; every ``lsh_topk(index_dir=...)`` probe then READS ONLY the
+    probed bucket partitions instead of re-bucketing the corpus."""
+    import json
+
+    dim = len(ds.take(1)[0][emb_col])
+    bucketed = add_lsh_bucket(ds, dim, bits, emb_col, seedseed)
+    bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+    meta = dict(dim=dim, bits=bits, seedseed=seedseed, emb_col=emb_col)
+    with open(f"{index_dir}/_ann_meta.json", "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_topk(ds: Optional[Dataset], queries: np.ndarray, k: int = 10,
+             bits: int = 8, multiprobe: int = 1, id_col: str = "vec_id",
+             emb_col: str = "embedding", seedseed: int = 137,
+             index_dir: Optional[str] = None) -> pd.DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``multiprobe`` bit-flips of the query's bucket.
+
+    Two modes: ``ds`` given → bucket on the fly (one corpus scan);
+    ``index_dir`` given → pruned ``read_parquet`` of ONLY the probed
+    bucket partitions of a :func:`build_ann_index` layout — the
+    100 TB path (per-query I/O ∝ probed fraction, not corpus size)."""
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    if index_dir is not None:
+        import json
+        import os
+
+        import ray.data as rd
+
+        with open(f"{index_dir}/_ann_meta.json") as f:
+            meta = json.load(f)
+        assert meta["dim"] == q.shape[1]
+        allowed = _probe_buckets(q, meta["bits"], multiprobe, meta["seedseed"])
+        import glob as _glob
+
+        paths = [f for b in allowed
+                 for f in sorted(_glob.glob(f"{index_dir}/bucket={b}/*.parquet"))]
+        if not paths:
+            return pd.DataFrame({"query_idx": [], "vec_id": [], "sim": [],
+                                 "rank": []})
+        return brute_force_topk(rd.read_parquet(paths), q, k, id_col,
+                                meta["emb_col"])
+
+    allowed = _probe_buckets(q, bits, multiprobe, seedseed)
     bucketed = add_lsh_bucket(ds, q.shape[1], bits, emb_col, seedseed)
     filtered = bucketed.map_batches(
         lambda t: t.filter(pa.compute.is_in(t.column("bucket"),
