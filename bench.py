@@ -129,7 +129,13 @@ def run_bench() -> dict:
         rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
         concurrency=max(2, NUM_CPUS // 4)).count())
 
-    # 11. similarity: brute-force cosine top-10 for 16 queries
+    # 11. heavy hitters: HeavyKeeper top-k over the token stream
+    from ocm_ray.sketches import HeavyKeeperTopK
+
+    queries["heavykeeper_topk"], _ = _timed(lambda: build_sketch_sharded(
+        seq_files, lambda: HeavyKeeperTopK(capacity=256, p=16, nh=4)))
+
+    # 12. similarity: brute-force cosine top-10 for 16 queries
     import pyarrow.parquet as pq
 
     empb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),

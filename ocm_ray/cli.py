@@ -134,10 +134,15 @@ def cmd_sketch(args) -> int:
         BottomKMinHash,
         CountingBloomFilter,
         CountSketch,
+        CountSketch4W,
+        DDSketch,
+        HeavyKeeper,
+        HeavyKeeperTopK,
         HyperLogLog,
         TDigest,
         TopK,
     )
+    from ocm_ray.sketches.countmin import CountMinPow2
 
     factories = {
         "hll": lambda: HyperLogLog(args.p),
@@ -147,7 +152,12 @@ def cmd_sketch(args) -> int:
         "tdigest": lambda: TDigest(args.delta),
         "bottomk": lambda: BottomKMinHash(args.k),
         "countsketch": lambda: CountSketch(args.p, args.nh),
+        "countsketch4w": lambda: CountSketch4W(args.p, args.nh),
         "topk": lambda: TopK(args.k),
+        "heavykeeper": lambda: HeavyKeeper(args.p, args.nh),
+        "heavykeeper-topk": lambda: HeavyKeeperTopK(args.k, args.p, args.nh),
+        "ddsketch": lambda: DDSketch(),
+        "cm-pow2": lambda: CountMinPow2(args.p, args.nh),
     }
     _init_ray(args.num_cpus)
     files = _input_files(args.input)
@@ -199,7 +209,9 @@ def main(argv=None) -> int:
     s = sub.add_parser("sketch", help="build any registered sketch kind")
     s.add_argument("--kind", required=True,
                    choices=["hll", "bloom", "cbf", "kll", "tdigest", "bottomk",
-                            "countsketch", "topk"])
+                            "countsketch", "countsketch4w", "topk",
+                            "heavykeeper", "heavykeeper-topk", "ddsketch",
+                            "cm-pow2"])
     s.add_argument("-p", type=int, default=14)
     s.add_argument("--nh", type=int, default=5)
     s.add_argument("-k", type=int, default=1024)

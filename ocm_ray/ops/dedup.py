@@ -116,22 +116,27 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
                       bands: int = 32, shingle_k: int = 3,
                       threshold: float = 0.8,
                       seedseed: int = 137, n_shards: int = 64,
-                      max_bucket=None, local: bool = False) -> pd.DataFrame:
+                      max_bucket=None, local=None,
+                      local_threshold: int = 50_000) -> pd.DataFrame:
     """Near-duplicate pairs with estimated Jaccard ≥ threshold.
 
-    Fully distributed: per-batch signature computation (one
-    fixed-size-list row per doc, pinned in the object store) → compact
-    band-table Dataset (16 B per (doc, band)) → ``ops.pairs`` key-prefix
-    shard shuffle + per-shard vectorized run scan → candidate pairs →
-    signature-Jaccard verify against the candidate signatures only
-    (fetched by broadcast-id filter). Driver memory is bounded by the
-    candidate/output set — never by the corpus. ``local=True`` selects
-    the single-process reference path (testing / tiny inputs).
+    Signatures are always computed distributed (one fixed-size-list row
+    per doc, pinned in the object store). Pair finding auto-dispatches by
+    corpus size (the broadcast-vs-shuffle selection a join planner makes):
+
+    * ≤ ``local_threshold`` docs (default 50k ⇒ ≤ ~50 MB of signatures):
+      collect the signature matrix and run the band scan in-process —
+      the shard shuffle's fixed cost dominates at this size;
+    * larger: compact band-table Dataset (16 B per (doc, band)) →
+      ``ops.pairs`` key-prefix shard shuffle + per-shard vectorized run
+      scan → candidate pairs → signature-Jaccard verify against the
+      candidate signatures only (broadcast-id fetch). Driver memory is
+      bounded by the candidate/output set — never by the corpus.
+
+    ``local=True/False`` forces a path (tests prove both emit identical
+    pairs at 8 partitions).
     """
     assert num_perm % bands == 0
-    if local:
-        return _minhash_lsh_pairs_local(ds, id_col, text_col, num_perm,
-                                        bands, shingle_k, threshold, seedseed)
 
     from ocm_ray.ops.pairs import (collect_unique_pairs, collision_pairs,
                                    lookup_rows_for_ids)
@@ -146,6 +151,15 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
     # signatures computed once, pinned distributed (1 KB/doc; consumed by
     # both the band stage and the candidate-verify lookup)
     sig_ds = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
+    if local is None:
+        local = sig_ds.count() <= local_threshold
+    if local:
+        sig_tbl = pa.concat_tables(ray.get(sig_ds.to_arrow_refs()))
+        ids_all = sig_tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sig_all = (sig_tbl.column("sig").combine_chunks().flatten()
+                   .to_numpy(zero_copy_only=False).view(U64)
+                   .reshape(len(ids_all), num_perm))
+        return _pairs_from_sig_matrix(ids_all, sig_all, bands, threshold)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -183,25 +197,11 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _minhash_lsh_pairs_local(ds: Dataset, id_col: str, text_col: str,
-                             num_perm: int, bands: int, shingle_k: int,
-                             threshold: float, seedseed: int) -> pd.DataFrame:
-    """Single-process reference path: identical banding/scan semantics,
-    everything on the driver. Used by tests to prove the distributed
-    path emits the same pairs, and for tiny in-memory tables."""
-    sig_tbl = pa.concat_tables(ray.get(
-        ds.map_batches(
-            lambda b: pa.table({
-                id_col: b.column(id_col),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(minhash_signatures(b.column(text_col), num_perm,
-                                                shingle_k, seedseed)
-                             .ravel().view(np.int64)), num_perm)}),
-            batch_format="pyarrow").to_arrow_refs()))
-    ids_all = sig_tbl.column(id_col).to_numpy(zero_copy_only=False)
-    sig_all = (sig_tbl.column("sig").combine_chunks().flatten()
-               .to_numpy(zero_copy_only=False).view(U64)
-               .reshape(len(ids_all), num_perm))
+def _pairs_from_sig_matrix(ids_all: np.ndarray, sig_all: np.ndarray,
+                           bands: int, threshold: float) -> pd.DataFrame:
+    """In-process band scan + verify over a collected signature matrix —
+    identical banding/scan semantics to the sharded path (tests prove it);
+    used below the size threshold where the shuffle's fixed cost loses."""
     key = _band_keys(sig_all, bands).ravel()
     rows = np.repeat(np.arange(len(ids_all), dtype=np.int64), bands)
     from ocm_ray.ops.pairs import _scan_runs

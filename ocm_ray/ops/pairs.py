@@ -120,28 +120,21 @@ def collect_unique_pairs(cand: Dataset) -> pd.DataFrame:
 def lookup_rows_for_ids(ds: Dataset, ids: np.ndarray, id_col: str) -> pa.Table:
     """Fetch the rows of ``ds`` whose ``id_col`` is in ``ids`` — broadcast
     the (small, candidate-sized) sorted id array once via ``ray.put`` and
-    filter per batch; only matching rows come back (output-bounded)."""
+    filter per batch with stateless tasks (no actor-pool startup cost);
+    only matching rows come back (output-bounded)."""
     import pyarrow.compute as pc
     import ray
 
     ref = ray.put(np.sort(np.asarray(ids)))
 
-    class _Filter:
-        def __init__(self, ref):
-            self.wanted = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def keep_wanted(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)  # zero-copy from the shared object store
+        mask = pc.is_in(batch.column(id_col), value_set=pa.array(wanted))
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(id_col),
-                            value_set=pa.array(self.wanted))
-            return batch.filter(mask)
-
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    out = ds.map_batches(_Filter, fn_constructor_args=(ref,),
-                         batch_format="pyarrow",
-                         concurrency=max(1, min(4, ncpu // 2)),
-                         num_cpus=0.5)
-    return pa.concat_tables(
-        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows],
-        promote_options="default") if True else None
+    out = ds.map_batches(keep_wanted, batch_format="pyarrow")
+    all_t = ray.get(out.to_arrow_refs())
+    nonempty = [t for t in all_t if t.num_rows]
+    if not (nonempty or all_t):
+        return pa.table({})
+    return pa.concat_tables(nonempty or all_t[:1], promote_options="default")

@@ -48,29 +48,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
-class _TopKStage:
-    """Actor stage: holds the normalized broadcast query matrix; per batch
-    computes cosine vs the batch and emits only the per-batch top-k rows
-    per query (candidate pruning — output is k rows/query/block, not N)."""
-
-    def __init__(self, q_ref, id_col: str, emb_col: str, k: int):
-        q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
-        self.q = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))
-        self.id_col, self.emb_col, self.k = id_col, emb_col, k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_embedding_matrix(batch, self.emb_col))
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        sims = self.q @ m.T  # (Q, B)
-        k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        qi = np.repeat(np.arange(sims.shape[0]), k)
-        vi = part.ravel()
-        return pa.table({
-            "query_idx": pa.array(qi.astype(np.int32)),
-            "vec_id": pa.array(ids[vi]),
-            "sim": pa.array(sims[qi, vi]),
-        })
+def _topk_stage(batch: pa.Table, q_ref, id_col: str, emb_col: str,
+                k: int) -> pa.Table:
+    """Per-batch candidate pruning: cosine vs the broadcast query matrix
+    (``ray.put`` once, zero-copy ``ray.get`` per batch), emit only the
+    per-batch top-k rows per query (k rows/query/block, not N)."""
+    q = _normalize(np.atleast_2d(np.asarray(
+        ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref,
+        dtype=np.float64)))
+    m = _normalize(_embedding_matrix(batch, emb_col))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    sims = q @ m.T  # (Q, B)
+    k = min(k, sims.shape[1])
+    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    qi = np.repeat(np.arange(sims.shape[0]), k)
+    vi = part.ravel()
+    return pa.table({
+        "query_idx": pa.array(qi.astype(np.int32)),
+        "vec_id": pa.array(ids[vi]),
+        "sim": pa.array(sims[qi, vi]),
+    })
 
 
 def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
@@ -78,11 +75,15 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
                      concurrency: int = 4) -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns a DataFrame
     (query_idx, vec_id, sim, rank) with deterministic tie-breaking
-    (sim desc, vec_id asc)."""
+    (sim desc, vec_id asc). Stateless task stage — no actor-pool
+    startup on the critical path; the query matrix broadcasts once."""
+    import functools
+
     ref = ray.put(np.asarray(queries, dtype=np.float64))
-    cand = ds.map_batches(_TopKStage, fn_constructor_args=(ref, id_col, emb_col, k),
-                          batch_format="pyarrow", concurrency=concurrency,
-                          num_cpus=1).to_pandas()
+    cand = ds.map_batches(
+        functools.partial(_topk_stage, q_ref=ref, id_col=id_col,
+                          emb_col=emb_col, k=k),
+        batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_idx", "sim", "vec_id"],
                             ascending=[True, False, True], kind="mergesort")
     out = cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
@@ -108,18 +109,14 @@ def add_lsh_bucket(ds: Dataset, dim: int, bits: int = 8,
     planes = _hyperplanes(dim, bits, seedseed)
     ref = ray.put(planes)
 
-    class _Bucket:
-        def __init__(self, ref):
-            self.planes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def bucketize(batch: pa.Table) -> pa.Table:
+        p = ray.get(ref)  # zero-copy broadcast read
+        m = _embedding_matrix(batch, emb_col)
+        bitsmat = (m @ p.T) > 0
+        bucket = (bitsmat @ (1 << np.arange(bitsmat.shape[1]))).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _embedding_matrix(batch, emb_col)
-            bitsmat = (m @ self.planes.T) > 0
-            bucket = (bitsmat @ (1 << np.arange(bitsmat.shape[1]))).astype(np.int32)
-            return batch.append_column("bucket", pa.array(bucket))
-
-    return ds.map_batches(_Bucket, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
 def _probe_buckets(q: np.ndarray, bits: int, multiprobe: int,

@@ -14,7 +14,7 @@ from ocm_ray.sketches.base import (
 )
 from ocm_ray.sketches.bloom import BloomFilter, CountingBloomFilter
 from ocm_ray.sketches.countmin import CountMin, OfflineCountMin
-from ocm_ray.sketches.countsketch import CountSketch, TopK
+from ocm_ray.sketches.countsketch import CountSketch, CountSketch4W, TopK
 from ocm_ray.sketches.ddsketch import DDSketch
 from ocm_ray.sketches.heavykeeper import HeavyKeeper, HeavyKeeperTopK
 from ocm_ray.sketches.hll import HyperLogLog
@@ -28,4 +28,5 @@ __all__ = [
     "CountMin", "OfflineCountMin", "CountSketch", "TopK",
     "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
+    "CountSketch4W",
 ]

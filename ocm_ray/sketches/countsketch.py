@@ -83,6 +83,146 @@ class CountSketch(MergeableSketch):
         return {"core": self.core, "n_items": self.n_items}
 
 
+_P61 = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61 − 1
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    x = (x & _P61) + (x >> np.uint64(61))
+    return np.where(x >= _P61, x - _P61, x)
+
+
+def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a · x) mod (2^61−1), vectorized in uint64 via 32-bit splits
+    (every partial product stays < 2^64; 2^61 ≡ 1 mod p folds shifts)."""
+    a = np.asarray(a, dtype=np.uint64)
+    x = np.asarray(x, dtype=np.uint64)
+    a1, a0 = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    x1, x0 = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        hi = _mod61(a1 * x1)                       # × 2^64 ≡ × 8
+        hi = _mod61(hi << np.uint64(3))
+        mid = _mod61(_mod61(a1 * x0) + _mod61(a0 * x1))   # × 2^32
+        mid = _mod61((mid >> np.uint64(29))
+                     + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32)))
+        lo = _mod61(a0 * x0)
+    return _mod61(hi + mid + lo)
+
+
+def _poly4_hash(vals: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
+    """4-wise-independent polynomial hash over GF(2^61−1), Horner form —
+    the public construction behind the vendored ``KWiseHasherSet<4>``
+    (``hash.h:325-430``)."""
+    x = _mod61(np.asarray(vals, dtype=np.uint64))
+    h = np.full(len(x), coeffs[3], dtype=np.uint64)
+    for c in (coeffs[2], coeffs[1], coeffs[0]):
+        h = _mod61(_mulmod61(h, x) + np.uint64(c))
+    return h
+
+
+@register_sketch
+class CountSketch4W(MergeableSketch):
+    """4-wise CountSketch (``cs4wbase_t``, ``ccm.h:589-780``): per row a
+    single 4-wise polynomial hash provides BOTH the cell index (low
+    ``np`` bits) and the sign (bit ``np``) — the independence the
+    unbiased second-moment estimators need. Median point estimate
+    (negatives clipped to 0 per the class commentary), cell-wise
+    sum/difference merges, inner-product and L2 estimators
+    (``ccm.h:700-716,617-619``)."""
+
+    kind = "countsketch4w"
+
+    def __init__(self, np_bits: int = 20, nh: int = 7, seedseed: int = 137):
+        self.np_bits = int(np_bits)
+        self.nh = force_odd_nh(int(nh))
+        self.seedseed = int(seedseed)
+        self.size = self.nh << self.np_bits
+        self.core = np.zeros(self.size, dtype=np.int64)
+        self.n_items = np.zeros(1, dtype=np.int64)
+        from ocm_ray.core.hashing import MT19937_64
+
+        rng = MT19937_64(seedseed)
+        self.coeffs = np.array([[rng() % int(_P61) for _ in range(4)]
+                                for _ in range(self.nh)], dtype=np.uint64)
+
+    def _pos_sign(self, items: np.ndarray):
+        pos = np.empty((len(items), self.nh), dtype=np.int64)
+        sign = np.empty((len(items), self.nh), dtype=np.int64)
+        mask = np.uint64((1 << self.np_bits) - 1)
+        for j in range(self.nh):
+            hv = _poly4_hash(items, self.coeffs[j])
+            pos[:, j] = (hv & mask).astype(np.int64) + (j << self.np_bits)
+            sign[:, j] = np.where(
+                (hv >> np.uint64(self.np_bits)) & np.uint64(1), 1, -1)
+        return pos, sign
+
+    def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
+        items = np.asarray(items).astype(U64, copy=False)
+        if items.size == 0:
+            return
+        uniq, cnt = dedupe_counts(items, counts)
+        self.n_items[0] += int(cnt.sum())
+        pos, sign = self._pos_sign(uniq)
+        np.add.at(self.core, pos.ravel(), (sign * cnt[:, None]).ravel())
+
+    def subtract_items(self, items: np.ndarray,
+                       counts: Optional[np.ndarray] = None) -> None:
+        """Deletion support (``sub``/``subh``): CountSketch is a linear
+        sketch, so removal is a negated update."""
+        items = np.asarray(items).astype(U64, copy=False)
+        if items.size == 0:
+            return
+        uniq, cnt = dedupe_counts(items, counts)
+        self.n_items[0] -= int(cnt.sum())
+        pos, sign = self._pos_sign(uniq)
+        np.add.at(self.core, pos.ravel(), (-sign * cnt[:, None]).ravel())
+
+    def estimate(self, items: np.ndarray) -> np.ndarray:
+        items = np.asarray(items).astype(U64, copy=False)
+        if items.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        pos, sign = self._pos_sign(items)
+        med = np.median(sign * self.core[pos], axis=1)
+        return np.maximum(med, 0).astype(np.int64)  # clip chance negatives
+
+    def l2est(self) -> float:
+        """Second-moment (L2 norm) estimate: median over rows of
+        sqrt(Σ cell²) (``ccm.h:617-619`` ``sqrl2``)."""
+        rows = self.core.reshape(self.nh, -1).astype(np.float64)
+        return float(np.median(np.sqrt((rows * rows).sum(axis=1))))
+
+    def dot_product(self, other: "CountSketch4W") -> float:
+        """Inner-product estimate between two streams sketched with the
+        same geometry: median over rows of the per-row cell dot
+        (``ccm.h:700-716``)."""
+        assert (self.np_bits, self.nh, self.seedseed) == \
+               (other.np_bits, other.nh, other.seedseed), "geometry mismatch"
+        a = self.core.reshape(self.nh, -1).astype(np.float64)
+        b = other.core.reshape(self.nh, -1).astype(np.float64)
+        return float(np.median((a * b).sum(axis=1)))
+
+    def merge(self, other: "CountSketch4W") -> "CountSketch4W":
+        assert (self.np_bits, self.nh, self.seedseed) == \
+               (other.np_bits, other.nh, other.seedseed), "geometry mismatch"
+        self.core += other.core
+        self.n_items += other.n_items
+        return self
+
+    def subtract(self, other: "CountSketch4W") -> "CountSketch4W":
+        """operator-= (``ccm.h:761-767``): sketch of the stream
+        difference."""
+        assert (self.np_bits, self.nh, self.seedseed) == \
+               (other.np_bits, other.nh, other.seedseed), "geometry mismatch"
+        self.core -= other.core
+        self.n_items -= other.n_items
+        return self
+
+    def _params(self) -> Dict:
+        return dict(np_bits=self.np_bits, nh=self.nh, seedseed=self.seedseed)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        return {"core": self.core, "n_items": self.n_items}
+
+
 @register_sketch
 class TopK(MergeableSketch):
     """Mergeable heavy-hitters summary (Misra-Gries / Space-Saving shape).
