@@ -357,16 +357,42 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, n_shards: int = 64,
-                  max_bucket=None) -> pd.DataFrame:
-    """Near-dup pairs by SimHash banding, fully distributed: fingerprints
-    agreeing on one of 4 16-bit bands are candidates (``ops.pairs`` shard
-    shuffle + run scan over an 16 B/row band table); exact Hamming
-    distance verified on the candidate fingerprints only (broadcast-id
-    fetch — driver memory is output-bounded)."""
-    from ocm_ray.ops.pairs import (collect_unique_pairs, collision_pairs,
-                                   lookup_rows_for_ids)
+                  max_bucket=None, local=None,
+                  local_threshold: int = 500_000) -> pd.DataFrame:
+    """Near-dup pairs by SimHash banding: fingerprints agreeing on one of
+    4 16-bit bands are candidates; exact Hamming distance verified on the
+    candidates. Size-dispatched like :func:`minhash_lsh_pairs`
+    (fingerprints are 8 B/doc, so the in-process scan stays cheap to
+    ~500k docs); the distributed path shuffles a 16 B/row band table via
+    ``ops.pairs`` and fetches only candidate fingerprints — driver
+    memory output-bounded."""
+    from ocm_ray.ops.pairs import (_scan_runs, collect_unique_pairs,
+                                   collision_pairs, lookup_rows_for_ids)
 
     fp_ds = simhash_fingerprints(ds, id_col, text_col).materialize()
+    if local is None:
+        local = fp_ds.count() <= local_threshold
+    if local:
+        fp_tbl = pa.concat_tables(ray.get(fp_ds.to_arrow_refs()))
+        ids = fp_tbl.column(id_col).to_numpy(zero_copy_only=False)
+        h = fp_tbl.column("simhash").to_numpy(zero_copy_only=False).view(U64)
+        keys = np.empty((len(h), 4), dtype=U64)
+        for band in range(4):
+            frag = (h >> U64(band * 16)) & U64(0xFFFF)
+            keys[:, band] = wanghash(frag | (U64(band) << U64(16)))
+        rows = np.repeat(np.arange(len(h), dtype=np.int64), 4)
+        ii, jj = _scan_runs(keys.ravel(), max_bucket)
+        if len(ii) == 0:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        ai, bi = rows[ii], rows[jj]
+        swap = ids[ai] > ids[bi]
+        ai, bi = np.where(swap, bi, ai), np.where(swap, ai, bi)
+        d = _popcount64(h[ai] ^ h[bi])
+        keep = d <= max_hamming
+        out = pd.DataFrame({"a": ids[ai[keep]], "b": ids[bi[keep]],
+                            "hamming": d[keep]})
+        return (out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+                .reset_index(drop=True))
 
     def to_bands(batch: pa.Table) -> pa.Table:
         h = batch.column("simhash").to_numpy(zero_copy_only=False).view(U64)
@@ -446,12 +472,18 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
                 .reset_index(drop=True))
 
     # brute force: broadcast the whole normalized matrix once (inherent to
-    # exact all-pairs; built straight from Arrow refs, no pandas hop)
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-    ids_all = np.concatenate(
-        [t.column(id_col).to_numpy(zero_copy_only=False) for t in tables])
-    m_all = _normalize(np.vstack([_embedding_matrix(t, emb_col) for t in tables]))
-    ref = ray.put((ids_all, m_all))
+    # exact all-pairs). Assembled IN A WORKER TASK from the block refs —
+    # the driver only ever holds the ObjectRef, never the matrix.
+    @ray.remote(num_cpus=1)
+    def _assemble(*tables):
+        tables = [t for t in tables if t.num_rows]
+        ids = np.concatenate(
+            [t.column(id_col).to_numpy(zero_copy_only=False) for t in tables])
+        m = _normalize(np.vstack([_embedding_matrix(t, emb_col)
+                                  for t in tables]))
+        return ids, m
+
+    ref = _assemble.remote(*ds.to_arrow_refs())
 
     def score(batch: pa.Table) -> pa.Table:
         ids_a, m_a = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref

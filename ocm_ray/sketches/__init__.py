@@ -20,6 +20,7 @@ from ocm_ray.sketches.heavykeeper import HeavyKeeper, HeavyKeeperTopK
 from ocm_ray.sketches.hll import HyperLogLog
 from ocm_ray.sketches.kll import KLL
 from ocm_ray.sketches.minhash import BottomKMinHash
+from ocm_ray.sketches.pcsa import PCSA, ProbabilisticCounter
 from ocm_ray.sketches.tdigest import TDigest
 
 __all__ = [
@@ -28,5 +29,5 @@ __all__ = [
     "CountMin", "OfflineCountMin", "CountSketch", "TopK",
     "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
-    "CountSketch4W",
+    "CountSketch4W", "PCSA", "ProbabilisticCounter",
 ]

@@ -389,3 +389,15 @@ def test_ann_index_persist_and_probe(tmp_path):
     total_bytes = sum(os.path.getsize(f) for f in all_files)
     assert n_buckets > len(probed_buckets)
     assert probe_bytes < total_bytes  # pruned read beats full scan
+
+
+def test_simhash_distributed_matches_local():
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import simhash_pairs
+
+    ds = rd.from_pandas(_dedup_corpus(n_base=150, seed=2)).repartition(8)
+    dist = simhash_pairs(ds, max_hamming=6, local=False, n_shards=16)
+    loc = simhash_pairs(ds, max_hamming=6, local=True)
+    pd.testing.assert_frame_equal(dist.reset_index(drop=True),
+                                  loc.reset_index(drop=True))

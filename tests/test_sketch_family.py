@@ -374,3 +374,35 @@ def test_bloom_test_and_add():
     again = bf.test_and_add(np.array([3, 4], dtype=np.uint64))
     assert again.tolist() == [True, False]
     assert bf.contains(np.array([1, 2, 3, 4], dtype=np.uint64)).all()
+
+
+def test_pcsa_estimate_and_or_merge():
+    """pc.h PCSA contract: OR-mergeable FM bitmaps; estimate within the
+    published FM error (~0.78/sqrt(n_registers)) once n >> registers
+    (the reference has no small-range correction — documented bias
+    below ~register count)."""
+    from ocm_ray.sketches import PCSA, MergeableSketch, merge_all
+
+    sk = PCSA(10)
+    sk.update(np.arange(200_000, dtype=np.uint64))
+    assert abs(sk.estimate() - 200_000) / 200_000 < 0.10
+
+    parts = []
+    for lo in range(0, 200_000, 50_000):
+        p = PCSA(10)
+        p.update(np.arange(lo, lo + 50_000, dtype=np.uint64))
+        parts.append(p)
+    merged = merge_all(parts)
+    assert merged.estimate() == sk.estimate()  # OR-merge is exact
+
+    back = MergeableSketch.from_bytes(merged.to_bytes())
+    assert back.estimate() == merged.estimate()
+
+
+def test_probcounter_single_register():
+    from ocm_ray.sketches import ProbabilisticCounter
+
+    pc_sk = ProbabilisticCounter()
+    pc_sk.update(np.arange(100_000, dtype=np.uint64))
+    # single FM register: unbiased only to within a ~1.6x factor band
+    assert 100_000 / 4 < pc_sk.estimate() < 100_000 * 4
