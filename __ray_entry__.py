@@ -130,6 +130,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(df, {"sum_value": 2})
     q["events_hourly"] = events_hourly
 
+    def events_hopping(sf_dir):
+        from ocm_ray.ops.relational import hopping_event_agg
+
+        df = hopping_event_agg(_read(sf_dir, "events"), window="1h",
+                               hop="30m").to_pandas()
+        return _round_cols(df, {"sum_value": 2})
+    q["events_hopping"] = events_hopping
+
     def orders_by_segment(sf_dir):
         import pyarrow.parquet as pq
 
@@ -497,6 +505,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "n_distinct": [distinct]})
     q["bloom_dedup"] = bloom_dedup
 
+    def text_embed_ann(sf_dir):
+        """Batched-inference composition: TextEmbedder actor pool →
+        cosine ANN over the produced embeddings. The embedder is a
+        deterministic feature-hash projection (no ML runtime in this
+        container), so the whole pipeline is reproducible; self-match
+        invariant asserted."""
+        from ocm_ray.ops.similarity import brute_force_topk
+        from ocm_ray.ops.text import embed_texts
+
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        emb_ds = embed_texts(docs, dim=32, concurrency=2).materialize()
+        first = emb_ds.take(1)[0]
+        qvec = np.asarray(first["embedding"], dtype=np.float64)
+        out = brute_force_topk(emb_ds, qvec[None, :], k=5, id_col="doc_id")
+        assert out.iloc[0]["vec_id"] == first["doc_id"]  # self is rank 0
+        assert out.iloc[0]["sim"] > 0.9999
+        out = out[["vec_id", "sim"]].copy()
+        out["sim"] = out["sim"].round(4)
+        return out.reset_index(drop=True)
+    q["text_embed_ann"] = text_embed_ann
+
     def lsh_ann_topk(sf_dir):
         """LSH ANN through the PERSISTENT bucket-partitioned index:
         built once per corpus (cache under /tmp), every probe reads only
@@ -592,6 +621,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            SELECT event_type,
+                   TIMESTAMP '1970-01-01'
+                       + ((CAST(floor(epoch(ts) / 1800) AS BIGINT) - j) * 1800)
+                         * INTERVAL '1 second' AS window_start,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events, UNNEST(range(0, 2)) AS u(j)
+            GROUP BY 1, 2
         """,
         "orders_by_segment": """
             SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price,
@@ -695,6 +733,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4
+        """,
+        "bloom_dedup": """
+            SELECT COUNT(DISTINCT text) AS n_survivors,
+                   COUNT(DISTINCT text) AS n_distinct
+            FROM documents
         """,
         "bigram_top50": f"""
             SELECT a, b, COUNT(*) AS cnt FROM (

@@ -204,12 +204,68 @@ def windowed_event_agg(events: Dataset, window: str = "1h",
     seconds = {"1m": 60, "5m": 300, "1h": 3600, "1d": 86400}[window]
 
     def local(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_to_us(batch, ts_col)
         bucket = (ts // (seconds * 1_000_000)) * (seconds * 1_000_000)
         df = pd.DataFrame({
             key: batch.column(key).to_numpy(zero_copy_only=False),
             "window_start": bucket,
             "val": batch.column(value_col).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby([key, "window_start"], as_index=False).agg(
+            n=("val", "size"), sum_value=("val", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    out = grouped_sum(events.map_batches(local, batch_format="pyarrow"),
+                      [key, "window_start"], ["n", "sum_value"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ws = pa.array(batch.column("window_start").to_numpy(zero_copy_only=False),
+                      type=pa.int64())
+        return (batch.set_column(batch.schema.get_field_index("window_start"),
+                                 "window_start", ws.cast(pa.timestamp("us"))))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _ts_to_us(batch: pa.Table, ts_col: str) -> np.ndarray:
+    """Timestamp column → int64 MICROSECOND epochs, honoring the column's
+    own unit (parquet files are typically us; in-memory pandas frames
+    arrive as ns)."""
+    col = batch.column(ts_col)
+    t = col.type
+    unit = t.unit if pa.types.is_timestamp(t) else "us"
+    raw = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[unit]
+    return raw // 1_000 if scale is None else raw * scale
+
+
+def hopping_event_agg(events: Dataset, window: str = "1h", hop: str = "30m",
+                      ts_col: str = "ts", key: str = "event_type",
+                      value_col: str = "value") -> Dataset:
+    """HOPPING (sliding) window aggregate: each event lands in
+    ``window/hop`` overlapping windows. Per batch the event→window
+    explode happens vectorized (a ``repeat`` + offset subtraction — no
+    reshuffle of raw events), pre-aggregated to (key, window_start)
+    partials, then tree grouped-sum. ``hop`` must divide ``window``.
+    SQL-equivalent: GROUP BY over an UNNEST(range(window/hop)) lateral."""
+    secs = {"1m": 60, "5m": 300, "30m": 1800, "1h": 3600, "1d": 86400}
+    w_us, h_us = secs[window] * 1_000_000, secs[hop] * 1_000_000
+    assert w_us % h_us == 0, "hop must divide window"
+    k = w_us // h_us
+
+    def local(batch: pa.Table) -> pa.Table:
+        ts = _ts_to_us(batch, ts_col)
+        base = (ts // h_us) * h_us
+        n = len(ts)
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * h_us, n))
+        df = pd.DataFrame({
+            key: np.repeat(batch.column(key).to_numpy(zero_copy_only=False), k),
+            "window_start": starts,
+            "val": np.repeat(
+                batch.column(value_col).to_numpy(zero_copy_only=False), k),
         })
         g = df.groupby([key, "window_start"], as_index=False).agg(
             n=("val", "size"), sum_value=("val", "sum"))

@@ -44,18 +44,22 @@ def split_whitespace(texts: List[str]) -> List[List[str]]:
     return [t.split(" ") for t in texts]
 
 
+# BPE-ish splitter in Rust-regex-compatible form for polars (the stdlib
+# pattern above keeps the lookahead variant for reference/tests)
+_BPEISH_POLARS = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 class TextStats:
-    """Actor-pool stage: per-document quality metrics.
+    """Per-document quality metrics (one vectorized polars pass; all
+    state is the module-level compiled patterns, so this runs as a
+    STATELESS task stage — no actor-pool startup cost).
 
-    Regexes are compiled once per actor (``__init__``), applied per batch.
-    Adds: ``n_tokens`` (whitespace), ``n_words`` (BPE-ish), ``punct_ratio``,
-    ``stop_ratio``, ``upper_ratio``, ``mean_word_len``, ``fingerprint``
-    (64-bit rolling hash of the token-hash sequence), ``lang_guess``.
+    Adds: ``n_tokens`` (whitespace), ``n_words`` (BPE-ish tokenizer
+    pieces), ``n_chars_text`` / ``n_stop`` (SQL-exact integer columns),
+    ``punct_ratio``, ``stop_ratio``, ``upper_ratio``, ``mean_word_len``,
+    ``fingerprint`` (64-bit rolling hash of the token-hash sequence),
+    ``lang_guess``.
     """
-
-    def __init__(self):
-        self.word_re = re.compile(r"[A-Za-z']+")
-        self.punct_re = re.compile(r"[^\w\s]")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -66,6 +70,7 @@ class TextStats:
         n_tokens = tokens.list.len().to_numpy()
         n_punct = texts.str.count_matches(r"[^\w\s]").to_numpy()
         n_upper = texts.str.count_matches(r"[A-Z]").to_numpy()
+        n_words = texts.str.count_matches(_BPEISH_POLARS).to_numpy()
 
         # stopword ratio + fingerprint + language guess per doc (token level)
         exploded = tokens.list.eval(pl.element().str.to_lowercase())
@@ -87,6 +92,7 @@ class TextStats:
         out = batch
         for name, arr in [
             ("n_tokens", pa.array(n_tokens, type=pa.int32())),
+            ("n_words", pa.array(n_words.astype(np.int32))),
             # integer counterparts of the ratio columns — exactly
             # SQL-expressible (the driver oracle compares these)
             ("n_chars_text", pa.array(n_chars.astype(np.int64))),
@@ -134,15 +140,84 @@ def quality_score(batch: pa.Table) -> pa.Table:
 
 
 def add_text_stats(ds, concurrency: int = 4, batch_size: int = 2048):
-    """documents Dataset → + stats columns (actor pool) → + quality."""
+    """documents Dataset → + stats columns → + quality. Stateless task
+    stages (the only stage state is module-level compiled patterns);
+    ``concurrency`` kept for API compat, scheduling is left to the
+    streaming executor."""
+    _ = concurrency
+    stats = TextStats()
+    return (ds.map_batches(lambda t: stats(t), batch_format="pyarrow",
+                           batch_size=batch_size)
+              .map_batches(quality_score, batch_format="pyarrow"))
+
+
+class TextEmbedder:
+    """Batched-inference actor stage: per-actor state (the projection
+    "weights") loads ONCE in ``__init__``; ``__call__`` embeds a whole
+    batch with one feature-hash scatter + one matmul.
+
+    This is the real Ray plumbing for model inference — actor-held
+    weights, batch sizing, zero-copy Arrow output. The "model" is a
+    deterministic feature-hashing random projection (hashed bag-of-words
+    → Gaussian matrix → L2 normalize) because no ML runtime ships in
+    this container; swap ``_load_weights`` for a real encoder and
+    nothing else changes. Near-duplicate texts get near-identical
+    embeddings (cosine ≈ token-multiset similarity), so the output
+    composes with the ANN / embedding-dedup operators.
+    """
+
+    def __init__(self, dim: int = 64, feat_bits: int = 12,
+                 seedseed: int = 137, text_col: str = "text"):
+        self.dim = int(dim)
+        self.nfeat = 1 << int(feat_bits)
+        self.text_col = text_col
+        self.weights = self._load_weights(self.nfeat, self.dim, seedseed)
+
+    @staticmethod
+    def _load_weights(nfeat: int, dim: int, seedseed: int) -> np.ndarray:
+        """Deterministic Gaussian (nfeat, dim) matrix: counter-mode
+        WangHash uniforms through Box-Muller — vectorized, identical on
+        every actor/node."""
+        n = nfeat * dim
+        idx = np.arange(2 * n, dtype=np.uint64)
+        u = (wanghash(idx ^ U64(seedseed)).astype(np.float64) + 1.0) \
+            / np.float64(2.0**64)
+        z = np.sqrt(-2.0 * np.log(np.clip(u[:n], 1e-300, 1.0))) \
+            * np.cos(2.0 * np.pi * u[n:])
+        return z.reshape(nfeat, dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocm_ray.engine.tokens import split_words_hashed
+
+        flat, lens = split_words_hashed(batch.column(self.text_col))
+        n = batch.num_rows
+        rowid = np.repeat(np.arange(n, dtype=np.int64), lens)
+        feat = (flat & U64(self.nfeat - 1)).astype(np.int64)
+        counts = np.zeros((n, self.nfeat), dtype=np.float32)
+        np.add.at(counts, (rowid, feat), 1.0)
+        emb = counts @ self.weights                    # (n, dim)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = (emb / np.maximum(norm, 1e-30)).astype(np.float32)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.ravel(), type=pa.float32()), self.dim)
+        return batch.append_column("embedding", col)
+
+
+def embed_texts(ds, dim: int = 64, feat_bits: int = 12, seedseed: int = 137,
+                text_col: str = "text", batch_size: int = 1024,
+                concurrency: int = 4):
+    """documents Dataset → + ``embedding`` (fixed_size_list<float32>)
+    via the :class:`TextEmbedder` actor pool (weights load once per
+    actor; pool capped at half the cluster per CLAUDE.md rule 1)."""
     import ray as _ray
 
     n = int(_ray.cluster_resources().get("CPU", 8))
-    return (ds.map_batches(TextStats, batch_format="pyarrow",
-                           batch_size=batch_size,
-                           concurrency=max(1, min(concurrency, n // 2)),
-                           num_cpus=0.5)
-              .map_batches(quality_score, batch_format="pyarrow"))
+    return ds.map_batches(
+        TextEmbedder,
+        fn_constructor_kwargs=dict(dim=dim, feat_bits=feat_bits,
+                                   seedseed=seedseed, text_col=text_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=max(1, min(concurrency, n // 2)), num_cpus=0.5)
 
 
 def token_count_table(ds, text_col: str = "text"):

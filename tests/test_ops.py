@@ -401,3 +401,63 @@ def test_simhash_distributed_matches_local():
     loc = simhash_pairs(ds, max_hamming=6, local=True)
     pd.testing.assert_frame_equal(dist.reset_index(drop=True),
                                   loc.reset_index(drop=True))
+
+
+def test_embed_texts_plumbing_and_composition():
+    """TextEmbedder: actor-held weights, batched matmul inference,
+    deterministic output; near-dup texts get near-identical embeddings
+    so the output composes with the embedding-dedup operator."""
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import embedding_dup_pairs
+    from ocm_ray.ops.text import embed_texts
+
+    df = _dedup_corpus(n_base=60, seed=6)
+    out = embed_texts(rd.from_pandas(df), dim=32, concurrency=2).to_pandas()
+    assert len(out) == len(df)
+    emb = np.stack(out.sort_values("doc_id")["embedding"].to_numpy())
+    assert emb.shape == (len(df), 32)
+    assert np.allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+    # deterministic across runs/actors
+    out2 = embed_texts(rd.from_pandas(df), dim=32, concurrency=2).to_pandas()
+    emb2 = np.stack(out2.sort_values("doc_id")["embedding"].to_numpy())
+    assert np.array_equal(emb, emb2)
+    # exact copy of doc 5 is id 75 (ids 60..74 are the near-dups)
+    i5 = df.index[df.doc_id == 5][0]
+    idup = df.index[df.doc_id == 75][0]
+    assert np.allclose(emb[i5], emb[idup])
+    # composes with embedding dedup: the injected exact dup is found
+    ds_emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(df)), "embedding": list(emb)}))
+    pairs = embedding_dup_pairs(ds_emb, threshold=0.95)
+    assert (5, 75) in set(map(tuple, pairs[["a", "b"]].to_numpy()))
+
+
+def test_hopping_event_agg_matches_pandas():
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import hopping_event_agg
+
+    rng = np.random.default_rng(8)
+    n = 5000
+    ts = pd.to_datetime(rng.integers(0, 86400 * 3, n), unit="s")
+    df = pd.DataFrame({"ts": ts,
+                       "event_type": rng.choice(["a", "b", "c"], n),
+                       "value": rng.normal(size=n)})
+    out = hopping_event_agg(rd.from_pandas(df).repartition(7), window="1h",
+                            hop="30m").to_pandas()
+    rows = []
+    for j in range(2):
+        t = df.copy()
+        t["window_start"] = (t["ts"].astype(np.int64) // (1800 * 10**9)
+                             - j) * 1800 * 10**9
+        rows.append(t)
+    allr = pd.concat(rows)
+    exp = allr.groupby(["event_type", "window_start"], as_index=False).agg(
+        n=("value", "size"), sum_value=("value", "sum"))
+    exp["window_start"] = pd.to_datetime(exp["window_start"])
+    got = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    exp = exp.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n": np.int64}), exp.astype({"n": np.int64}),
+        check_dtype=False, atol=1e-9)
