@@ -135,7 +135,25 @@ def run_bench() -> dict:
     queries["heavykeeper_topk"], _ = _timed(lambda: build_sketch_sharded(
         seq_files, lambda: HeavyKeeperTopK(capacity=256, p=16, nh=4)))
 
-    # 12. similarity: brute-force cosine top-10 for 16 queries
+    # 12. end-to-end curation (stats → quality filter → exact + near
+    # dedup → partitioned write → per-source HLL) — the composition a
+    # full corpus run uses; new in round 2
+    import shutil
+    import tempfile
+
+    from ocm_ray.pipelines.pretraining import curate
+
+    def run_curate():
+        td = tempfile.mkdtemp(prefix="bench_curate_")
+        try:
+            return curate(os.path.join(SF_DIR, "documents.parquet"),
+                          os.path.join(td, "out"), quality_min=0.2)
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    queries["curation"], _ = _timed(run_curate)
+
+    # 13. similarity: brute-force cosine top-10 for 16 queries
     import pyarrow.parquet as pq
 
     empb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),

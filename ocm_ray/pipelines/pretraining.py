@@ -78,44 +78,30 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
 
     drop_ref = _ray.put((dup_hashes, dup_keep_id, np.sort(drop_near)))
 
-    class _DropFilter:
-        def __init__(self, ref):
-            self.dup_hashes, self.dup_keep_id, self.drop_near = _ray.get(ref) \
-                if isinstance(ref, _ray.ObjectRef) else ref
+    def drop_filter(t: pa.Table) -> pa.Table:
+        # stateless task: the drop-side state rides the object store once
+        # and is read zero-copy per batch (no actor-pool startup)
+        from ocm_ray.engine.tokens import hash_string_array
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            from ocm_ray.engine.tokens import hash_string_array
+        dup_hashes, dup_keep_id, drop_near = _ray.get(drop_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = hash_string_array(t.column("text")).astype(np.int64)
+        pos = np.searchsorted(dup_hashes, h)
+        pos = np.minimum(pos, max(len(dup_hashes) - 1, 0))
+        hit = (dup_hashes[pos] == h) if len(dup_hashes) else \
+            np.zeros(len(h), dtype=bool)
+        drop_exact = hit & (ids != (dup_keep_id[pos] if len(dup_hashes) else 0))
+        npos = np.searchsorted(drop_near, ids)
+        npos = np.minimum(npos, max(len(drop_near) - 1, 0))
+        drop_nd = (drop_near[npos] == ids) if len(drop_near) \
+            else np.zeros(len(h), dtype=bool)
+        return t.filter(pa.array(~(drop_exact | drop_nd)))
 
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-            h = hash_string_array(t.column("text")).astype(np.int64)
-            pos = np.searchsorted(self.dup_hashes, h)
-            pos = np.minimum(pos, max(len(self.dup_hashes) - 1, 0))
-            hit = (self.dup_hashes[pos] == h) if len(self.dup_hashes) else \
-                np.zeros(len(h), dtype=bool)
-            drop_exact = hit & (ids != (self.dup_keep_id[pos]
-                                        if len(self.dup_hashes) else 0))
-            npos = np.searchsorted(self.drop_near, ids)
-            npos = np.minimum(npos, max(len(self.drop_near) - 1, 0))
-            drop_nd = (self.drop_near[npos] == ids) if len(self.drop_near) \
-                else np.zeros(len(h), dtype=bool)
-            return t.filter(pa.array(~(drop_exact | drop_nd)))
+    final = kept.map_batches(drop_filter, batch_format="pyarrow")
 
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    final = kept.map_batches(_DropFilter, fn_constructor_args=(drop_ref,),
-                             batch_format="pyarrow",
-                             concurrency=max(1, min(concurrency, ncpu // 2)),
-                             num_cpus=0.5)
-
-    # 5. per-source distinct-document estimates over the surviving docs
-    from ocm_ray.sketches import HyperLogLog
-
-    per_src = grouped_sketches(final.select_columns(["text", "source"]),
-                               "source", lambda: HyperLogLog(12),
-                               column="text")
-
-    # 6. partitioned output (prunable layout + resumable unit per key);
-    # output row count read back from the written Parquet metadata —
-    # no second execution of the filter pipeline just to count
+    # 5. partitioned output FIRST (prunable layout + resumable unit per
+    # key) — the written Parquet then serves as the materialization point
+    # for every downstream consumer instead of re-running the filter
     final.write_parquet(out_dir, partition_cols=["source"])
     import glob as _glob
 
@@ -124,6 +110,16 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     n_output = sum(pq.read_metadata(f).num_rows for f in
                    _glob.glob(os.path.join(out_dir, "**", "*.parquet"),
                               recursive=True))
+
+    # 6. per-source distinct-document estimates over the written output
+    # (pruned column read of the sink — no pipeline re-execution)
+    import ray.data as rd
+
+    from ocm_ray.sketches import HyperLogLog
+
+    per_src = grouped_sketches(
+        rd.read_parquet(out_dir, columns=["text", "source"]),
+        "source", lambda: HyperLogLog(12), column="text")
 
     return {
         "n_input": n_in,

@@ -12,7 +12,7 @@ from ocm_ray.sketches.base import (
     merge_sorted_counts,
     sketch_class,
 )
-from ocm_ray.sketches.bloom import BloomFilter, CountingBloomFilter
+from ocm_ray.sketches.bloom import BloomFilter, CountingBloomFilter, FilterHLL
 from ocm_ray.sketches.countmin import CountMin, OfflineCountMin
 from ocm_ray.sketches.countsketch import CountSketch, CountSketch4W, TopK
 from ocm_ray.sketches.ddsketch import DDSketch
@@ -29,5 +29,5 @@ __all__ = [
     "CountMin", "OfflineCountMin", "CountSketch", "TopK",
     "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
-    "CountSketch4W", "PCSA", "ProbabilisticCounter",
+    "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
 ]

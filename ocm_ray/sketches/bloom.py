@@ -191,6 +191,14 @@ class CountingBloomFilter(MergeableSketch):
             return np.zeros(0, dtype=bool)
         return (self.counts[self._slots(items)] > 0).all(axis=1)
 
+    def est_count(self, items: np.ndarray) -> np.ndarray:
+        """CM-style one-sided count estimate: min over the item's slots
+        (the ``cbf.est_count`` the filterhll gate reads)."""
+        items = np.asarray(items)
+        if items.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        return self.counts[self._slots(items)].min(axis=1).astype(np.int64)
+
     def merge(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
         assert (self.p, self.nh, self.seedseed) == \
                (other.p, other.nh, other.seedseed), "geometry mismatch"
@@ -202,3 +210,72 @@ class CountingBloomFilter(MergeableSketch):
 
     def _arrays(self) -> Dict[str, np.ndarray]:
         return {"counts": self.counts}
+
+
+@register_sketch
+class FilterHLL(MergeableSketch):
+    """CBF-gated HLL (the vendored ``filterhll.h`` ``fhllbase_t``
+    contract, ``filterhll.h:11-56``): every item feeds a counting Bloom
+    filter; once its CBF estimate reaches ``threshold`` it also feeds an
+    HLL — so ``estimate()`` approximates the number of DISTINCT items
+    occurring at least ``threshold`` times (e.g. "how many tokens appear
+    ≥ k times in the corpus" without exact counting).
+
+    Batched semantics: updates arrive pre-aggregated (unique, count) per
+    batch — the CBF absorbs the whole count, then the gate re-checks.
+    Distributed caveat (inherent to the reference design, which defines
+    no cross-sketch merge rule for the gate): an item whose occurrences
+    split below-threshold across partitions is missed by every partial's
+    gate, so the merged estimate is ONE-SIDED LOW w.r.t. a sequential
+    pass; merge = CBF sum + HLL max."""
+
+    kind = "filterhll"
+
+    def __init__(self, p: int = 14, cbf_p: int = 20, cbf_nh: int = 4,
+                 threshold: int = 2, seedseed: int = 137):
+        self.p = int(p)
+        self.cbf_p = int(cbf_p)
+        self.cbf_nh = int(cbf_nh)
+        self.threshold = int(threshold)
+        self.seedseed = int(seedseed)
+        from ocm_ray.sketches.hll import HyperLogLog
+
+        self.cbf = CountingBloomFilter(cbf_p, cbf_nh, seedseed)
+        self.hll = HyperLogLog(p, seedseed)
+
+    def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
+        items = np.asarray(items)
+        if items.size == 0:
+            return
+        from ocm_ray.sketches.base import dedupe_counts
+
+        uniq, cnt = dedupe_counts(items, counts)
+        self.cbf.update(uniq, cnt)
+        hot = self.cbf.est_count(uniq) >= self.threshold
+        if hot.any():
+            self.hll.update(np.asarray(uniq)[hot])
+
+    def estimate(self) -> float:
+        """≈ |{x : count(x) ≥ threshold}| (one-sided high from CBF
+        collisions, one-sided low from cross-partition splits)."""
+        return self.hll.estimate()
+
+    def merge(self, other: "FilterHLL") -> "FilterHLL":
+        assert (self.p, self.cbf_p, self.cbf_nh, self.threshold,
+                self.seedseed) == (other.p, other.cbf_p, other.cbf_nh,
+                                   other.threshold, other.seedseed), \
+            "geometry mismatch"
+        self.cbf.merge(other.cbf)
+        self.hll.merge(other.hll)
+        return self
+
+    def _params(self) -> Dict:
+        return dict(p=self.p, cbf_p=self.cbf_p, cbf_nh=self.cbf_nh,
+                    threshold=self.threshold, seedseed=self.seedseed)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        return {"cbf_counts": self.cbf.counts, "hll_registers": self.hll.registers}
+
+    def _set_arrays(self, arrays: Dict[str, np.ndarray]) -> None:
+        self.cbf.counts = arrays["cbf_counts"]
+        self.hll.registers = arrays["hll_registers"]

@@ -406,3 +406,29 @@ def test_probcounter_single_register():
     pc_sk.update(np.arange(100_000, dtype=np.uint64))
     # single FM register: unbiased only to within a ~1.6x factor band
     assert 100_000 / 4 < pc_sk.estimate() < 100_000 * 4
+
+
+def test_filterhll_counts_repeated_items():
+    """filterhll.h contract: HLL gated by a CBF count threshold —
+    estimates the number of distinct items occurring ≥ threshold."""
+    from ocm_ray.sketches import FilterHLL, MergeableSketch
+
+    rng = np.random.default_rng(4)
+    singles = rng.permutation(np.arange(0, 20_000, dtype=np.uint64))
+    hot = np.arange(100_000, 102_000, dtype=np.uint64)  # 2000 items ×3
+    stream = np.concatenate([singles, np.repeat(hot, 3)])
+    stream = stream[rng.permutation(len(stream))]
+    fh = FilterHLL(p=12, cbf_p=20, threshold=2)
+    for lo in range(0, len(stream), 4096):
+        fh.update(stream[lo:lo + 4096])
+    est = fh.estimate()
+    assert abs(est - 2000) / 2000 < 0.15, est
+    back = MergeableSketch.from_bytes(fh.to_bytes())
+    assert back.estimate() == est
+    # merge composes (one-sided low for split counts — here each half
+    # still sees the hot items twice, so the gate fires in both)
+    a, b = FilterHLL(p=12, cbf_p=20, threshold=2), FilterHLL(p=12, cbf_p=20, threshold=2)
+    a.update(np.repeat(hot[:1000], 2))
+    b.update(np.repeat(hot[1000:], 2))
+    a.merge(b)
+    assert abs(a.estimate() - 2000) / 2000 < 0.15
