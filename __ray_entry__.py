@@ -566,6 +566,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows)
     q["hll_source_overlap"] = hll_source_overlap
 
+    def hmh_source_similarity(sf_dir):
+        """HyperMinHash per source: ONE HLL-sized sketch per key gives
+        both distinct counts and pairwise Jaccard (hmh.h semantics) —
+        cross-checked against the bottom-k MinHash estimates."""
+        import ray.data as rd
+
+        from ocm_ray.engine.build import grouped_sketches
+        from ocm_ray.sketches import HyperMinHash
+
+        seq = _seq_dir_for(sf_dir)
+        per = grouped_sketches(rd.read_parquet(seq, columns=["tokens", "source"]),
+                               "source", lambda: HyperMinHash(14))
+        names = sorted(per)
+        rows = [{"a": a, "b": b,
+                 "distinct_a": round(per[a].estimate()),
+                 "jaccard": round(per[a].jaccard_index(per[b]), 3)}
+                for i, a in enumerate(names) for b in names[i + 1:]]
+        return pd.DataFrame(rows)
+    q["hmh_source_similarity"] = hmh_source_similarity
+
     def minhash_source_similarity(sf_dir):
         import ray.data as rd
 

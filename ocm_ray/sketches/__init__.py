@@ -18,6 +18,7 @@ from ocm_ray.sketches.countsketch import CountSketch, CountSketch4W, TopK
 from ocm_ray.sketches.ddsketch import DDSketch
 from ocm_ray.sketches.heavykeeper import HeavyKeeper, HeavyKeeperTopK
 from ocm_ray.sketches.hll import HyperLogLog
+from ocm_ray.sketches.hyperminhash import HyperMinHash
 from ocm_ray.sketches.kll import KLL
 from ocm_ray.sketches.minhash import BottomKMinHash
 from ocm_ray.sketches.pcsa import PCSA, ProbabilisticCounter
@@ -30,4 +31,5 @@ __all__ = [
     "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
     "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
+    "HyperMinHash",
 ]

@@ -432,3 +432,33 @@ def test_filterhll_counts_repeated_items():
     b.update(np.repeat(hot[1000:], 2))
     a.merge(b)
     assert abs(a.estimate() - 2000) / 2000 < 0.15
+
+
+def test_hyperminhash_cardinality_jaccard_merge():
+    """hmh.h contract: one 16-bit-register sketch gives both cardinality
+    (MinHash harmonic sum / HLL fallback) and Jaccard (matched registers
+    minus expected collisions); merge = elementwise max, identical to
+    building from the union stream."""
+    from ocm_ray.sketches import HyperMinHash, MergeableSketch
+
+    h = HyperMinHash(14)
+    h.update(np.arange(100_000, dtype=np.uint64))
+    assert abs(h.estimate() - 100_000) / 100_000 < 0.02
+
+    for frac, tol in [(0.2, 0.03), (0.5, 0.03), (0.8, 0.03)]:
+        n = 100_000
+        a, b = HyperMinHash(14), HyperMinHash(14)
+        a.update(np.arange(n, dtype=np.uint64))
+        shift = int(n * (1 - frac))
+        b.update(np.arange(shift, shift + n, dtype=np.uint64))
+        true_j = frac / (2 - frac)
+        assert abs(a.jaccard_index(b) - true_j) < tol
+
+    a, b, u = HyperMinHash(12), HyperMinHash(12), HyperMinHash(12)
+    a.update(np.arange(0, 60_000, dtype=np.uint64))
+    b.update(np.arange(40_000, 100_000, dtype=np.uint64))
+    u.update(np.arange(0, 100_000, dtype=np.uint64))
+    a.merge(b)
+    assert np.array_equal(a.registers, u.registers)
+    back = MergeableSketch.from_bytes(a.to_bytes())
+    assert back.estimate() == a.estimate()
