@@ -12,6 +12,7 @@ from ocm_ray.sketches.base import (
     merge_sorted_counts,
     sketch_class,
 )
+from ocm_ray.sketches.bbmh import BBitMinHash
 from ocm_ray.sketches.bloom import BloomFilter, CountingBloomFilter, FilterHLL
 from ocm_ray.sketches.countmin import CountMin, OfflineCountMin
 from ocm_ray.sketches.countsketch import CountSketch, CountSketch4W, TopK
@@ -31,5 +32,5 @@ __all__ = [
     "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
     "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
-    "HyperMinHash",
+    "HyperMinHash", "BBitMinHash",
 ]

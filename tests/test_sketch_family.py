@@ -462,3 +462,32 @@ def test_hyperminhash_cardinality_jaccard_merge():
     assert np.array_equal(a.registers, u.registers)
     back = MergeableSketch.from_bytes(a.to_bytes())
     assert back.estimate() == a.estimate()
+
+
+def test_bbitminhash_jaccard_and_merge():
+    """bbmh.h contract: bucketed one-permutation minima, min-merge
+    (== union build, exact); b-bit collision-corrected Jaccard;
+    harmonic cardinality."""
+    from ocm_ray.sketches import BBitMinHash, MergeableSketch
+
+    for frac, tol in [(0.0, 0.02), (0.5, 0.05), (0.8, 0.05)]:
+        n = 100_000
+        a, b = BBitMinHash(10), BBitMinHash(10)
+        a.update(np.arange(n, dtype=np.uint64))
+        shift = int(n * (1 - frac))
+        b.update(np.arange(shift, shift + n, dtype=np.uint64))
+        true_j = frac / (2 - frac)
+        assert abs(a.jaccard_index(b) - true_j) < tol
+
+    s = BBitMinHash(10)
+    s.update(np.arange(500_000, dtype=np.uint64))
+    assert abs(s.cardinality_estimate() - 500_000) / 500_000 < 0.1
+
+    a, b, u = BBitMinHash(10), BBitMinHash(10), BBitMinHash(10)
+    a.update(np.arange(0, 60_000, dtype=np.uint64))
+    b.update(np.arange(40_000, 100_000, dtype=np.uint64))
+    u.update(np.arange(0, 100_000, dtype=np.uint64))
+    a.merge(b)
+    assert np.array_equal(a.minvals, u.minvals)
+    back = MergeableSketch.from_bytes(a.to_bytes())
+    assert back.jaccard_index(u) == 1.0
