@@ -242,6 +242,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort_values("source").reset_index(drop=True)
     q["hll_distinct_by_source"] = hll_distinct_by_source
 
+    def distinct_tokens_by_source(sf_dir):
+        """Exact per-key distinct counts (the SQL-checkable oracle of
+        hll_distinct_by_source); the HLL estimate is asserted within its
+        published error bound against these exact values."""
+        import ray.data as rd
+
+        from ocm_ray.engine.build import grouped_sketches
+        from ocm_ray.ops.relational import distinct_tokens_by_key
+        from ocm_ray.sketches import HyperLogLog
+
+        seq = _seq_dir_for(sf_dir)
+        out = distinct_tokens_by_key(
+            rd.read_parquet(seq, columns=["tokens", "source"])).to_pandas()
+        out = out.sort_values("source").reset_index(drop=True)
+        per = grouped_sketches(rd.read_parquet(seq, columns=["tokens", "source"]),
+                               "source", lambda: HyperLogLog(14))
+        for _, row in out.iterrows():
+            est = per[row["source"]].estimate()
+            sigma = 1.03896 / np.sqrt(2.0**14)
+            assert abs(est - row["distinct_tokens"]) <= \
+                max(5 * sigma * row["distinct_tokens"], 50)
+        return out
+    q["distinct_tokens_by_source"] = distinct_tokens_by_source
+
     def quantiles_sketch(sf_dir):
         import ray.data as rd
 
@@ -669,6 +693,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(tokens) AS tok
                   FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')) t
             GROUP BY t.tok
+        """,
+        "distinct_tokens_by_source": f"""
+            SELECT source, COUNT(DISTINCT tok) AS distinct_tokens
+            FROM (SELECT source, unnest(tokens) AS tok
+                  FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+            GROUP BY source
         """,
         "lineitem_semi_join": """
             SELECT l_returnflag, COUNT(*) AS n,

@@ -60,6 +60,39 @@ def distinct_tokens_count(ds: Dataset, column: str = "tokens") -> int:
     return len(ds.map_batches(local, batch_format="pyarrow").unique("token"))
 
 
+def distinct_tokens_by_key(ds: Dataset, column: str = "tokens",
+                           key: str = "source") -> Dataset:
+    """Exact COUNT(DISTINCT token) per key over a token-list column —
+    the exact oracle of the per-key HLL query. Per-batch distinct
+    (key, token) pairs (one row per pair per block; vocab-bounded), tree
+    grouped-sum dedupes globally, then a per-key row count."""
+    from ocm_ray.ops.agg import grouped_sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        from ocm_ray.engine.tokens import list_column_values
+
+        flat, lengths = list_column_values(batch, column)
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(np.repeat(keys, lengths))
+        pair = flat.astype(np.int64) << np.int64(8) | codes.astype(np.int64)
+        assert len(uniques) <= 256
+        up = np.unique(pair)
+        return pa.table({key: pa.array(uniques[(up & 0xFF).astype(np.int64)]),
+                         "token": pa.array((up >> np.int64(8)).astype(np.int32)),
+                         "one": pa.array(np.ones(len(up), dtype=np.int64))})
+
+    pairs = grouped_sum(ds.map_batches(local, batch_format="pyarrow"),
+                        [key, "token"], ["one"])
+
+    def count_per_key(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().groupby(key, as_index=False)
+              .agg(distinct_tokens=("token", "size")))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return grouped_sum(pairs.map_batches(count_per_key, batch_format="pyarrow"),
+                       [key], ["distinct_tokens"])
+
+
 def exact_value_quantiles(ds: Dataset, column: str, qs: List[float]) -> pd.DataFrame:
     """Exact discrete quantiles of a (shrinkable-domain) value column.
 

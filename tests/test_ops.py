@@ -461,3 +461,24 @@ def test_hopping_event_agg_matches_pandas():
     pd.testing.assert_frame_equal(
         got.astype({"n": np.int64}), exp.astype({"n": np.int64}),
         check_dtype=False, atol=1e-9)
+
+
+def test_distinct_tokens_by_key_matches_pandas():
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import distinct_tokens_by_key
+
+    rng = np.random.default_rng(12)
+    rows = []
+    for i in range(300):
+        rows.append({"tokens": rng.integers(0, 500, rng.integers(5, 40)).astype(np.int32),
+                     "source": ["a", "b", "c"][i % 3]})
+    df = pd.DataFrame(rows)
+    out = distinct_tokens_by_key(rd.from_pandas(df).repartition(7)).to_pandas()
+    exp = (df.explode("tokens").groupby("source")["tokens"].nunique()
+           .reset_index().rename(columns={"tokens": "distinct_tokens"}))
+    got = out.sort_values("source").reset_index(drop=True)
+    exp = exp.sort_values("source").reset_index(drop=True)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["distinct_tokens"].astype(int).tolist() == \
+        exp["distinct_tokens"].astype(int).tolist()
