@@ -53,11 +53,15 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     # hashes (small by construction) come back: (content_hash → min id)
     from ocm_ray.ops.dedup import exact_dedup_groups
 
-    groups = exact_dedup_groups(kept)
-    n_exact_unique = groups.count()
-    dup_map = groups.map_batches(
-        lambda t: t.filter(pc.greater(t.column("n_copies"), pa.scalar(1))),
-        batch_format="pyarrow").to_pandas()
+    dup_map = (exact_dedup_groups(kept)
+               .map_batches(
+                   lambda t: t.filter(pc.greater(t.column("n_copies"),
+                                                 pa.scalar(1))),
+                   batch_format="pyarrow").to_pandas())
+    # distinct = rows minus surplus copies — derived from the (small)
+    # dup map so the groupby executes exactly once
+    n_exact_unique = n_quality - int((dup_map["n_copies"] - 1).sum()) \
+        if len(dup_map) else n_quality
 
     # 3. near-dedup: drop the higher id of each near-dup pair (drop set
     # is output-sized — the near-dup b-sides only)
