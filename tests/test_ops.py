@@ -482,3 +482,22 @@ def test_distinct_tokens_by_key_matches_pandas():
     assert got["source"].tolist() == exp["source"].tolist()
     assert got["distinct_tokens"].astype(int).tolist() == \
         exp["distinct_tokens"].astype(int).tolist()
+
+
+def test_minhash_pairs_with_string_ids():
+    """The pair machinery (arrow take, searchsorted verify, candidate
+    fetch) must work for non-integer ids — sequences-style string
+    doc_ids."""
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import minhash_lsh_pairs
+
+    df = _dedup_corpus(n_base=80, seed=5)
+    df["doc_id"] = [f"doc-{i:06d}" for i in df["doc_id"]]
+    ds = rd.from_pandas(df).repartition(6)
+    dist = minhash_lsh_pairs(ds, threshold=0.5, local=False, n_shards=16)
+    loc = minhash_lsh_pairs(ds, threshold=0.5, local=True)
+    pd.testing.assert_frame_equal(dist.reset_index(drop=True),
+                                  loc.reset_index(drop=True))
+    assert ("doc-000005" , "doc-000095") in set(
+        map(tuple, dist[["a", "b"]].to_numpy()))
