@@ -73,18 +73,25 @@ def minhash_signatures(texts: List[str], num_perm: int = 128,
     if flat.size == 0:
         return sig
     starts = np.concatenate([[0], np.cumsum(lens)])[:-1][nonempty].astype(np.int64)
+    rows_out = np.flatnonzero(nonempty)
     # one (shingles × num_perm) hash matrix + a single axis-0 segment-min:
-    # ~100x fewer numpy dispatches than a per-permutation loop. Chunked so
-    # the matrix stays ~64 MB regardless of batch size.
-    chunk = max(1, (1 << 23) // num_perm)
+    # ~100x fewer numpy dispatches than a per-permutation loop. Chunk
+    # boundaries are chosen by SHINGLE count (not doc count — doc counts
+    # say nothing about matrix size) so the matrix plus its wanghash
+    # temporaries stay ~30 MB however large the batch: oversized matrices
+    # across a full worker pool thrash the allocator (measured 8x wall
+    # blowup at 150k docs before this fix).
+    max_shingles = max(1, (1 << 22) // num_perm)
     lo = 0
     while lo < len(starts):
-        hi = min(lo + chunk, len(starts))
         s0 = starts[lo]
+        limit = s0 + max_shingles
+        hi = int(np.searchsorted(starts, limit, side="right"))
+        hi = max(hi, lo + 1)
         s1 = starts[hi] if hi < len(starts) else len(flat)
         h = wanghash(flat[s0:s1, None] ^ seeds[None, :])
         seg = starts[lo:hi] - s0
-        sig[np.flatnonzero(nonempty)[lo:hi]] = np.minimum.reduceat(h, seg, axis=0)
+        sig[rows_out[lo:hi]] = np.minimum.reduceat(h, seg, axis=0)
         lo = hi
     return sig
 
