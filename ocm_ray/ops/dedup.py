@@ -340,15 +340,33 @@ def simhash_fingerprints(ds: Dataset, id_col: str = "doc_id",
         from ocm_ray.engine.tokens import split_words_hashed
 
         flat, lens = split_words_hashed(batch.column(text_col))
-        bits = ((flat[:, None] >> np.arange(64, dtype=U64)) & U64(1)).astype(np.int32)
-        bits = bits * 2 - 1  # ±1
-        starts = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.int64)
-        ne = lens > 0
-        acc = np.zeros((len(lens), 64), dtype=np.int64)
-        if flat.size:
-            acc[ne] = np.add.reduceat(bits, starts[ne], axis=0)[: ne.sum()]
+        n = len(lens)
+        bounds = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        shifts = np.arange(64, dtype=U64)
+        # word-count chunking keeps the ±1 bit matrix ~8 MB however large
+        # the batch (int16: per-doc word counts are ≤ 32k, so segment
+        # sums cannot overflow); doc-count-blind chunking thrashes the
+        # allocator across a worker pool — same lesson as the minhash
+        # signature kernel
+        max_words = 1 << 16
+        lo = 0
+        while lo < n:
+            s0 = bounds[lo]
+            hi = int(np.searchsorted(bounds[1:], s0 + max_words, side="left")) + 1
+            hi = min(max(hi, lo + 1), n)
+            s1 = bounds[hi]
+            if s1 > s0:
+                w = flat[s0:s1]
+                bits = (((w[:, None] >> shifts) & U64(1)).astype(np.int16)
+                        * 2 - 1)
+                seg_docs = np.arange(lo, hi)[lens[lo:hi] > 0]
+                if len(seg_docs):
+                    seg = bounds[seg_docs] - s0
+                    acc[seg_docs] = np.add.reduceat(bits, seg, axis=0)
+            lo = hi
         fp_bits = (acc > 0).astype(np.uint64)
-        fps = (fp_bits << np.arange(64, dtype=U64)).sum(axis=1, dtype=np.uint64)
+        fps = (fp_bits << shifts).sum(axis=1, dtype=np.uint64)
         return pa.table({id_col: batch.column(id_col),
                          "simhash": pa.array(fps.astype(np.int64))})
 
