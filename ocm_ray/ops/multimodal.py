@@ -3,11 +3,17 @@
 Media payloads are opaque ``binary`` columns with typed metadata
 (``mime``, declared dims/duration). The Ray-side structure — schema,
 actor-pool decode stages, batch sizing for large binaries, output layout
-— is real and tested; the actual codec calls are STUBBED because this
-container ships no PIL/ffmpeg/torchaudio: each decoder raises
-``NotImplementedError`` unless constructed with ``fake=True``, which
-produces a deterministic synthetic decode derived from the payload bytes
-(so downstream feature stages are exercised end-to-end).
+— is real and tested. Codec support is tiered honestly:
+
+* **REAL decode, no external deps**: PPM (P6) images (pure-numpy header
+  parse + luma + nearest-neighbor resize) and PCM WAV audio (stdlib
+  ``wave``). ``synth_media_table`` emits genuine PPM/WAV payloads for
+  these, so the real paths are exercised end-to-end in tests.
+* **Delegated**: JPEG/PNG decode uses PIL when importable.
+* **STUBBED**: JPEG/PNG without PIL, and MP4 frame decode (no ffmpeg in
+  this container) raise ``NotImplementedError``; ``fake=True`` swaps in
+  a deterministic payload-seeded synthetic decode so downstream stages
+  still run.
 
 Batch-size guidance encoded in the defaults: with ~1 MB payloads, a
 batch of 32 rows ≈ 32 MB ≈ a sane per-actor working set; callers with
@@ -37,22 +43,59 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def make_ppm(w: int, h: int, rng: np.random.Generator) -> bytes:
+    """A genuine binary PPM (P6) image: gradient + seeded noise."""
+    x = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+    y = np.linspace(0, 255, h, dtype=np.float64)[:, None]
+    r = np.broadcast_to(x, (h, w))
+    g = np.broadcast_to(y, (h, w))
+    b = rng.integers(0, 256, (h, w)).astype(np.float64)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def make_wav(duration_ms: int, rng: np.random.Generator,
+             rate: int = 8000, freq: float = 440.0) -> bytes:
+    """A genuine PCM16 mono WAV: sine + seeded noise (stdlib writer)."""
+    import io
+    import wave
+
+    n = max(1, rate * min(duration_ms, 500) // 1000)
+    t = np.arange(n, dtype=np.float64) / rate
+    sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+    pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def synth_media_table(n: int = 64, seed: int = 42,
                       payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media rows (for tests/benches — the container
-    has no real media); payload = seeded pseudo-random bytes with a
-    16-byte header encoding (w, h, duration)."""
+    """Deterministic media rows. PPM images and WAV audio carry REAL
+    payloads (decodable by the real code paths); JPEG/MP4 rows carry
+    seeded pseudo-random bytes behind a 16-byte header (their decoders
+    are stubbed — no PIL/ffmpeg in this container)."""
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in ("media_id", "payload", "mime", "width", "height",
                             "duration_ms")}
-    mimes = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+    mimes = ["image/x-portable-pixmap", "image/jpeg", "audio/wav", "video/mp4"]
     for i in range(n):
         mime = mimes[i % len(mimes)]
-        w, h = (int(rng.integers(32, 512)), int(rng.integers(32, 512))) \
+        w, h = (int(rng.integers(32, 128)), int(rng.integers(32, 128))) \
             if mime.startswith(("image", "video")) else (-1, -1)
         dur = int(rng.integers(500, 60000)) if not mime.startswith("image") else -1
-        body = rng.integers(0, 256, payload_bytes - 16, dtype=np.uint8).tobytes()
-        payload = struct.pack("<iiii", w, h, dur, payload_bytes) + body
+        if mime == "image/x-portable-pixmap":
+            payload = make_ppm(w, h, rng)
+        elif mime == "audio/wav":
+            payload = make_wav(dur, rng)
+        else:
+            body = rng.integers(0, 256, payload_bytes - 16,
+                                dtype=np.uint8).tobytes()
+            payload = struct.pack("<iiii", w, h, dur, payload_bytes) + body
         rows["media_id"].append(i)
         rows["payload"].append(payload)
         rows["mime"].append(mime)
@@ -60,6 +103,38 @@ def synth_media_table(n: int = 64, seed: int = 42,
         rows["height"].append(h)
         rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) into an (h, w, 3) uint8 array — pure
+    numpy/stdlib, no imaging library."""
+    assert payload[:2] == b"P6", "not a binary PPM"
+    # header = magic, width, height, maxval tokens (comments stripped)
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    assert maxval == 255, "only 8-bit PPM supported"
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, t: int) -> np.ndarray:
+    """Nearest-neighbor resize to (t, t) via index striding (vectorized,
+    zero-copy gather)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(t) * h) // t
+    xi = (np.arange(t) * w) // t
+    return img[yi[:, None], xi[None, :]]
 
 
 class DecodeImage:
@@ -83,21 +158,42 @@ class DecodeImage:
             except ImportError:
                 self._pil = None
 
+    def _decode_real(self, payload: bytes, mime: str) -> np.ndarray:
+        """(h, w, 3) uint8 — PPM natively, PIL formats if PIL exists."""
+        if mime == "image/x-portable-pixmap" or payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img)
+        raise NotImplementedError(
+            f"decoding {mime} needs PIL (not in this container); PPM "
+            "decodes natively, or construct DecodeImage(fake=True)")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake and self._pil is None:
-            raise NotImplementedError(
-                "image decode needs PIL (not in this container); "
-                "construct DecodeImage(fake=True) for the deterministic stub")
         t = self.target
         payloads = batch.column("payload").to_pylist()
+        mimes = batch.column("mime").to_pylist() \
+            if "mime" in batch.schema.names else [""] * len(payloads)
         ids = batch.column("media_id").to_numpy(zero_copy_only=False)
         out = np.empty((len(payloads), t * t), dtype=np.uint8)
         means = np.empty(len(payloads), dtype=np.float64)
-        for i, p in enumerate(payloads):
-            seed = int(wanghash(np.frombuffer(p[:16].ljust(16, b"\0"),
-                                              dtype=np.uint64))[0])
-            rng = np.random.default_rng(seed)
-            px = rng.integers(0, 256, t * t, dtype=np.uint8)  # "decoded" + "resized"
+        for i, (p, m) in enumerate(zip(payloads, mimes)):
+            if self.fake:
+                seed = int(wanghash(np.frombuffer(p[:16].ljust(16, b"\0"),
+                                                  dtype=np.uint64))[0])
+                rng = np.random.default_rng(seed)
+                px = rng.integers(0, 256, t * t, dtype=np.uint8)
+            else:
+                rgb = resize_nearest(self._decode_real(p, m), t) \
+                    .astype(np.uint32)
+                # integer ITU-R 601 luma (pure numpy; uint32 BEFORE the
+                # multiplies — 150·uint8 would wrap under value-based
+                # casting)
+                luma = (77 * rgb[:, :, 0] + 150 * rgb[:, :, 1]
+                        + 29 * rgb[:, :, 2]) >> 8
+                px = luma.astype(np.uint8).ravel()
             out[i] = px
             means[i] = px.mean()
         pixels = pa.FixedSizeListArray.from_arrays(
@@ -109,24 +205,47 @@ class DecodeImage:
 
 class ExtractAudioFeatures:
     """Actor-pool stage: audio payload → fixed-length feature vector.
-    Stubbed like DecodeImage (no torchaudio/librosa in the container)."""
+
+    REAL path (default): parse PCM WAV with the stdlib ``wave`` module
+    and compute 30 band RMS energies + overall RMS + zero-crossing rate
+    (vectorized numpy — no torchaudio/librosa needed for PCM).
+    ``fake=True`` keeps the payload-byte stub for non-WAV formats."""
 
     N_FEATURES = 32
 
     def __init__(self, fake: bool = False):
         self.fake = fake
 
+    @staticmethod
+    def _wav_samples(payload: bytes) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            assert wf.getsampwidth() == 2, "only PCM16 supported natively"
+            raw = wf.readframes(wf.getnframes())
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            if wf.getnchannels() > 1:
+                x = x.reshape(-1, wf.getnchannels()).mean(axis=1)
+        return x
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio features need librosa/torchaudio (not in this "
-                "container); construct ExtractAudioFeatures(fake=True)")
         payloads = batch.column("payload").to_pylist()
         feats = np.empty((len(payloads), self.N_FEATURES), dtype=np.float32)
         for i, p in enumerate(payloads):
-            arr = np.frombuffer(p, dtype=np.uint8)[:4096].astype(np.float32)
-            chunks = np.array_split(arr, self.N_FEATURES)
-            feats[i] = [c.mean() for c in chunks]
+            if self.fake:
+                arr = np.frombuffer(p, dtype=np.uint8)[:4096].astype(np.float32)
+                chunks = np.array_split(arr, self.N_FEATURES)
+                feats[i] = [c.mean() for c in chunks]
+            else:
+                x = self._wav_samples(p)
+                bands = np.array_split(x, self.N_FEATURES - 2)
+                rms = [float(np.sqrt((b * b).mean())) if len(b) else 0.0
+                       for b in bands]
+                total_rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+                zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 \
+                    else 0.0
+                feats[i] = rms + [total_rms, zcr]
         vec = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), type=pa.float32()), self.N_FEATURES)
         return pa.table({"media_id": batch.column("media_id"), "features": vec})
