@@ -529,6 +529,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "n_distinct": [distinct]})
     q["bloom_dedup"] = bloom_dedup
 
+    def media_decode_stats(sf_dir):
+        """Multimodal stage driver: REAL pure-numpy PPM decode + stdlib
+        PCM-WAV feature extraction over the deterministic synthetic
+        media table (no media in the testdata tables; payloads are
+        genuine PPM/WAV bytes, so this exercises the real codecs, not
+        the fake mode)."""
+        import ray.data as rd
+
+        from ocm_ray.ops.multimodal import (ExtractAudioFeatures,
+                                            decode_images, synth_media_table)
+
+        t = synth_media_table(64)
+        ppm = rd.from_arrow(t).filter(
+            lambda r: r["mime"] == "image/x-portable-pixmap")
+        imgs = decode_images(ppm, fake=False, target_size=16).to_pandas()
+        import pyarrow as _pa
+
+        wav = t.filter(_pa.compute.equal(t.column("mime"), "audio/wav"))
+        feats = ExtractAudioFeatures(fake=False)(wav).to_pandas()
+        out = pd.DataFrame({
+            "media_id": imgs["media_id"].tolist() + feats["media_id"].tolist(),
+            "kind": ["image"] * len(imgs) + ["audio"] * len(feats),
+            "stat": [round(v, 4) for v in imgs["mean_luma"]]
+                    + [round(float(np.asarray(f)[-2]), 4)
+                       for f in feats["features"]],  # total RMS
+        })
+        assert (out.loc[out["kind"] == "audio", "stat"]
+                .between(0.30, 0.40).all())  # 0.5-amp sine RMS ≈ 0.354
+        return out.sort_values("media_id").reset_index(drop=True)
+    q["media_decode_stats"] = media_decode_stats
+
     def text_embed_ann(sf_dir):
         """Batched-inference composition: TextEmbedder actor pool →
         cosine ANN over the produced embeddings. The embedder is a
