@@ -174,6 +174,55 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Dedup family over a documents table: emit near/exact-dup pairs or
+    a deduplicated copy of the table."""
+    import ray.data as rd
+
+    _init_ray(args.num_cpus)
+    files = _input_files(args.input)
+    if not files:
+        print(f"no parquet files under {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    t0 = time.time()
+    from ocm_ray.ops import dedup as dd
+
+    if args.mode == "minhash":
+        out = dd.minhash_lsh_pairs(ds, args.id_col, args.text_col,
+                                   num_perm=args.num_perm, bands=args.bands,
+                                   threshold=args.threshold,
+                                   signature_cache_dir=args.sig_cache)
+    elif args.mode == "simhash":
+        out = dd.simhash_pairs(ds, args.id_col, args.text_col,
+                               max_hamming=args.max_hamming)
+    elif args.mode == "jaccard":
+        out = dd.exact_jaccard_pairs(ds, args.id_col, args.text_col,
+                                     threshold=args.threshold)
+    elif args.mode == "exact":
+        out = dd.exact_dedup(ds, args.id_col, args.text_col).to_pandas()
+    else:  # bloom: write surviving rows as parquet
+        survivors = dd.bloom_dedup_filter(ds, args.id_col, args.text_col)
+        survivors.write_parquet(args.output)
+        n = survivors.count()
+        print(json.dumps({"mode": "bloom", "n_survivors": n,
+                          "wall_sec": round(time.time() - t0, 3),
+                          "out": args.output}))
+        return 0
+    if args.output.endswith(".csv"):
+        out.to_csv(args.output, index=False)
+    else:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       args.output)
+    print(json.dumps({"mode": args.mode, "rows": len(out),
+                      "wall_sec": round(time.time() - t0, 3),
+                      "out": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ocm_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -223,6 +272,22 @@ def main(argv=None) -> int:
     s.add_argument("--parallelism", type=int)
     s.add_argument("--num-cpus", type=int)
     s.set_defaults(fn=cmd_sketch)
+
+    d = sub.add_parser("dedup", help="dedup a documents table")
+    d.add_argument("--mode", required=True,
+                   choices=["exact", "minhash", "simhash", "jaccard", "bloom"])
+    d.add_argument("--input", required=True, help="parquet dir or glob")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--num-perm", type=int, default=128)
+    d.add_argument("--bands", type=int, default=32)
+    d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument("--sig-cache", help="parquet dir for resumable signatures")
+    d.add_argument("-o", "--output", required=True,
+                   help=".csv or .parquet for pairs; directory for bloom")
+    d.add_argument("--num-cpus", type=int)
+    d.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     try:

@@ -124,7 +124,8 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
                       threshold: float = 0.8,
                       seedseed: int = 137, n_shards: int = 64,
                       max_bucket=None, local=None,
-                      local_threshold: int = 50_000) -> pd.DataFrame:
+                      local_threshold: int = 50_000,
+                      signature_cache_dir=None) -> pd.DataFrame:
     """Near-duplicate pairs with estimated Jaccard ≥ threshold.
 
     Signatures are always computed distributed (one fixed-size-list row
@@ -141,7 +142,11 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
       bounded by the candidate/output set — never by the corpus.
 
     ``local=True/False`` forces a path (tests prove both emit identical
-    pairs at 8 partitions).
+    pairs at 8 partitions). ``signature_cache_dir`` persists the
+    signature table as Parquet on first use and reuses it on every later
+    call/restart — the resumable form (recomputing signatures is the
+    expensive half of the pipeline; the cache also survives process
+    death, unlike the object-store pin).
     """
     assert num_perm % bands == 0
 
@@ -155,9 +160,33 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
             pa.array(sig.ravel().view(np.int64)), num_perm)
         return pa.table({id_col: batch.column(id_col), "sig": col})
 
-    # signatures computed once, pinned distributed (1 KB/doc; consumed by
-    # both the band stage and the candidate-verify lookup)
-    sig_ds = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
+    if signature_cache_dir is not None:
+        import json as _json
+        import os as _os
+
+        import ray.data as _rd
+
+        meta_path = _os.path.join(signature_cache_dir, "_sig_meta.json")
+        want = dict(num_perm=num_perm, shingle_k=shingle_k,
+                    seedseed=seedseed, id_col=id_col)
+        if _os.path.exists(meta_path):
+            with open(meta_path) as f:
+                have = _json.load(f)
+            assert have == want, (
+                f"signature cache {signature_cache_dir} was built with "
+                f"{have}, requested {want} — use a fresh directory")
+        else:
+            ds.map_batches(compute_sigs, batch_format="pyarrow") \
+                .write_parquet(signature_cache_dir)
+            with open(meta_path, "w") as f:
+                _json.dump(want, f)
+        # consumers re-read the Parquet cache (row-count via metadata is
+        # free; no object-store pin needed — the disk copy IS the reuse)
+        sig_ds = _rd.read_parquet(signature_cache_dir)
+    else:
+        # signatures computed once, pinned distributed (1 KB/doc;
+        # consumed by both the band stage and the candidate lookup)
+        sig_ds = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
     if local is None:
         local = sig_ds.count() <= local_threshold
     if local:

@@ -70,3 +70,51 @@ def test_cli_missing_input(tmp_path):
               str(tmp_path / "x.sk"), "--num-cpus", "2"])
     assert r.returncode == 2
     assert "no parquet files" in r.stderr
+
+
+def test_cli_dedup_modes(tmp_path):
+    """dedup subcommand: minhash pairs to CSV (with resumable signature
+    cache), exact dedup to parquet, bloom survivors to a directory."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [" ".join(rng.choice(vocab, size=40)) for _ in range(60)]
+    docs += [docs[5], docs[7]]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    env = dict(__import__("os").environ)
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "ocm_ray", *extra],
+            capture_output=True, text=True, env=env, cwd="/root/repo")
+
+    pairs_csv = str(tmp_path / "pairs.csv")
+    r = run("dedup", "--mode", "minhash", "--input", src, "--threshold",
+            "0.5", "--sig-cache", str(tmp_path / "sigs"),
+            "-o", pairs_csv, "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    pairs = pd.read_csv(pairs_csv)
+    assert {(5, 60), (7, 61)} <= set(map(tuple, pairs[["a", "b"]].values))
+
+    exact_pq = str(tmp_path / "exact.parquet")
+    r = run("dedup", "--mode", "exact", "--input", src, "-o", exact_pq,
+            "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = pq.read_table(exact_pq).to_pandas()
+    assert out["n_copies"].sum() == len(docs)
+
+    bloom_dir = str(tmp_path / "bloomed")
+    r = run("dedup", "--mode", "bloom", "--input", src, "-o", bloom_dir,
+            "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    survivors = pq.read_table(bloom_dir).to_pandas()
+    assert len(survivors) == df["text"].nunique()

@@ -564,3 +564,31 @@ def test_multimodal_real_paths_through_ray():
     wav = t.filter(pa.compute.equal(t.column("mime"), "audio/wav"))
     feats = ExtractAudioFeatures(fake=False)(wav)
     assert feats.num_rows == wav.num_rows
+
+
+def test_minhash_signature_cache_resume(tmp_path):
+    """signature_cache_dir: first call writes the signature Parquet,
+    later calls (and restarts) reuse it without recompute; geometry
+    mismatch is refused loudly."""
+    import os
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import minhash_lsh_pairs
+
+    df = _dedup_corpus(n_base=80, seed=4)
+    ds = rd.from_pandas(df).repartition(4)
+    cache = str(tmp_path / "sigs")
+    p1 = minhash_lsh_pairs(ds, threshold=0.5, signature_cache_dir=cache)
+    files = sorted(os.listdir(cache))
+    mtimes = {f: os.path.getmtime(os.path.join(cache, f)) for f in files}
+    p2 = minhash_lsh_pairs(ds, threshold=0.5, signature_cache_dir=cache)
+    pd.testing.assert_frame_equal(p1, p2)
+    assert {f: os.path.getmtime(os.path.join(cache, f))
+            for f in sorted(os.listdir(cache))} == mtimes  # no rewrite
+    p3 = minhash_lsh_pairs(ds, threshold=0.5)  # uncached reference
+    pd.testing.assert_frame_equal(p1, p3)
+    with _pytest.raises(AssertionError):
+        minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=32,
+                          signature_cache_dir=cache)
