@@ -138,6 +138,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(df, {"sum_value": 2})
     q["events_hopping"] = events_hopping
 
+    def events_asof_hourly(sf_dir):
+        """AS-OF join (broadcast): each event joins the latest COMPLETED
+        hourly aggregate of its type (aggregates become available at
+        window end — true as-of semantics, not a bucket equi-join)."""
+        import pyarrow.compute as _pc
+
+        from ocm_ray.ops.relational import asof_join_broadcast, windowed_event_agg
+
+        hourly = windowed_event_agg(_read(sf_dir, "events"),
+                                    window="1h").to_pandas()
+        hourly["avail_ts"] = hourly["window_start"] + pd.Timedelta(hours=1)
+        right = hourly[["event_type", "avail_ts", "sum_value"]].rename(
+            columns={"sum_value": "hourly_sum"})
+        left = (_read(sf_dir, "events",
+                      columns=["user_id", "ts", "event_type"])
+                .filter(expr="user_id < 20"))
+        out = asof_join_broadcast(left, right, key="event_type").to_pandas()
+        out["hourly_sum"] = out["hourly_sum"].astype(float).round(2)
+        return out.sort_values(["user_id", "ts", "event_type"]) \
+            .reset_index(drop=True)
+    q["events_asof_hourly"] = events_asof_hourly
+
     def orders_by_segment(sf_dir):
         import pyarrow.parquet as pq
 
@@ -705,6 +727,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
             FROM events, UNNEST(range(0, 2)) AS u(j)
             GROUP BY 1, 2
+        """,
+        "events_asof_hourly": """
+            WITH hourly AS (
+                SELECT event_type,
+                       date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,
+                       SUM(value) AS hourly_sum
+                FROM events GROUP BY 1, 2
+            )
+            SELECT e.user_id, e.ts, e.event_type, h.avail_ts,
+                   ROUND(h.hourly_sum, 2) AS hourly_sum
+            FROM events e
+            ASOF JOIN hourly h
+              ON e.event_type = h.event_type AND e.ts >= h.avail_ts
+            WHERE e.user_id < 20
         """,
         "orders_by_segment": """
             SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price,

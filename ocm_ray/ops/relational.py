@@ -318,6 +318,58 @@ def hopping_event_agg(events: Dataset, window: str = "1h", hop: str = "30m",
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def asof_join_broadcast(left: Dataset, right_df: pd.DataFrame, key: str,
+                        left_ts: str = "ts", right_ts: str = "avail_ts",
+                        value_cols: Optional[List[str]] = None) -> Dataset:
+    """AS-OF join: each left row matches the LATEST right row of its key
+    with ``right_ts ≤ left_ts`` (inner — unmatched left rows drop).
+    SQL-equivalent: DuckDB ``ASOF JOIN``.
+
+    Broadcast design (the as-of sides that matter at scale — rate /
+    state / availability tables — are small): the right side is sorted
+    per key once, shipped via ``ray.put``, and every batch resolves its
+    matches with one ``searchsorted`` per key present in the batch. No
+    shuffle of the (large) left side; timestamps honor each column's
+    Arrow unit."""
+    value_cols = value_cols or [c for c in right_df.columns
+                                if c not in (key, right_ts)]
+    lookup = {}
+    for k, grp in right_df.groupby(key, sort=True):
+        g = grp.sort_values(right_ts)
+        ts_us = g[right_ts].astype("datetime64[us]").astype(np.int64).to_numpy()
+        lookup[k] = (ts_us, {c: g[c].to_numpy() for c in value_cols})
+    ref = ray.put(lookup)
+
+    def join(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        lts = _ts_to_us(batch, left_ts)
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        sel = np.full(len(lts), -1, dtype=np.int64)    # row in the key's table
+        out_vals = {c: np.empty(len(lts), dtype=object) for c in value_cols}
+        avail = np.zeros(len(lts), dtype=np.int64)
+        for k in pd.unique(keys):
+            m = keys == k
+            if k not in table:
+                continue
+            ts_us, vals = table[k]
+            idx = np.searchsorted(ts_us, lts[m], side="right") - 1
+            pos = np.flatnonzero(m)
+            ok = idx >= 0
+            sel[pos[ok]] = idx[ok]
+            avail[pos[ok]] = ts_us[idx[ok]]
+            for c in value_cols:
+                out_vals[c][pos[ok]] = vals[c][idx[ok]]
+        keep = sel >= 0
+        kept = batch.filter(pa.array(keep))
+        kept = kept.append_column(right_ts, pa.array(
+            avail[keep]).cast(pa.timestamp("us")))
+        for c in value_cols:
+            kept = kept.append_column(c, pa.array(list(out_vals[c][keep])))
+        return kept
+
+    return left.map_batches(join, batch_format="pyarrow")
+
+
 def semi_join_filter(large: Dataset, keys: np.ndarray, key_col: str,
                      anti: bool = False) -> Dataset:
     """Semi/anti join against a broadcast key set:

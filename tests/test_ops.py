@@ -592,3 +592,31 @@ def test_minhash_signature_cache_resume(tmp_path):
     with _pytest.raises(AssertionError):
         minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=32,
                           signature_cache_dir=cache)
+
+
+def test_asof_join_broadcast_semantics():
+    """Latest right row with right_ts <= left_ts per key; unmatched left
+    rows drop; exact-equality timestamps match."""
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import asof_join_broadcast
+
+    left = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "c"],
+        "ts": pd.to_datetime(["2020-01-01 10:30", "2020-01-01 11:00",
+                              "2020-01-01 09:00", "2020-01-01 10:15",
+                              "2020-01-01 12:00"]),
+    })
+    right = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "avail_ts": pd.to_datetime(["2020-01-01 10:00", "2020-01-01 11:00",
+                                    "2020-01-01 09:30"]),
+        "v": [5.0, 7.0, 1.0],
+    })
+    out = (asof_join_broadcast(rd.from_pandas(left), right, key="k")
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    # a@09:00 has no match (drops); c has no right rows (drops)
+    assert len(out) == 3
+    assert out.loc[0, "v"] == 5.0          # a@10:30 -> 10:00 row
+    assert out.loc[1, "v"] == 7.0          # a@11:00 -> 11:00 row (ts == avail)
+    assert out.loc[2, "v"] == 1.0          # b@10:15 -> 09:30 row
