@@ -160,6 +160,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
     q["events_asof_hourly"] = events_asof_hourly
 
+    def events_value_bands(sf_dir):
+        """RANGE join: events classified into (overlapping-capable)
+        value bands via the broadcast interval join, then aggregated per
+        band — SQL oracle is a plain inequality join."""
+        from ray.data.aggregate import Count, Sum
+
+        from ocm_ray.ops.relational import interval_join_broadcast
+
+        bands = pd.DataFrame({
+            "band": ["neg", "low", "mid", "high", "wide"],
+            "lo": [-1e9, 0.0, 10.0, 100.0, 0.0],
+            "hi": [0.0, 10.0, 100.0, 1e9, 1e9],   # "wide" overlaps low/mid/high
+        })
+        joined = interval_join_broadcast(
+            _read(sf_dir, "events", columns=["value"]), bands, "value")
+        df = (joined.groupby("band")
+              .aggregate(Count(alias_name="n"),
+                         Sum("value", alias_name="sum_value"))).to_pandas()
+        return _round_cols(df, {"sum_value": 2})
+    q["events_value_bands"] = events_value_bands
+
     def orders_by_segment(sf_dir):
         import pyarrow.parquet as pq
 
@@ -741,6 +762,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN hourly h
               ON e.event_type = h.event_type AND e.ts >= h.avail_ts
             WHERE e.user_id < 20
+        """,
+        "events_value_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('neg', -1e9, 0.0), ('low', 0.0, 10.0), ('mid', 10.0, 100.0),
+                ('high', 100.0, 1e9), ('wide', 0.0, 1e9))
+            SELECT b.band, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS sum_value
+            FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band
         """,
         "orders_by_segment": """
             SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price,

@@ -370,6 +370,42 @@ def asof_join_broadcast(left: Dataset, right_df: pd.DataFrame, key: str,
     return left.map_batches(join, batch_format="pyarrow")
 
 
+def interval_join_broadcast(left: Dataset, right_df: pd.DataFrame,
+                            value_col: str, lo_col: str = "lo",
+                            hi_col: str = "hi",
+                            right_cols: Optional[List[str]] = None) -> Dataset:
+    """RANGE join: one output row per (left row, interval) with
+    ``lo ≤ value < hi`` — intervals may overlap (each match emits).
+    SQL-equivalent: ``JOIN ON value >= lo AND value < hi``.
+
+    Broadcast design: the interval table ships once via ``ray.put``;
+    each batch evaluates every interval with one vectorized comparison
+    (O(|intervals| · batch) — the right shape when the interval side is
+    a broadcastable dimension table, which is what range joins are in
+    practice: bands, tiers, windows)."""
+    right_cols = right_cols or [c for c in right_df.columns
+                                if c not in (lo_col, hi_col)]
+    ref = ray.put((right_df[lo_col].to_numpy(), right_df[hi_col].to_numpy(),
+                   {c: right_df[c].to_numpy() for c in right_cols}))
+
+    def join(batch: pa.Table) -> pa.Table:
+        lo, hi, vals = ray.get(ref)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        take_left, take_right = [], []
+        for i in range(len(lo)):
+            m = np.flatnonzero((v >= lo[i]) & (v < hi[i]))
+            take_left.append(m)
+            take_right.append(np.full(len(m), i, dtype=np.int64))
+        li = np.concatenate(take_left) if take_left else np.empty(0, np.int64)
+        ri = np.concatenate(take_right) if take_right else np.empty(0, np.int64)
+        out = batch.take(pa.array(li))
+        for c in right_cols:
+            out = out.append_column(c, pa.array(vals[c][ri]))
+        return out
+
+    return left.map_batches(join, batch_format="pyarrow")
+
+
 def semi_join_filter(large: Dataset, keys: np.ndarray, key_col: str,
                      anti: bool = False) -> Dataset:
     """Semi/anti join against a broadcast key set:

@@ -620,3 +620,21 @@ def test_asof_join_broadcast_semantics():
     assert out.loc[0, "v"] == 5.0          # a@10:30 -> 10:00 row
     assert out.loc[1, "v"] == 7.0          # a@11:00 -> 11:00 row (ts == avail)
     assert out.loc[2, "v"] == 1.0          # b@10:15 -> 09:30 row
+
+
+def test_interval_join_broadcast_overlapping():
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import interval_join_broadcast
+
+    left = pd.DataFrame({"value": [-5.0, 3.0, 50.0, 500.0]})
+    bands = pd.DataFrame({"band": ["neg", "low", "mid", "high", "wide"],
+                          "lo": [-1e9, 0.0, 10.0, 100.0, 0.0],
+                          "hi": [0.0, 10.0, 100.0, 1e9, 1e9]})
+    out = (interval_join_broadcast(rd.from_pandas(left), bands, "value")
+           .to_pandas().sort_values(["value", "band"]).reset_index(drop=True))
+    # each positive value matches its own band AND "wide" (overlap emits)
+    got = set(map(tuple, out[["value", "band"]].to_numpy()))
+    assert got == {(-5.0, "neg"), (3.0, "low"), (3.0, "wide"),
+                   (50.0, "mid"), (50.0, "wide"),
+                   (500.0, "high"), (500.0, "wide")}
