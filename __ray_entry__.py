@@ -193,6 +193,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(df, {"total_price": 2})
     q["orders_by_segment"] = orders_by_segment
 
+    def order_priority_revenue(sf_dir):
+        """Large × large shuffle hash join (orders ⋈ lineitem on the
+        order key — neither side broadcastable at scale), then a grouped
+        rollup. Both sides column-pruned before the join."""
+        from ray.data.aggregate import Count, Sum
+
+        from ocm_ray.ops.relational import shuffle_join
+
+        orders = _read(sf_dir, "orders",
+                       columns=["o_orderkey", "o_orderpriority"])
+        li = _read(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_extendedprice"])
+        joined = shuffle_join(orders, li, on="o_orderkey",
+                              right_on="l_orderkey", num_partitions=8)
+        df = (joined.groupby("o_orderpriority")
+              .aggregate(Count(alias_name="n_items"),
+                         Sum("l_extendedprice", alias_name="revenue"))
+              ).to_pandas()
+        return _round_cols(df, {"revenue": 2})
+    q["order_priority_revenue"] = order_priority_revenue
+
     def distinct_users(sf_dir):
         from ocm_ray.ops.relational import distinct_count
 
@@ -776,6 +797,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority, COUNT(*) AS n_items,
+                   ROUND(SUM(l_extendedprice), 2) AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
         """,
         "distinct_users": """
             SELECT COUNT(DISTINCT user_id) AS distinct_users FROM events

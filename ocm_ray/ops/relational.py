@@ -370,6 +370,22 @@ def asof_join_broadcast(left: Dataset, right_df: pd.DataFrame, key: str,
     return left.map_batches(join, batch_format="pyarrow")
 
 
+def shuffle_join(left: Dataset, right: Dataset, on: str, right_on: str,
+                 join_type: str = "inner",
+                 num_partitions: Optional[int] = None) -> Dataset:
+    """Large × large equi-join via Ray Data's native hash join (both
+    sides hash-partition on the key — the path when NEITHER side fits a
+    broadcast; prefer :func:`broadcast_join` / :func:`semi_join_filter`
+    whenever one side is small, and pre-project both sides to only the
+    columns the query needs before joining)."""
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources()
+                                    .get("CPU", 8)) // 2)
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions,
+                     on=(on,), right_on=(right_on,))
+
+
 def interval_join_broadcast(left: Dataset, right_df: pd.DataFrame,
                             value_col: str, lo_col: str = "lo",
                             hi_col: str = "hi",

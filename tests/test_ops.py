@@ -638,3 +638,21 @@ def test_interval_join_broadcast_overlapping():
     assert got == {(-5.0, "neg"), (3.0, "low"), (3.0, "wide"),
                    (50.0, "mid"), (50.0, "wide"),
                    (500.0, "high"), (500.0, "wide")}
+
+
+def test_shuffle_join_matches_pandas():
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import shuffle_join
+
+    rng = np.random.default_rng(6)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500),
+                         "a": rng.integers(0, 100, 500)})
+    right = pd.DataFrame({"rk": rng.integers(0, 50, 300),
+                          "b": rng.integers(0, 100, 300)})
+    out = shuffle_join(rd.from_pandas(left).repartition(4),
+                       rd.from_pandas(right).repartition(4),
+                       on="k", right_on="rk", num_partitions=4).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk")
+    assert len(out) == len(exp)
+    assert out["a"].sum() == exp["a"].sum() and out["b"].sum() == exp["b"].sum()
