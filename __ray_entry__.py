@@ -593,6 +593,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "n_distinct": [distinct]})
     q["bloom_dedup"] = bloom_dedup
 
+    def corpus_mix_split(sf_dir):
+        """Deterministic corpus mixing: per-source downsampling + a
+        hash-range train/val/test split (disjoint + exhaustive,
+        asserted); the reproducibility contract of a 100 TB data mix."""
+        from ocm_ray.ops.sampling import hash_split, stratified_sample
+
+        ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+        mixed = stratified_sample(ds, "source", {"src0": 0.5}, 1.0)
+        train, val, test = hash_split(mixed, fractions=[0.8, 0.1])
+        parts = {"train": train.to_pandas(), "val": val.to_pandas(),
+                 "test": test.to_pandas()}
+        all_ids = np.concatenate([p["doc_id"].to_numpy()
+                                  for p in parts.values()])
+        assert len(all_ids) == len(np.unique(all_ids))  # disjoint
+        assert len(all_ids) == mixed.count()            # exhaustive
+        rows = [{"split": k, "source": s, "n_docs": int(n)}
+                for k, p in sorted(parts.items())
+                for s, n in p.groupby("source").size().items()]
+        return pd.DataFrame(rows)
+    q["corpus_mix_split"] = corpus_mix_split
+
     def media_decode_stats(sf_dir):
         """Multimodal stage driver: REAL pure-numpy PPM decode + stdlib
         PCM-WAV feature extraction over the deterministic synthetic

@@ -1,0 +1,99 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines.
+
+Everything here is a pure function of the row's ID under the engine's
+stable hash — reproducible across runs, machines, partitionings and
+library versions (no RNG state, no order dependence), which is the
+property a train/validation split must have at 100 TB: re-running the
+pipeline, resuming it, or adding nodes must never move a document
+across the split boundary.
+
+* :func:`hash_split` — disjoint + exhaustive train/val(/test) split by
+  hash range;
+* :func:`deterministic_sample` — keep an approximate fraction of rows;
+* :func:`stratified_sample` — per-key fractions (e.g. downsample web,
+  keep all code) via one broadcast dict.
+
+All are single ``map_batches`` filters: no shuffle, no driver state.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+U64 = np.uint64
+_SPLIT_SALT = 0xD1B54A32D192ED03  # distinct from content-hash uses
+
+
+def _bucket01(batch: pa.Table, id_col: str, seed: int) -> np.ndarray:
+    """Deterministic per-row uniform in [0, 1) from the id column (any
+    type — strings hash through the stable codec, ints through Wang)."""
+    from ocm_ray.core.hashing import wanghash
+    from ocm_ray.engine.tokens import hash_string_array
+
+    col = batch.column(id_col)
+    t = batch.schema.field(id_col).type
+    if pa.types.is_integer(t):
+        h = wanghash(col.to_numpy(zero_copy_only=False).astype(U64)
+                     ^ U64(_SPLIT_SALT) ^ U64(seed))
+    else:
+        h = hash_string_array(col, seed=seed ^ (_SPLIT_SALT & 0x7FFFFFFF))
+    return h.astype(np.float64) / np.float64(2.0**64)
+
+
+def hash_split(ds: Dataset, id_col: str = "doc_id",
+               fractions: Optional[List[float]] = None,
+               seed: int = 137) -> List[Dataset]:
+    """Split into len(fractions)+1 DISJOINT and EXHAUSTIVE datasets by
+    hash range: e.g. ``fractions=[0.9]`` → [train≈90%, val≈10%];
+    ``[0.8, 0.1]`` → [80%, 10%, 10%]. Every row lands in exactly one
+    output regardless of partitioning or re-runs."""
+    fr = list(fractions or [0.9])
+    bounds = np.concatenate([[0.0], np.cumsum(fr), [1.0]])
+    assert bounds[-2] <= 1.0, "fractions sum past 1"
+
+    def part(lo: float, hi: float):
+        def f(batch: pa.Table) -> pa.Table:
+            u = _bucket01(batch, id_col, seed)
+            return batch.filter(pa.array((u >= lo) & (u < hi)))
+        return f
+
+    return [ds.map_batches(part(float(bounds[i]), float(bounds[i + 1])),
+                           batch_format="pyarrow")
+            for i in range(len(bounds) - 1)]
+
+
+def deterministic_sample(ds: Dataset, fraction: float,
+                         id_col: str = "doc_id", seed: int = 137) -> Dataset:
+    """Keep ≈``fraction`` of rows, chosen by id hash (re-runs keep the
+    SAME rows — unlike ``Dataset.random_sample``)."""
+    def f(batch: pa.Table) -> pa.Table:
+        u = _bucket01(batch, id_col, seed)
+        return batch.filter(pa.array(u < fraction))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(ds: Dataset, key_col: str,
+                      fractions: Dict[str, float],
+                      default_fraction: float = 1.0,
+                      id_col: str = "doc_id", seed: int = 137) -> Dataset:
+    """Per-key keep-fractions (the data-mixing knob of a pretraining
+    corpus: e.g. ``{"web": 0.3, "books": 1.0}``); rows of unlisted keys
+    keep ``default_fraction``. One broadcast dict, one filter pass."""
+    import ray
+
+    ref = ray.put(dict(fractions))
+
+    def f(batch: pa.Table) -> pa.Table:
+        fr = ray.get(ref)
+        u = _bucket01(batch, id_col, seed)
+        keys = batch.column(key_col).to_pylist()
+        thr = np.array([fr.get(k, default_fraction) for k in keys])
+        return batch.filter(pa.array(u < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow")

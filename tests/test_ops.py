@@ -656,3 +656,47 @@ def test_shuffle_join_matches_pandas():
     exp = left.merge(right, left_on="k", right_on="rk")
     assert len(out) == len(exp)
     assert out["a"].sum() == exp["a"].sum() and out["b"].sum() == exp["b"].sum()
+
+
+def test_hash_split_disjoint_exhaustive_deterministic():
+    import ray.data as rd
+
+    from ocm_ray.ops.sampling import hash_split
+
+    df = pd.DataFrame({"doc_id": np.arange(20000),
+                       "x": np.arange(20000) * 2})
+    ds = rd.from_pandas(df).repartition(8)
+    train, val, test = hash_split(ds, fractions=[0.8, 0.1])
+    t, v, te = (s.to_pandas() for s in (train, val, test))
+    ids = np.concatenate([t.doc_id, v.doc_id, te.doc_id])
+    assert len(ids) == len(df) and len(np.unique(ids)) == len(df)  # partition
+    assert abs(len(t) / len(df) - 0.8) < 0.02
+    assert abs(len(v) / len(df) - 0.1) < 0.01
+    # identical membership on a re-run with different partitioning
+    train2, _, _ = hash_split(rd.from_pandas(df).repartition(3),
+                              fractions=[0.8, 0.1])
+    assert set(train2.to_pandas().doc_id) == set(t.doc_id)
+
+
+def test_stratified_sample_fractions():
+    import ray.data as rd
+
+    from ocm_ray.ops.sampling import deterministic_sample, stratified_sample
+
+    n = 30000
+    df = pd.DataFrame({"doc_id": np.arange(n),
+                       "source": np.where(np.arange(n) % 3 == 0, "web", "code")})
+    out = stratified_sample(rd.from_pandas(df).repartition(6), "source",
+                            {"web": 0.25, "code": 1.0}).to_pandas()
+    kept = out.groupby("source").size()
+    assert kept["code"] == (df.source == "code").sum()      # keep-all exact
+    web_frac = kept["web"] / (df.source == "web").sum()
+    assert abs(web_frac - 0.25) < 0.03
+    # deterministic_sample: same rows every run
+    s1 = deterministic_sample(rd.from_pandas(df), 0.1).to_pandas()
+    s2 = deterministic_sample(rd.from_pandas(df).repartition(5), 0.1).to_pandas()
+    assert set(s1.doc_id) == set(s2.doc_id)
+    # string ids route through the stable codec
+    df2 = df.assign(doc_id=[f"d{i}" for i in range(n)])
+    s3 = deterministic_sample(rd.from_pandas(df2), 0.1).to_pandas()
+    assert abs(len(s3) / n - 0.1) < 0.02
