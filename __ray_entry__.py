@@ -593,6 +593,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "n_distinct": [distinct]})
     q["bloom_dedup"] = bloom_dedup
 
+    def packed_training_rows(sf_dir):
+        """Sequence packing over the tokenized corpus: every emitted row
+        exactly seq_len wide; packed token budget sandwiched between the
+        corpus total and total + one EOS per doc (per-block waste
+        bounded)."""
+        import ray.data as rd
+
+        from ocm_ray.ops.packing import pack_sequences
+
+        seq = _seq_dir_for(sf_dir)
+        ds = rd.read_parquet(seq, columns=["tokens"])
+        packed = pack_sequences(ds, seq_len=1024, eos_id=50_256,
+                                drop_remainder=True)
+        n_seq = packed.count()
+        total_tokens = int(rd.read_parquet(seq, columns=["n_tok"]).sum("n_tok"))
+        n_docs = rd.read_parquet(seq, columns=["n_tok"]).count()
+        assert n_seq * 1024 <= total_tokens + n_docs          # never invents
+        assert n_seq * 1024 >= total_tokens - 64 * 1024       # bounded waste
+        return pd.DataFrame({"n_sequences": [n_seq], "seq_len": [1024]})
+    q["packed_training_rows"] = packed_training_rows
+
     def corpus_mix_split(sf_dir):
         """Deterministic corpus mixing: per-source downsampling + a
         hash-range train/val/test split (disjoint + exhaustive,

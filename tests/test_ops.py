@@ -700,3 +700,40 @@ def test_stratified_sample_fractions():
     df2 = df.assign(doc_id=[f"d{i}" for i in range(n)])
     s3 = deterministic_sample(rd.from_pandas(df2), 0.1).to_pandas()
     assert abs(len(s3) / n - 0.1) < 0.02
+
+
+def test_pack_sequences_invariants():
+    """Packing: every row exactly seq_len; token stream preserved in
+    order with one EOS per document; padded tail accounted."""
+    import ray.data as rd
+
+    from ocm_ray.ops.packing import pack_batch, pack_sequences
+
+    # unit: known tiny block
+    flat = np.array([1, 2, 3, 4, 5], dtype=np.int32)
+    lens = np.array([2, 3])
+    seqs = pack_batch(flat, lens, seq_len=4, eos_id=99, pad_id=0,
+                      drop_remainder=False)
+    assert seqs.ravel().tolist() == [1, 2, 99, 3, 4, 5, 99, 0]
+
+    # end-to-end over the sequences table shape
+    rng = np.random.default_rng(9)
+    rows = [{"tokens": rng.integers(0, 1000, rng.integers(5, 60))
+             .astype(np.int32)} for _ in range(500)]
+    df = pd.DataFrame(rows)
+    out = pack_sequences(rd.from_pandas(df).repartition(4), seq_len=128,
+                         eos_id=0, drop_remainder=True).to_pandas()
+    mats = np.stack([np.asarray(r) for r in out["input_ids"]])
+    assert mats.shape[1] == 128
+    assert (out["n_tokens"] == 128).all()
+    total_tokens = int(sum(len(r) for r in df["tokens"]))
+    # packed tokens ≈ total + one EOS per doc, minus ≤ seq_len-1 waste
+    # per block (4 blocks)
+    packed = mats.size
+    assert total_tokens <= packed + 4 * 127
+    assert packed <= total_tokens + len(df)
+    # determinism
+    out2 = pack_sequences(rd.from_pandas(df).repartition(4), seq_len=128,
+                          eos_id=0, drop_remainder=True).to_pandas()
+    mats2 = np.stack([np.asarray(r) for r in out2["input_ids"]])
+    assert np.array_equal(np.sort(mats.ravel()), np.sort(mats2.ravel()))
