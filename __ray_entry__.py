@@ -547,6 +547,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HK tracks the head tightly; assert the top-10 within 10%
         rel = np.abs(est[:10] - true_counts[:10]) / np.maximum(true_counts[:10], 1)
         assert rel.max() < 0.10, rel
+        # membership: the TRUE top-20 tokens (exact counts, SQL-verified
+        # elsewhere via top_tokens) must all appear in HK's reported set
+        # — a much harder bar than relative error on HK's own head
+        true_top20 = set(truth.sort_values(ascending=False)
+                         .head(20).index.tolist())
+        missing = true_top20 - set(keys.astype(np.int64).tolist())
+        assert not missing, f"HK top-100 missing true-top-20 tokens: {missing}"
         return pd.DataFrame({"token": keys.astype(np.int64),
                              "est_count": est})
     q["heavykeeper_topk"] = heavykeeper_topk
@@ -594,10 +601,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bloom_dedup"] = bloom_dedup
 
     def packed_training_rows(sf_dir):
-        """Sequence packing over the tokenized corpus: every emitted row
-        exactly seq_len wide; packed token budget sandwiched between the
-        corpus total and total + one EOS per doc (per-block waste
-        bounded)."""
+        """Sequence packing over the tokenized corpus, proven by the
+        token-conservation identity (``ops/packing.py`` contract): with
+        ``drop_remainder=False`` every input token lands in exactly one
+        packed row plus ONE EOS per document, so Σ n_tokens over packed
+        rows == Σ n_tok + doc count — partition-independent and
+        SQL-exact (the DuckDB oracle computes the right-hand side)."""
         import ray.data as rd
 
         from ocm_ray.ops.packing import pack_sequences
@@ -605,13 +614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         seq = _seq_dir_for(sf_dir)
         ds = rd.read_parquet(seq, columns=["tokens"])
         packed = pack_sequences(ds, seq_len=1024, eos_id=50_256,
-                                drop_remainder=True)
-        n_seq = packed.count()
-        total_tokens = int(rd.read_parquet(seq, columns=["n_tok"]).sum("n_tok"))
-        n_docs = rd.read_parquet(seq, columns=["n_tok"]).count()
-        assert n_seq * 1024 <= total_tokens + n_docs          # never invents
-        assert n_seq * 1024 >= total_tokens - 64 * 1024       # bounded waste
-        return pd.DataFrame({"n_sequences": [n_seq], "seq_len": [1024]})
+                                drop_remainder=False)
+        n_tokens_packed = int(packed.sum("n_tokens"))
+        return pd.DataFrame({"n_tokens_packed": [n_tokens_packed]})
     q["packed_training_rows"] = packed_training_rows
 
     def corpus_mix_split(sf_dir):
@@ -767,6 +772,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # --------------------------------------------------------------------------
 # oracles
+
+
+def _wanghash_sql(src: str, carry: str, xor_const: int) -> str:
+    """CTE chain computing ``u = wanghash(id ^ xor_const) / 2^64`` in
+    DuckDB, bit-exact vs ``core.hashing.wanghash`` (tested): multiplies/
+    adds in HUGEINT mod 2^64, xors in signed-BIGINT two's-complement
+    (bit-identical), right shifts as integer division. ``src`` is a
+    relation exposing an integer ``doc_id`` plus the ``carry`` columns;
+    the result relation ``wh`` exposes carry columns + ``u`` DOUBLE."""
+    M = "18446744073709551616"          # 2^64
+    H = "9223372036854775808"           # 2^63
+    cs = xor_const - (1 << 64) if xor_const >= (1 << 63) else xor_const
+
+    def to_huge(x: str) -> str:
+        return (f"CAST(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {M} "
+                f"ELSE CAST({x} AS HUGEINT) END AS HUGEINT)")
+
+    def xor_shift(prev: str, shift: int) -> str:
+        div = 1 << shift
+        return (f"SELECT {carry}, {to_huge('x')} AS k FROM (SELECT {carry}, "
+                f"xor(CAST(CASE WHEN k >= {H} THEN k - {M} ELSE k END AS "
+                f"BIGINT), CAST(k // {div} AS BIGINT)) AS x FROM {prev})")
+
+    return f"""
+        s0 AS (SELECT {carry}, {to_huge('x')} AS k
+               FROM (SELECT {carry}, xor(doc_id, CAST({cs} AS BIGINT)) AS x
+                     FROM {src})),
+        s1 AS (SELECT {carry}, ((18446744073709551615 - k) + k * 2097152) % {M} AS k FROM s0),
+        s2 AS ({xor_shift('s1', 24)}),
+        s3 AS (SELECT {carry}, (k * 265) % {M} AS k FROM s2),
+        s4 AS ({xor_shift('s3', 14)}),
+        s5 AS (SELECT {carry}, (k * 21) % {M} AS k FROM s4),
+        s6 AS ({xor_shift('s5', 28)}),
+        s7 AS (SELECT {carry}, (k * 2147483649) % {M} AS k FROM s6),
+        wh AS (SELECT {carry}, CAST(k AS DOUBLE) / {M}.0 AS u FROM s7)
+    """
+
+
+def _mix_split_sql() -> str:
+    """DuckDB oracle for ``corpus_mix_split``: the engine's stratified
+    sample + hash-range split are pure functions of
+    ``wanghash(doc_id ^ SPLIT_SALT ^ 137) / 2^64`` (``ops/sampling.py``),
+    so split membership is SQL-exact. Boundary doubles are embedded at
+    full precision (repr of the engine's np.cumsum bounds); the
+    ``u < 1.0`` guard reproduces the engine's drop of ids whose hash
+    rounds to exactly 1.0."""
+    from ocm_ray.ops.sampling import _SPLIT_SALT
+
+    seed = 137
+    bounds = np.concatenate([[0.0], np.cumsum([0.8, 0.1]), [1.0]])
+    b1, b2 = repr(float(bounds[1])), repr(float(bounds[2]))
+    chain = _wanghash_sql("documents", "doc_id, source", _SPLIT_SALT ^ seed)
+    return f"""
+        WITH {chain},
+        mixed AS (
+            SELECT source, u FROM wh
+            WHERE u < CASE WHEN source = 'src0' THEN 0.5 ELSE 1.0 END
+        )
+        SELECT CASE WHEN u < {b1} THEN 'train'
+                    WHEN u < {b2} THEN 'val' ELSE 'test' END AS split,
+               source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM mixed WHERE u < 1.0
+        GROUP BY 1, 2
+        ORDER BY split, source
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -984,4 +1054,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, vec_id ASC
             LIMIT 20
         """,
+        # token-conservation identity of per-block packing with
+        # drop_remainder=False (ops/packing.py): Σ n_tokens over packed
+        # rows == Σ n_tok + one EOS per doc, partition-independent
+        "packed_training_rows": f"""
+            SELECT CAST(SUM(n_tok) + COUNT(*) AS BIGINT) AS n_tokens_packed
+            FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
+        """,
+        "corpus_mix_split": _mix_split_sql(),
     }

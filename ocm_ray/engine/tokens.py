@@ -68,6 +68,11 @@ def split_words_hashed(arr: pa.ChunkedArray | pa.Array, lowercase: bool = True,
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # null → "" BEFORE splitting: split_pattern yields null LISTS for
+        # null inputs, whose NaN lengths + flatten()'s silent null-drop
+        # would misalign the flat-hash/lens pair downstream
+        arr = arr.fill_null("")
     if lowercase:
         arr = pc.utf8_lower(arr)
     toks = pc.split_pattern(arr, " ")

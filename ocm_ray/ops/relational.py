@@ -445,23 +445,65 @@ def semi_join_filter(large: Dataset, keys: np.ndarray, key_col: str,
 
 
 def sessionize(events: Dataset, gap_sec: int = 1800, key: str = "user_id",
-               ts_col: str = "ts") -> Dataset:
-    """Session counts per key — the order-sensitive streaming-shaped op
-    (streaming-shaped workload): events are grouped per key
-    and windowed over the sorted timestamps inside ``map_groups``; a gap
-    > ``gap_sec`` starts a new session. Ordering assumption: within-key
-    ordering only, established inside the group (no global sort)."""
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(df[ts_col].astype("datetime64[us]").to_numpy()).astype(np.int64)
-        gaps = np.diff(ts) / 1_000_000.0
-        return pd.DataFrame({
-            key: [df[key].iloc[0]],
-            "n_events": [len(df)],
-            "n_sessions": [1 + int((gaps > gap_sec).sum())],
+               ts_col: str = "ts", n_shards: int = 64) -> Dataset:
+    """Session counts per key — the order-sensitive streaming-shaped op:
+    a within-key timestamp gap > ``gap_sec`` starts a new session.
+
+    Scale shape (the ``ops/pairs.py`` pattern, NOT per-key
+    ``map_groups`` — one dispatch per key is ~1 ms/group, hours at 10M
+    users): project each event to a compact (key, ts_us) row, one
+    raw-task :func:`ocm_ray.ops.pairs.shard_scan` exchange over a few
+    dozen key-hash shards (driver holds only ObjectRefs — Ray Data's
+    AllToAll ops retain corpus-proportional driver memory), then a
+    vectorized sorted-run scan per shard — sort by (key, ts), session
+    breaks from one ``np.diff`` masked at run boundaries, per-key
+    reductions via ``np.bincount``. No per-key dispatch anywhere; a
+    shard holds ~n_keys/n_shards keys (grow ``n_shards`` with the
+    corpus so one shard's events fit a worker)."""
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+
+    bits = _shard_bits(n_shards)
+    gap_us = np.int64(gap_sec) * 1_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({key: batch.column(key),
+                         "_ts_us": pa.array(_ts_to_us(batch, ts_col))})
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        from ocm_ray.core.hashing import wanghash
+        from ocm_ray.engine.tokens import hash_string_array
+
+        col = tbl.column(key)
+        if pa.types.is_integer(tbl.schema.field(key).type):
+            h = wanghash(col.to_numpy(zero_copy_only=False)
+                         .astype(np.uint64))
+        else:
+            h = hash_string_array(col)
+        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(h), np.int32)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if len(df) == 0:
+            return pa.table({key: tbl.column(key),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        df = df.sort_values([key, "_ts_us"], kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        ts = df["_ts_us"].to_numpy()
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        brk = np.concatenate([[False], (ts[1:] - ts[:-1]) > gap_us]) & ~new_key
+        run = np.cumsum(new_key) - 1
+        return pa.table({
+            key: pa.array(k[new_key]),
+            "n_events": pa.array(np.bincount(run).astype(np.int64)),
+            "n_sessions": pa.array(np.bincount(run, weights=brk)
+                                   .astype(np.int64) + 1),
         })
 
-    return (events.groupby(key)
-            .map_groups(per_key, batch_format="pandas"))
+    return shard_scan(events.map_batches(project, batch_format="pyarrow"),
+                      shard_of, scan, n_shards)
 
 
 def lineitem_pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-01") -> Dataset:

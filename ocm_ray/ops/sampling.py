@@ -85,15 +85,23 @@ def stratified_sample(ds: Dataset, key_col: str,
     """Per-key keep-fractions (the data-mixing knob of a pretraining
     corpus: e.g. ``{"web": 0.3, "books": 1.0}``); rows of unlisted keys
     keep ``default_fraction``. One broadcast dict, one filter pass."""
+    import pyarrow.compute as pc
     import ray
 
-    ref = ray.put(dict(fractions))
+    ref = ray.put((list(fractions.keys()),
+                   np.asarray(list(fractions.values()), dtype=np.float64)))
 
     def f(batch: pa.Table) -> pa.Table:
-        fr = ray.get(ref)
+        keys, fracs = ray.get(ref)
         u = _bucket01(batch, id_col, seed)
-        keys = batch.column(key_col).to_pylist()
-        thr = np.array([fr.get(k, default_fraction) for k in keys])
+        # vectorized key→fraction: Arrow index_in against the broadcast
+        # key list, numpy take of the fraction vector (miss → default)
+        idx = pc.index_in(batch.column(key_col), value_set=pa.array(keys)) \
+            .to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx.astype(np.float64)) if idx.dtype.kind == "f" \
+            else (idx < 0)
+        thr = np.where(miss, default_fraction,
+                       fracs[np.where(miss, 0, idx).astype(np.int64)])
         return batch.filter(pa.array(u < thr))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -151,16 +151,21 @@ def build_ann_index(ds: Dataset, index_dir: str, bits: int = 8,
 
 
 def lsh_topk(ds: Optional[Dataset], queries: np.ndarray, k: int = 10,
-             bits: int = 8, multiprobe: int = 1, id_col: str = "vec_id",
-             emb_col: str = "embedding", seedseed: int = 137,
+             bits: Optional[int] = None, multiprobe: int = 1,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             seedseed: Optional[int] = None,
              index_dir: Optional[str] = None) -> pd.DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
     ``multiprobe`` bit-flips of the query's bucket.
 
-    Two modes: ``ds`` given → bucket on the fly (one corpus scan);
-    ``index_dir`` given → pruned ``read_parquet`` of ONLY the probed
-    bucket partitions of a :func:`build_ann_index` layout — the
-    100 TB path (per-query I/O ∝ probed fraction, not corpus size)."""
+    Two modes: ``ds`` given → bucket on the fly (one corpus scan;
+    ``bits``/``seedseed`` default 8/137); ``index_dir`` given → pruned
+    ``read_parquet`` of ONLY the probed bucket partitions of a
+    :func:`build_ann_index` layout — the 100 TB path (per-query I/O ∝
+    probed fraction, not corpus size). In index mode the geometry comes
+    from the persisted sidecar; explicitly passed ``bits``/``seedseed``
+    must MATCH it (probing a different geometry than the one the index
+    was bucketed with returns silently wrong neighbors)."""
     q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     if index_dir is not None:
         import json
@@ -171,6 +176,12 @@ def lsh_topk(ds: Optional[Dataset], queries: np.ndarray, k: int = 10,
         with open(f"{index_dir}/_ann_meta.json") as f:
             meta = json.load(f)
         assert meta["dim"] == q.shape[1]
+        if bits is not None and bits != meta["bits"]:
+            raise ValueError(f"lsh_topk: bits={bits} != index meta "
+                             f"bits={meta['bits']} ({index_dir})")
+        if seedseed is not None and seedseed != meta["seedseed"]:
+            raise ValueError(f"lsh_topk: seedseed={seedseed} != index meta "
+                             f"seedseed={meta['seedseed']} ({index_dir})")
         allowed = _probe_buckets(q, meta["bits"], multiprobe, meta["seedseed"])
         import glob as _glob
 
@@ -182,6 +193,8 @@ def lsh_topk(ds: Optional[Dataset], queries: np.ndarray, k: int = 10,
         return brute_force_topk(rd.read_parquet(paths), q, k, id_col,
                                 meta["emb_col"])
 
+    bits = 8 if bits is None else bits
+    seedseed = 137 if seedseed is None else seedseed
     allowed = _probe_buckets(q, bits, multiprobe, seedseed)
     bucketed = add_lsh_bucket(ds, q.shape[1], bits, emb_col, seedseed)
     filtered = bucketed.map_batches(

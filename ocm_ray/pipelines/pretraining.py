@@ -22,10 +22,28 @@ import pyarrow.compute as pc
 
 def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
            near_dup_threshold: float = 0.85,
-           concurrency: int = 4) -> dict:
+           concurrency: int = 4, overwrite: bool = False) -> dict:
     """Run the curation flow over a documents Parquet table; returns a
-    summary dict (counts per stage, per-source distincts)."""
+    summary dict (counts per stage, per-source distincts).
+
+    ``out_dir`` must not already hold Parquet (``write_parquet`` appends
+    uniquely-named files, so a re-run into a dirty sink would double-count
+    ``n_output`` and feed stale rows into the per-source stats); pass
+    ``overwrite=True`` to clear it first."""
+    import glob as _glob
+    import shutil
+
     import ray.data as rd
+
+    stale = _glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                       recursive=True)
+    if stale:
+        if not overwrite:
+            raise FileExistsError(
+                f"curate: {out_dir} already holds {len(stale)} parquet "
+                "file(s) from a previous run — pass overwrite=True to "
+                "replace, or choose a fresh out_dir")
+        shutil.rmtree(out_dir)
 
     from ocm_ray.engine.build import grouped_sketches
     from ocm_ray.ops.dedup import minhash_lsh_pairs

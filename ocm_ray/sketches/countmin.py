@@ -233,9 +233,13 @@ class CountMinPow2(_CMGeometry):
 
     def __init__(self, np_bits: int = 20, nh: int = 7, seedseed: int = 137):
         super().__init__(np_bits, nh, seedseed, counter_dtype="uint8")
+        # decay-RNG counter persists with the state (like HeavyKeeper's
+        # _ctr): a restored sketch must NOT replay a fresh sketch's
+        # random stream, which would correlate Morris trials across
+        # save/load cycles
+        self._rng_ctr = np.zeros(1, dtype=np.int64)
 
     def _uniform(self, k: int) -> np.ndarray:
-        self._rng_ctr = getattr(self, "_rng_ctr", np.zeros(1, dtype=np.int64))
         self._rng_ctr[0] += 1
         from ocm_ray.core.hashing import wanghash as _wh
 
@@ -307,7 +311,8 @@ class CountMinPow2(_CMGeometry):
         return dict(np_bits=self.np_bits, nh=self.nh, seedseed=self.seedseed)
 
     def _arrays(self) -> Dict[str, np.ndarray]:
-        return {"core": self.core, "n_items": self.n_items}
+        return {"core": self.core, "n_items": self.n_items,
+                "_rng_ctr": self._rng_ctr}
 
 
 @register_sketch

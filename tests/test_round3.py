@@ -1,0 +1,208 @@
+"""Round-3 regression tests: vectorized pair expansion, scale-shaped
+sessionize, ADVICE fixes (simhash overflow, null tokens, RNG-counter
+persistence, dirty-sink guard, ANN geometry guard)."""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _brute_pairs(key, max_bucket=None):
+    """Reference pair expansion: per-bucket Python loop (the old code)."""
+    out = set()
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, k in enumerate(key):
+        buckets[k].append(i)
+    for idxs in buckets.values():
+        if len(idxs) < 2 or (max_bucket is not None and len(idxs) > max_bucket):
+            continue
+        for x in range(len(idxs)):
+            for y in range(x + 1, len(idxs)):
+                out.add((min(idxs[x], idxs[y]), max(idxs[x], idxs[y])))
+    return out
+
+
+def test_scan_runs_vectorized_parity():
+    from ocm_ray.ops.pairs import _scan_runs
+
+    rng = np.random.default_rng(11)
+    key = rng.integers(0, 300, size=2000).astype(np.uint64)
+    for cap in (None, 5):
+        ii, jj = _scan_runs(key, cap)
+        got = {(min(a, b), max(a, b)) for a, b in zip(ii.tolist(), jj.tolist())}
+        assert got == _brute_pairs(key, cap)
+        assert len(got) == len(ii)  # no duplicate index pairs emitted
+
+
+def test_scan_runs_many_small_buckets_fast():
+    """10^5 colliding buckets in one shard — the shape that cliffed the
+    per-bucket Python loop. Vectorized expansion is sub-second."""
+    from ocm_ray.ops.pairs import _scan_runs
+
+    rng = np.random.default_rng(5)
+    # 100k buckets x ~3 rows each
+    key = np.repeat(np.arange(100_000, dtype=np.uint64),
+                    rng.integers(2, 5, size=100_000))
+    rng.shuffle(key)
+    t0 = time.perf_counter()
+    ii, jj = _scan_runs(key, None)
+    dt = time.perf_counter() - t0
+    # exact expected pair count: sum of C(len,2) over buckets
+    lens = np.bincount(key.astype(np.int64))
+    assert len(ii) == int((lens * (lens - 1) // 2).sum())
+    assert (key[ii] == key[jj]).all()
+    assert dt < 5.0, f"vectorized scan took {dt:.2f}s on 1e5 buckets"
+
+
+def test_sessionize_100k_users_matches_pandas():
+    """Scale shape: 100k distinct keys through sessionize without per-key
+    dispatch (the old per-user map_groups would take ~100 s+ in dispatch
+    alone); verified against a pandas reference."""
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import sessionize
+
+    rng = np.random.default_rng(17)
+    n_users, n_events = 100_000, 400_000
+    uid = rng.integers(0, n_users, size=n_events)
+    ts_s = rng.integers(0, 40 * 86400, size=n_events)
+    df = pd.DataFrame({"user_id": uid,
+                       "ts": pd.to_datetime(ts_s, unit="s")})
+    t0 = time.perf_counter()
+    got = (sessionize(rd.from_pandas(df), gap_sec=1800)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    dt = time.perf_counter() - t0
+
+    def ref_sessions(g):
+        t = np.sort(g.astype("datetime64[s]").astype(np.int64).to_numpy())
+        return 1 + int((np.diff(t) > 1800).sum())
+
+    ref = (df.groupby("user_id")["ts"]
+           .agg(n_events="size", n_sessions=ref_sessions)
+           .reset_index().sort_values("user_id").reset_index(drop=True))
+    assert len(got) == len(ref)
+    assert (got["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == ref["n_events"].to_numpy()).all()
+    assert (got["n_sessions"].to_numpy() == ref["n_sessions"].to_numpy()).all()
+    assert dt < 120, f"sessionize took {dt:.1f}s at 100k users"
+
+
+def test_sessionize_string_keys():
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import sessionize
+
+    df = pd.DataFrame({
+        "user_id": ["a", "b", "a", "a", "b"],
+        "ts": pd.to_datetime([0, 10, 100, 10_000, 20], unit="s"),
+    })
+    got = (sessionize(rd.from_pandas(df), gap_sec=1800)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got["user_id"].tolist() == ["a", "b"]
+    assert got["n_events"].tolist() == [3, 2]
+    assert got["n_sessions"].tolist() == [2, 1]  # a: gap 100→10000s > 1800
+
+
+def test_simhash_spammy_repeated_token_no_overflow():
+    """A doc dominated by one repeated token (>32767 occurrences) must
+    produce the SAME fingerprint as a single occurrence — int16
+    accumulation used to wrap and flip bits (ADVICE r2)."""
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import simhash_fingerprints
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [" ".join(["spam"] * 40_000), "spam"],
+    })
+    out = (simhash_fingerprints(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id"))
+    assert out["simhash"].iloc[0] == out["simhash"].iloc[1]
+
+
+def test_split_words_hashed_null_strings():
+    from ocm_ray.engine.tokens import hash_string_array, split_words_hashed
+
+    arr = pa.array(["a b", None, "c"])
+    flat, lens = split_words_hashed(arr)
+    # null row behaves as "" → one empty-string token
+    assert lens.tolist() == [2, 1, 1]
+    assert len(flat) == 4
+    empty_hash = hash_string_array(pa.array([""]))[0]
+    assert flat[2] == empty_hash
+
+
+def test_countmin_pow2_rng_ctr_persists():
+    from ocm_ray.sketches.base import MergeableSketch
+    from ocm_ray.sketches.countmin import CountMinPow2
+
+    sk = CountMinPow2(np_bits=8, nh=3, seedseed=42)
+    items = np.arange(1000, dtype=np.uint64)
+    sk.update(items, np.full(1000, 50, dtype=np.int64))
+    assert sk._rng_ctr[0] > 0
+    restored = MergeableSketch.from_bytes(sk.to_bytes())
+    assert restored._rng_ctr[0] == sk._rng_ctr[0]
+    # continued updates on the restored sketch draw the SAME stream as
+    # the original continuing — not a fresh sketch's replayed stream
+    sk.update(items, np.full(1000, 50, dtype=np.int64))
+    restored.update(items, np.full(1000, 50, dtype=np.int64))
+    assert (restored.core == sk.core).all()
+    assert restored._rng_ctr[0] == sk._rng_ctr[0]
+
+
+def test_curate_refuses_dirty_out_dir(tmp_path):
+    from ocm_ray.pipelines.pretraining import curate
+
+    out = tmp_path / "sink"
+    (out / "source=web").mkdir(parents=True)
+    (out / "source=web" / "stale.parquet").write_bytes(b"junk")
+    with pytest.raises(FileExistsError):
+        curate("/root/testdata/sf0.001/documents.parquet", str(out))
+
+
+def test_lsh_topk_geometry_mismatch_raises(tmp_path):
+    import ray.data as rd
+
+    from ocm_ray.ops.similarity import build_ann_index, lsh_topk
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "vec_id": np.arange(50),
+        "embedding": list(rng.normal(size=(50, 8))),
+    })
+    idx = str(tmp_path / "idx")
+    build_ann_index(rd.from_pandas(df), idx, bits=6)
+    q = rng.normal(size=(1, 8))
+    with pytest.raises(ValueError):
+        lsh_topk(None, q, k=3, bits=4, index_dir=idx)
+    with pytest.raises(ValueError):
+        lsh_topk(None, q, k=3, seedseed=999, index_dir=idx)
+    # matching explicit geometry passes
+    out = lsh_topk(None, q, k=3, bits=6, seedseed=137, index_dir=idx)
+    assert len(out) <= 3
+
+
+def test_stratified_sample_missing_and_nonstring_keys():
+    """index_in path: unlisted keys take default_fraction exactly."""
+    import ray.data as rd
+
+    from ocm_ray.ops.sampling import stratified_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(4000),
+                       "source": np.repeat(["web", "code", "books", "other"],
+                                           1000)})
+    out = stratified_sample(rd.from_pandas(df), "source",
+                            {"web": 0.0, "code": 1.0},
+                            default_fraction=0.5).to_pandas()
+    got = out.groupby("source").size()
+    assert got.get("web", 0) == 0
+    assert got["code"] == 1000
+    for k in ("books", "other"):
+        assert 350 < got[k] < 650
