@@ -752,6 +752,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows)
     q["hmh_source_similarity"] = hmh_source_similarity
 
+    def setsketch_source_stats(sf_dir):
+        """SetSketch (setsketch.h:537-775, Ertl's GSS) per source:
+        max-mergeable geometric registers give BOTH cardinality and
+        pairwise Jaccard/union from one sketch. Distinct estimates are
+        asserted against the engine's exact per-source distincts (whose
+        SQL hash-match is proven by distinct_tokens_by_source); union
+        size must dominate both cardinalities."""
+        import ray.data as rd
+
+        from ocm_ray.engine.build import grouped_sketches
+        from ocm_ray.ops.relational import distinct_tokens_by_key
+        from ocm_ray.sketches import SetSketch
+
+        seq = _seq_dir_for(sf_dir)
+        per = grouped_sketches(rd.read_parquet(seq, columns=["tokens", "source"]),
+                               "source", lambda: SetSketch.byte(1024))
+        exact = distinct_tokens_by_key(
+            rd.read_parquet(seq, columns=["tokens", "source"])).to_pandas() \
+            .set_index("source")["distinct_tokens"]
+        for s, sk in per.items():
+            rel = abs(sk.estimate() - exact[s]) / exact[s]
+            assert rel < 0.15, (s, sk.estimate(), exact[s])
+        names = sorted(per)
+        rows = []
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                u = per[a].union_size(per[b])
+                assert u >= max(per[a].estimate(), per[b].estimate()) * 0.9
+                rows.append({"a": a, "b": b,
+                             "distinct_a": round(per[a].estimate()),
+                             "union_est": round(u),
+                             "jaccard": round(per[a].jaccard(per[b]), 3)})
+        return pd.DataFrame(rows)
+    q["setsketch_source_stats"] = setsketch_source_stats
+
     def minhash_source_similarity(sf_dir):
         import ray.data as rd
 

@@ -519,15 +519,26 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
     from ocm_ray.ops.similarity import _embedding_matrix, _normalize, add_lsh_bucket
 
     if bits:
-        # 2^bits groups only — map_groups dispatch cost is negligible at
-        # this group count, and each bucket is scored by one vectorized
-        # matmul inside its task (nothing corpus-sized on the driver)
+        # 2^bits buckets, exchanged worker-to-worker via the raw-task
+        # shard_scan (shard == bucket): each bucket is scored by one
+        # vectorized matmul inside its task — nothing corpus-sized on
+        # the driver (Ray's groupby/map_groups AllToAll retains driver
+        # memory ∝ shuffled bytes, see ops/pairs.shard_scan)
+        from ocm_ray.ops.pairs import shard_scan
+
         bucketed = add_lsh_bucket(ds, dim=len(ds.take(1)[0][emb_col]),
                                   bits=bits, emb_col=emb_col, seedseed=seedseed)
 
+        def bucket_of(tbl: pa.Table) -> np.ndarray:
+            return tbl.column("bucket").to_numpy(zero_copy_only=False) \
+                .astype(np.int32)
+
         def score_bucket(group: pa.Table) -> pa.Table:
-            m = _normalize(_embedding_matrix(group, emb_col))
             ids = group.column(id_col).to_numpy(zero_copy_only=False)
+            if group.num_rows == 0:
+                return pa.table({"a": pa.array(ids), "b": pa.array(ids),
+                                 "sim": pa.array(np.empty(0, np.float64))})
+            m = _normalize(_embedding_matrix(group, emb_col))
             sims = m @ m.T
             ii, jj = np.where(np.triu(sims >= threshold, k=1))
             a, b = ids[ii], ids[jj]
@@ -536,8 +547,8 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
             return pa.table({"a": pa.array(a), "b": pa.array(b),
                              "sim": pa.array(sims[ii, jj])})
 
-        out = (bucketed.groupby("bucket")
-               .map_groups(score_bucket, batch_format="pyarrow").to_pandas())
+        out = shard_scan(bucketed, bucket_of, score_bucket,
+                         n_shards=1 << bits).to_pandas()
         if len(out) == 0:
             return pd.DataFrame({"a": [], "b": [], "sim": []})
         return (out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
@@ -609,12 +620,14 @@ def bloom_dedup_filter(ds: Dataset, id_col: str = "doc_id",
     of a content-hash set.
 
     Partitioning contract (documented assumption): content hashes are
-    sharded by hash prefix and each shard's rows pass through ONE task
+    sharded by hash prefix (raw-task ``shard_scan`` exchange — driver
+    holds only ObjectRefs) and each shard's rows pass through ONE task
     holding its own filter, so every copy of a given content meets the
     same filter; cross-shard duplicates are impossible by construction.
     Approximate: a false positive (probability from ``BloomFilter.fpr``)
     drops a non-duplicate row. Which copy survives follows shard-local
     encounter order (one copy always survives)."""
+    from ocm_ray.ops.pairs import shard_scan
     from ocm_ray.sketches import BloomFilter
 
     bits = int(n_shards).bit_length() - 1
@@ -624,19 +637,22 @@ def bloom_dedup_filter(ds: Dataset, id_col: str = "doc_id",
         from ocm_ray.engine.tokens import hash_string_array
 
         h = hash_string_array(batch.column(text_col))
-        shard = (h >> U64(64 - bits)).astype(np.int32) if bits else \
+        return batch.append_column("content_hash",
+                                   pa.array(h.view(np.int64)))
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        h = tbl.column("content_hash").to_numpy(zero_copy_only=False).view(U64)
+        return (h >> U64(64 - bits)).astype(np.int32) if bits else \
             np.zeros(len(h), np.int32)
-        return (batch.append_column("content_hash", pa.array(h.view(np.int64)))
-                .append_column("shard", pa.array(shard)))
 
     def dedup_shard(group: pa.Table) -> pa.Table:
         bf = BloomFilter(p, nh, seedseed)
         h = group.column("content_hash").to_numpy(zero_copy_only=False).view(U64)
         seen = bf.test_and_add(h)
-        return group.filter(pa.array(~seen)).drop_columns(["content_hash", "shard"])
+        return group.filter(pa.array(~seen)).drop_columns(["content_hash"])
 
-    return (ds.map_batches(add_keys, batch_format="pyarrow")
-            .groupby("shard").map_groups(dedup_shard, batch_format="pyarrow"))
+    return shard_scan(ds.map_batches(add_keys, batch_format="pyarrow"),
+                      shard_of, dedup_shard, n_shards)
 
 
 def exact_dedup(ds: Dataset, id_col: str = "doc_id",

@@ -23,6 +23,7 @@ from ocm_ray.sketches.hyperminhash import HyperMinHash
 from ocm_ray.sketches.kll import KLL
 from ocm_ray.sketches.minhash import BottomKMinHash
 from ocm_ray.sketches.pcsa import PCSA, ProbabilisticCounter
+from ocm_ray.sketches.setsketch import SetSketch
 from ocm_ray.sketches.tdigest import TDigest
 
 __all__ = [
@@ -32,5 +33,5 @@ __all__ = [
     "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
     "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
-    "HyperMinHash", "BBitMinHash",
+    "HyperMinHash", "BBitMinHash", "SetSketch",
 ]

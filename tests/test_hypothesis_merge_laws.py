@@ -6,7 +6,8 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from ocm_ray.sketches import BloomFilter, CountMin, HyperLogLog, merge_all
+from ocm_ray.sketches import (BloomFilter, CountMin, HyperLogLog, SetSketch,
+                              merge_all)
 
 streams = st.lists(st.integers(min_value=0, max_value=2**40), min_size=0,
                    max_size=400)
@@ -38,6 +39,7 @@ def test_partition_invariance_order_free(xs, cuts):
         (lambda: CountMin(8, 3), "core"),
         (lambda: HyperLogLog(6), "registers"),
         (lambda: BloomFilter(10, 3), "words"),
+        (lambda: SetSketch.byte(16), "core"),
     ]:
         whole = factory()
         whole.update(np.array(xs, dtype=np.uint64))

@@ -206,3 +206,55 @@ def test_stratified_sample_missing_and_nonstring_keys():
     assert got["code"] == 1000
     for k in ("books", "other"):
         assert 350 < got[k] < 650
+
+
+def test_setsketch_estimators():
+    """SetSketch (setsketch.h:537-775 semantics): cardinality within
+    ~4/sqrt(m), Jaccard/union via alpha-beta, exact merge law, byte/
+    nibble/short presets, serialization round trip, and the threshold-
+    count equivalence of the register codec."""
+    from ocm_ray.sketches import SetSketch
+    from ocm_ray.sketches.base import MergeableSketch
+
+    n = 100_000
+    for mk in (SetSketch.byte, SetSketch.short):
+        sk = mk(1024)
+        sk.update(np.arange(n, dtype=np.uint64))
+        assert abs(sk.estimate() - n) / n < 0.12
+
+    items = np.arange(50_000, dtype=np.uint64)
+    a, b = SetSketch.byte(1024), SetSketch.byte(1024)
+    a.update(items[:30_000])
+    b.update(items[15_000:])          # |A∩B|=15k, |A∪B|=50k → J=0.3
+    assert abs(a.jaccard(b) - 0.3) < 0.08
+    assert abs(a.union_size(b) - 50_000) / 50_000 < 0.12
+
+    # merge == bulk build (max-mergeable registers), any partitioning
+    m1 = SetSketch.byte(1024)
+    m1.update(items[:30_000])
+    m1.merge(b)
+    full = SetSketch.byte(1024)
+    full.update(items)
+    assert (m1.core == full.core).all()
+
+    # serialization reconstructs geometry + registers
+    rt = MergeableSketch.from_bytes(full.to_bytes())
+    assert (rt.core == full.core).all() and rt._params() == full._params()
+
+    # counts are irrelevant to a set sketch (set semantics)
+    c1 = SetSketch.byte(256)
+    c1.update(items[:1000], np.full(1000, 99, dtype=np.int64))
+    c2 = SetSketch.byte(256)
+    c2.update(items[:1000])
+    assert (c1.core == c2.core).all()
+
+    # register codec: K equals the count of thresholds exp(-a*b^(1-k)) <= U
+    sk = SetSketch.byte(64)
+    k = sk._k_matrix(np.arange(500, dtype=np.uint64))
+    from ocm_ray.core.hashing import wanghash
+    h = wanghash(np.arange(500, dtype=np.uint64)[:, None] ^ sk._seeds[None, :])
+    u = (h.astype(np.float64) + 1.0) / np.float64(2.0**64)
+    ks = np.arange(1, sk.q + 2, dtype=np.float64)
+    thr = np.exp(-sk.a * sk.b ** (1.0 - ks))
+    alt = np.searchsorted(thr, u.ravel(), side="right").reshape(u.shape)
+    assert (k == alt).all()
