@@ -713,6 +713,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.reset_index(drop=True)
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    def ivf_ann_topk(sf_dir):
+        """IVF ANN through the persistent cell-partitioned index
+        (k-means coarse quantizer): built once per corpus, probes read
+        only the n_probe nearest inverted lists; recall vs the exact
+        brute-force top-10 asserted in-query."""
+        import pyarrow.parquet as pq
+
+        from ocm_ray.ops.similarity import (brute_force_topk,
+                                            build_ivf_index, ivf_topk)
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qvec = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        idx_dir = f"{_SEQ_ROOT}/ivf_index_{tag}_c32"
+        if not os.path.exists(os.path.join(idx_dir, "_ivf_meta.json")):
+            build_ivf_index(_read(sf_dir, "embeddings"), idx_dir,
+                            n_centroids=32)
+        out = ivf_topk(qvec[None, :], k=10, n_probe=8, index_dir=idx_dir)
+        exact = brute_force_topk(_read(sf_dir, "embeddings"),
+                                 qvec[None, :], k=10)
+        recall = len(set(out["vec_id"]) & set(exact["vec_id"])) / len(exact)
+        assert recall >= 0.5, f"IVF recall@10 {recall} (n_probe=8/32)"
+        out = out[["vec_id", "sim"]].copy()
+        out["sim"] = out["sim"].round(4)
+        return out.reset_index(drop=True)
+    q["ivf_ann_topk"] = ivf_ann_topk
+
     def hll_source_overlap(sf_dir):
         """Sketch set-algebra (hll.h:1124-1160 semantics): pairwise union
         size + Jaccard between per-source token sets."""

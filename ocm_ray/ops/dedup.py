@@ -598,17 +598,48 @@ def add_content_hash(ds: Dataset, id_col: str = "doc_id",
 
 
 def exact_dedup_groups(ds: Dataset, id_col: str = "doc_id",
-                       text_col: str = "text") -> Dataset:
-    """(content_hash, id, n_copies) per distinct content — NATIVE
-    ``groupby().aggregate`` (hash-based, no per-group task dispatch; the
-    map_groups form costs ~1 ms/group over a near-unique keyspace,
-    CLAUDE.md rule 3)."""
-    from ray.data.aggregate import Count, Min
+                       text_col: str = "text",
+                       n_shards: int = 64) -> Dataset:
+    """(content_hash, id, n_copies) per distinct content.
 
-    return (add_content_hash(ds, id_col, text_col)
-            .groupby("content_hash")
-            .aggregate(Min(id_col, alias_name=id_col),
-                       Count(alias_name="n_copies")))
+    Content hashes are NEAR-UNIQUE keys, so any native Ray groupby form
+    is wrong here twice over: ``map_groups`` costs ~1 ms/group
+    (CLAUDE.md rule 3) and the AllToAll shuffle retains driver memory
+    ∝ the corpus-sized (hash, id) table (rule 3b). Instead: raw-task
+    :func:`ocm_ray.ops.pairs.shard_scan` exchange by hash prefix (every
+    copy of a content lands in one shard), then ONE Arrow sort +
+    vectorized run scan per shard — min id = first row of each (hash,
+    id)-sorted run, n_copies = run length. Output stays a distributed
+    Dataset (one block per shard); the driver holds only ObjectRefs."""
+    import pyarrow.compute as _pc
+
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+
+    bits = _shard_bits(n_shards)
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        h = tbl.column("content_hash").to_numpy(zero_copy_only=False).view(U64)
+        return (h >> U64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(h), np.int32)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"content_hash": tbl.column("content_hash"),
+                             id_col: tbl.column(id_col),
+                             "n_copies": pa.array([], pa.int64())})
+        idx = _pc.sort_indices(tbl, sort_keys=[("content_hash", "ascending"),
+                                               (id_col, "ascending")])
+        s = tbl.take(idx)
+        h = s.column("content_hash").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(h)]]))
+        rep = s.take(pa.array(starts))
+        return pa.table({"content_hash": rep.column("content_hash"),
+                         id_col: rep.column(id_col),
+                         "n_copies": pa.array(lens.astype(np.int64))})
+
+    return shard_scan(add_content_hash(ds, id_col, text_col),
+                      shard_of, scan, n_shards)
 
 
 def bloom_dedup_filter(ds: Dataset, id_col: str = "doc_id",

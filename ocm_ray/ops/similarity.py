@@ -202,3 +202,104 @@ def lsh_topk(ds: Optional[Dataset], queries: np.ndarray, k: int = 10,
                                             value_set=pa.array(allowed, pa.int32()))),
         batch_format="pyarrow")
     return brute_force_topk(filtered, q, k, id_col, emb_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer + partitioned index.
+# Complements lsh_topk: data-adaptive cells follow the embedding
+# distribution (LSH cells are data-oblivious), usually better recall per
+# probed fraction on clustered real-world embeddings.
+
+
+def _kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 12,
+                seedseed: int = 137) -> np.ndarray:
+    """Deterministic spherical k-means on a normalized sample:
+    kmeans++-style farthest-point init seeded by the engine RNG, Lloyd
+    iterations with cosine assignment; empty cells re-seeded from the
+    worst-assigned points. Pure numpy, O(sample x n_centroids) per
+    iteration — the sample is driver-sized by contract, the corpus
+    never is."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    rng = MT19937_64(seedseed + 11)
+    cent = [x[rng() % n]]
+    d2 = 1.0 - x @ cent[0]
+    for _ in range(1, min(n_centroids, n)):
+        j = int(np.argmax(d2))          # deterministic farthest point
+        cent.append(x[j])
+        d2 = np.minimum(d2, 1.0 - x @ cent[-1])
+    c = np.stack(cent)
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        newc = np.zeros_like(c)
+        np.add.at(newc, assign, x)
+        counts = np.bincount(assign, minlength=len(c))
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(sims.max(axis=1))[: int(empty.sum())]
+            newc[empty] = x[worst]
+            counts[empty] = 1
+        c = _normalize(newc / counts[:, None])
+    return c
+
+
+def build_ivf_index(ds: Dataset, index_dir: str, n_centroids: int = 64,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    sample_size: int = 20_000, seedseed: int = 137) -> dict:
+    """Materialize an IVF ANN index: k-means centroids trained on a
+    deterministic sample, corpus assigned to its nearest centroid in one
+    vectorized map, Parquet partitioned by ``cell`` (one directory per
+    inverted list — the prunable layout), centroids in a JSON sidecar.
+    Probe I/O of :func:`ivf_topk` is then ∝ probed cells, not corpus."""
+    import json
+
+    sample_tbl = ds.limit(sample_size).take_batch(sample_size,
+                                                  batch_format="pyarrow")
+    sample = _embedding_matrix(pa.table(sample_tbl), emb_col)
+    cents = _kmeans_fit(sample, n_centroids, seedseed=seedseed)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        cell = (m @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell))
+
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["cell"])
+    meta = dict(dim=int(cents.shape[1]), n_centroids=int(len(cents)),
+                seedseed=seedseed, emb_col=emb_col,
+                centroids=[[float(v) for v in row] for row in cents])
+    with open(f"{index_dir}/_ivf_meta.json", "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_topk(queries: np.ndarray, k: int = 10, n_probe: int = 4,
+             index_dir: str = None, id_col: str = "vec_id") -> pd.DataFrame:
+    """Approximate cosine top-k against a :func:`build_ivf_index` layout:
+    score only the ``n_probe`` nearest inverted lists per query (union
+    across queries), via a pruned ``read_parquet`` of those cell
+    partitions — the 100 TB path (per-query I/O ∝ probed fraction)."""
+    import glob as _glob
+    import json
+
+    import ray.data as rd
+
+    with open(f"{index_dir}/_ivf_meta.json") as f:
+        meta = json.load(f)
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    assert q.shape[1] == meta["dim"], "query dim != index dim"
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    sims = _normalize(q) @ cents.T
+    probe = np.unique(
+        np.argpartition(-sims, min(n_probe, sims.shape[1]) - 1,
+                        axis=1)[:, :n_probe].ravel())
+    paths = [f for c in probe.tolist()
+             for f in sorted(_glob.glob(f"{index_dir}/cell={c}/*.parquet"))]
+    if not paths:
+        return pd.DataFrame({"query_idx": [], "vec_id": [], "sim": [],
+                             "rank": []})
+    return brute_force_topk(rd.read_parquet(paths), q, k, id_col,
+                            meta["emb_col"])
