@@ -292,3 +292,50 @@ def test_ivf_index_recall_and_pruning(tmp_path):
     meta2 = build_ivf_index(rd.from_pandas(df), str(tmp_path / "ivf2"),
                             n_centroids=32)
     assert meta2["centroids"] == meta["centroids"]
+
+
+def test_shard_scan_exchange_properties():
+    """shard_scan (the raw-task exchange behind collision_pairs,
+    sessionize, bloom/exact dedup, embedding buckets): exhaustive row
+    exchange (no loss/duplication), shard purity (each scan sees only
+    its shard), empty input, and the n_shards=1 fast path."""
+    import ray.data as rd
+
+    from ocm_ray.ops.pairs import shard_scan
+
+    n = 10_000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "v": np.arange(n, dtype=np.int64) * 2})
+    ds = rd.from_pandas(df).repartition(7)
+
+    def shard_of(tbl):
+        return (tbl.column("k").to_numpy() % 8).astype(np.int32)
+
+    def scan(tbl):
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        assert len(np.unique(k % 8)) <= 1  # shard purity
+        return tbl
+
+    out = shard_scan(ds, shard_of, scan, 8).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert len(out) == n
+    assert (out["k"].to_numpy() == np.arange(n)).all()
+    assert (out["v"].to_numpy() == np.arange(n) * 2).all()
+
+    # n_shards=1: single concat scan over all blocks
+    one = shard_scan(ds, shard_of, lambda t: t, 1).to_pandas()
+    assert len(one) == n
+
+    # empty input: scan_fn sees an empty table with the right schema
+    # (typed arrow empty — from_pandas on an empty frame degrades
+    # dtypes to null, a pandas quirk unrelated to the exchange)
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                    "v": pa.array([], pa.int64())}))
+    out_e = shard_scan(empty, shard_of,
+                       lambda t: t.append_column(
+                           "n", pa.array(np.full(t.num_rows, 1,
+                                                 dtype=np.int64))), 4)
+    # NB Dataset.to_pandas drops columns when every block is empty (Ray
+    # quirk; library call sites guard len==0) — check schema + count
+    assert out_e.count() == 0
+    assert "n" in out_e.schema().names
