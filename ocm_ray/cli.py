@@ -223,6 +223,60 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """ANN index lifecycle: build an LSH- or IVF-partitioned Parquet
+    index over an embeddings table, or probe one with query vectors."""
+    import numpy as np
+    import ray.data as rd
+
+    _init_ray(args.num_cpus)
+    from ocm_ray.ops import similarity as sim
+
+    t0 = time.time()
+    if args.action == "build":
+        files = _input_files(args.input)
+        if not files:
+            print(f"no parquet files under {args.input}", file=sys.stderr)
+            return 2
+        ds = rd.read_parquet(files)
+        if args.kind == "lsh":
+            meta = sim.build_ann_index(ds, args.index_dir, bits=args.bits,
+                                       emb_col=args.emb_col)
+        else:
+            meta = sim.build_ivf_index(ds, args.index_dir,
+                                       n_centroids=args.centroids,
+                                       emb_col=args.emb_col,
+                                       id_col=args.id_col)
+        meta = {k: v for k, v in meta.items() if k != "centroids"}
+        print(json.dumps({"action": "build", "kind": args.kind, **meta,
+                          "wall_sec": round(time.time() - t0, 3)}))
+        return 0
+    # probe: query vectors from a parquet embeddings table
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(args.queries, columns=[args.emb_col])
+    q = np.array([r.as_py() for r in qt.column(args.emb_col)],
+                 dtype=np.float64)
+    if args.kind == "lsh":
+        out = sim.lsh_topk(None, q, k=args.k, multiprobe=args.probe,
+                           index_dir=args.index_dir, id_col=args.id_col)
+    else:
+        out = sim.ivf_topk(q, k=args.k, n_probe=args.probe,
+                           index_dir=args.index_dir, id_col=args.id_col)
+    if args.output.endswith(".csv"):
+        out.to_csv(args.output, index=False)
+    else:
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       args.output)
+    print(json.dumps({"action": "probe", "kind": args.kind,
+                      "n_queries": len(q), "rows": len(out),
+                      "wall_sec": round(time.time() - t0, 3),
+                      "out": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ocm_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -288,6 +342,23 @@ def main(argv=None) -> int:
                    help=".csv or .parquet for pairs; directory for bloom")
     d.add_argument("--num-cpus", type=int)
     d.set_defaults(fn=cmd_dedup)
+
+    a = sub.add_parser("ann", help="build / probe a partitioned ANN index")
+    a.add_argument("action", choices=["build", "probe"])
+    a.add_argument("--kind", default="ivf", choices=["lsh", "ivf"])
+    a.add_argument("--input", help="embeddings parquet (build)")
+    a.add_argument("--queries", help="query-vectors parquet (probe)")
+    a.add_argument("--index-dir", required=True)
+    a.add_argument("--emb-col", default="embedding")
+    a.add_argument("--id-col", default="vec_id")
+    a.add_argument("--bits", type=int, default=8, help="lsh hyperplanes")
+    a.add_argument("--centroids", type=int, default=64, help="ivf cells")
+    a.add_argument("-k", type=int, default=10)
+    a.add_argument("--probe", type=int, default=4,
+                   help="multiprobe flips (lsh) / cells probed (ivf)")
+    a.add_argument("-o", "--output", help=".csv or .parquet (probe)")
+    a.add_argument("--num-cpus", type=int)
+    a.set_defaults(fn=cmd_ann)
 
     args = p.parse_args(argv)
     try:

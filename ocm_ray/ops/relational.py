@@ -30,7 +30,16 @@ def exact_token_counts(ds: Dataset, column: str = "tokens") -> Dataset:
         from ocm_ray.engine.tokens import list_column_values
 
         flat, _ = list_column_values(batch, column)
-        uniq, cnt = np.unique(flat, return_counts=True)
+        # bounded nonnegative id domain (the vocab case): dense bincount
+        # is O(n) vs np.unique's O(n log n) sort — same (sorted uniq,
+        # count) output
+        if flat.size and flat.dtype.kind in "iu" \
+                and 0 <= int(flat.min()) and int(flat.max()) < (1 << 22):
+            cnt_all = np.bincount(flat)
+            uniq = np.flatnonzero(cnt_all)
+            cnt = cnt_all[uniq]
+        else:
+            uniq, cnt = np.unique(flat, return_counts=True)
         return pa.table({"token": pa.array(uniq.astype(np.int32)),
                          "cnt": pa.array(cnt.astype(np.int64))})
 

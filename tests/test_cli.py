@@ -118,3 +118,47 @@ def test_cli_dedup_modes(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     survivors = pq.read_table(bloom_dir).to_pandas()
     assert len(survivors) == df["text"].nunique()
+
+
+def test_cli_ann_build_probe(tmp_path):
+    """ann subcommand: IVF index build then probe; top-1 of a corpus
+    vector's own query is itself."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(9)
+    emb = rng.normal(size=(200, 12))
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(emb)})
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    qsrc = str(tmp_path / "q.parquet")
+    pq.write_table(pa.Table.from_pandas(df.iloc[:3], preserve_index=False),
+                   qsrc)
+    idx = str(tmp_path / "ivf_idx")
+    out = str(tmp_path / "hits.csv")
+    env = dict(os.environ)
+
+    def run(*extra):
+        return subprocess.run([sys.executable, "-m", "ocm_ray", *extra],
+                              capture_output=True, text=True, env=env,
+                              cwd="/root/repo")
+
+    r = run("ann", "build", "--kind", "ivf", "--input", src,
+            "--index-dir", idx, "--centroids", "8", "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_centroids"] == 8
+
+    r = run("ann", "probe", "--kind", "ivf", "--queries", qsrc,
+            "--index-dir", idx, "-k", "3", "--probe", "8",
+            "-o", out, "--num-cpus", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    hits = pd.read_csv(out)
+    top1 = hits[hits["rank"] == 0].sort_values("query_idx")
+    assert top1["vec_id"].tolist() == [0, 1, 2]  # self is nearest
