@@ -130,6 +130,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(df, {"sum_value": 2})
     q["events_hourly"] = events_hourly
 
+    def events_hourly_distinct(sf_dir):
+        """Tumbling-window exact COUNT(DISTINCT user) per event type —
+        per-block distinct triples + a re-distinct fan-in tree (no
+        corpus-sized AllToAll)."""
+        from ocm_ray.ops.relational import windowed_distinct
+
+        return windowed_distinct(
+            _read(sf_dir, "events", columns=["event_type", "ts", "user_id"]),
+            window="1h").to_pandas()
+    q["events_hourly_distinct"] = events_hourly_distinct
+
     def events_hopping(sf_dir):
         from ocm_ray.ops.relational import hopping_event_agg
 
@@ -933,6 +944,11 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_hourly_distinct": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1, 2
         """,
         "events_hopping": """

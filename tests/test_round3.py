@@ -339,3 +339,49 @@ def test_shard_scan_exchange_properties():
     # quirk; library call sites guard len==0) — check schema + count
     assert out_e.count() == 0
     assert "n" in out_e.schema().names
+
+
+def test_exact_token_counts_sharded_parity():
+    """Files-based fused-read exact counts == Dataset-path exact counts."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from ocm_ray.data.sequences import ensure_sequences
+    from ocm_ray.ops.relational import (exact_token_counts,
+                                        exact_token_counts_sharded)
+
+    seq = ensure_sequences(1000, seed=42, n_files=8)
+    files = sorted(glob.glob(os.path.join(seq, "*.parquet")))
+    a = exact_token_counts_sharded(files).to_pandas() \
+        .sort_values("token").reset_index(drop=True)
+    b = exact_token_counts(rd.read_parquet(seq, columns=["tokens"])) \
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_windowed_distinct_matches_pandas():
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import windowed_distinct
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], size=n),
+        "user_id": rng.integers(0, 500, size=n),
+        "ts": pd.to_datetime(rng.integers(0, 5 * 86400, size=n), unit="s"),
+    })
+    got = (windowed_distinct(rd.from_pandas(df).repartition(6), window="1h")
+           .to_pandas().sort_values(["event_type", "window_start"])
+           .reset_index(drop=True))
+    ref = (df.assign(window_start=df["ts"].dt.floor("h"))
+           .groupby(["event_type", "window_start"], as_index=False)
+           .agg(n_distinct=("user_id", "nunique"))
+           .sort_values(["event_type", "window_start"])
+           .reset_index(drop=True))
+    assert len(got) == len(ref)
+    assert (got["n_distinct"].to_numpy() == ref["n_distinct"].to_numpy()).all()
+    assert (got["window_start"].to_numpy() == ref["window_start"]
+            .to_numpy().astype("datetime64[us]")).all()
