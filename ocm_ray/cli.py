@@ -209,6 +209,8 @@ def cmd_dedup(args) -> int:
                           "wall_sec": round(time.time() - t0, 3),
                           "out": args.output}))
         return 0
+    if args.mode in ("minhash", "simhash", "jaccard") and args.clusters:
+        out = dd.dup_clusters(out)  # pairs → (doc_id, cluster_id)
     if args.output.endswith(".csv"):
         out.to_csv(args.output, index=False)
     else:
@@ -338,6 +340,9 @@ def main(argv=None) -> int:
     d.add_argument("--bands", type=int, default=32)
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--sig-cache", help="parquet dir for resumable signatures")
+    d.add_argument("--clusters", action="store_true",
+                   help="emit (doc_id, cluster_id) connected components "
+                        "instead of raw pairs (pair modes only)")
     d.add_argument("-o", "--output", required=True,
                    help=".csv or .parquet for pairs; directory for bloom")
     d.add_argument("--num-cpus", type=int)

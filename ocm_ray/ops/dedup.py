@@ -693,3 +693,36 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id",
     shuffle key), not the raw text."""
     return exact_dedup_groups(ds, id_col, text_col) \
         .select_columns([id_col, "n_copies"])
+
+
+def dup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Near-dup clusters from a candidate-pair table: connected
+    components via union-find with path halving, each cluster labeled by
+    its MIN member id. Input is the (output-sized by contract) pair set
+    from any pair finder, so driver-side union-find is the right tool —
+    O(pairs * alpha). Returns (doc_id, cluster_id) for every id that
+    appears in a pair; the canonical keep-one-per-cluster policy is
+    "keep cluster_id, drop the rest" (transitively safe, unlike dropping
+    raw b-sides, which can over-keep when chains a-c, b-c overlap)."""
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": [], "cluster_id": []})
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    ids = np.unique(np.concatenate([a, b]))
+    idx = {v: i for i, v in enumerate(ids)}
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    for x, y in zip(a, b):
+        rx, ry = find(idx[x]), find(idx[y])
+        if rx != ry:
+            # union by min root so the final label is the min member
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    roots = np.array([find(i) for i in range(len(ids))])
+    return pd.DataFrame({"doc_id": ids, "cluster_id": ids[roots]})

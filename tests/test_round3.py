@@ -385,3 +385,15 @@ def test_windowed_distinct_matches_pandas():
     assert (got["n_distinct"].to_numpy() == ref["n_distinct"].to_numpy()).all()
     assert (got["window_start"].to_numpy() == ref["window_start"]
             .to_numpy().astype("datetime64[us]")).all()
+
+
+def test_dup_clusters_union_find():
+    from ocm_ray.ops.dedup import dup_clusters
+
+    pairs = pd.DataFrame({"a": [1, 2, 10, 20, 2],
+                          "b": [2, 3, 11, 21, 7]})
+    out = dup_clusters(pairs).sort_values("doc_id").reset_index(drop=True)
+    # components: {1,2,3,7}, {10,11}, {20,21} labeled by min member
+    expect = {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == expect
+    assert len(dup_clusters(pd.DataFrame({"a": [], "b": []}))) == 0
