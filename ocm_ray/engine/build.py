@@ -218,13 +218,19 @@ class SketchAggregate(AggregateFnV2):
 
 
 def grouped_sketches(ds: Dataset, key: str, factory: SketchFactory,
-                     column: str = "tokens", kgram: int = 1) -> dict:
+                     column: str = "tokens", kgram: int = 1,
+                     n_shards: int = 16) -> dict:
     """One merged sketch per value of ``key`` (e.g. per ``source``).
 
-    Implemented as per-batch partial sketches per key inside
-    ``map_batches`` (one row per key per block — classic salted
-    pre-aggregation, so the shuffle moves sketch states, never tokens)
-    followed by a small ``groupby().map_groups`` merge."""
+    Per-batch partial sketches per key inside ``map_batches`` (one row
+    per key per block — classic salted pre-aggregation, so the exchange
+    moves sketch states, never tokens), merged per key through the
+    raw-task ``ops.pairs.shard_scan`` keyed by key hash (Ray's
+    groupby/map_groups AllToAll costs a fixed ~200 MB of driver RSS even
+    on an 896-row state table, plus ~5x the shuffled bytes — CLAUDE.md
+    rule 3b). Every key lands wholly in one shard, so the scan output is
+    exactly one row per key; the driver folds only that keys-sized
+    table."""
     def partials(batch: pa.Table):
         out_keys, out_states = [], []
         keys = batch.column(key).to_numpy(zero_copy_only=False)
@@ -234,20 +240,40 @@ def grouped_sketches(ds: Dataset, key: str, factory: SketchFactory,
             sk.update(items_from_batch(sub, column, kgram))
             out_keys.append(kv)
             out_states.append(sk.to_bytes())
-        return pa.table({key: out_keys, "state": out_states})
+        return pa.table({key: out_keys,
+                         "state": pa.array(out_states, type=pa.binary())})
 
-    def merge_group(df):
-        acc = MergeableSketch.from_bytes(df["state"].iloc[0]).ensure_writable()
-        for blob in df["state"].iloc[1:]:
-            acc.merge(MergeableSketch.from_bytes(blob))
-        import pandas as pd
+    from ocm_ray.ops.pairs import shard_scan
 
-        return pd.DataFrame({key: [df[key].iloc[0]], "state": [acc.to_bytes()]})
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        from ocm_ray.engine.tokens import hash_string_array
 
-    rows = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(merge_group, batch_format="pandas")
-        .take_all()
-    )
+        col = tbl.column(key)
+        if pa.types.is_integer(tbl.schema.field(key).type):
+            from ocm_ray.core.hashing import wanghash
+
+            h = wanghash(col.to_numpy(zero_copy_only=False)
+                         .astype(np.uint64))
+        else:
+            h = hash_string_array(col)
+        return (h % np.uint64(n_shards)).astype(np.int32)
+
+    def merge_shard(tbl: pa.Table) -> pa.Table:
+        keys_np = tbl.column(key).to_numpy(zero_copy_only=False)
+        states = tbl.column("state").to_pylist()
+        out_k, out_s = [], []
+        for kv in np.unique(keys_np):
+            idx = np.flatnonzero(keys_np == kv)
+            acc = MergeableSketch.from_bytes(states[idx[0]]).ensure_writable()
+            for i in idx[1:]:
+                acc.merge(MergeableSketch.from_bytes(states[i]))
+            out_k.append(kv)
+            out_s.append(acc.to_bytes())
+        return pa.table({key: pa.array(out_k,
+                                       type=tbl.schema.field(key).type),
+                         "state": pa.array(out_s, type=pa.binary())})
+
+    merged = shard_scan(ds.map_batches(partials, batch_format="pyarrow"),
+                        shard_of, merge_shard, n_shards)
+    rows = merged.take_all()
     return {r[key]: MergeableSketch.from_bytes(r["state"]) for r in rows}

@@ -92,6 +92,18 @@ def main() -> int:
     pairs = minhash_lsh_pairs(rd.read_parquet(OUT), local=False,
                               threshold=0.8)
     wall = time.time() - t0
+
+    # the other shard_scan consumers at the same scale: exact dedup
+    # (1M near-unique content hashes) — planted docs are the only
+    # near-dups, so distinct == N_DOCS (every text is unique; near-dup
+    # is not exact-dup)
+    from ocm_ray.ops.dedup import exact_dedup_groups
+
+    t1 = time.time()
+    n_distinct = exact_dedup_groups(rd.read_parquet(OUT)).count()
+    wall_exact = time.time() - t1
+    assert n_distinct == N_DOCS, n_distinct
+
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 
     expected = {(int(i - 1), int(i))
@@ -105,6 +117,7 @@ def main() -> int:
     bound_mb = 800 if N_DOCS >= 1_000_000 else 4000
     result = {
         "n_docs": N_DOCS, "wall_sec": round(wall, 1),
+        "exact_dedup_wall_sec": round(wall_exact, 1),
         "pairs_found": len(got), "planted": len(expected),
         "planted_missing": sorted(missing),
         "driver_peak_rss_mb": round(peak_mb),
