@@ -308,9 +308,16 @@ def exact_jaccard_pairs(ds: Dataset, id_col: str = "doc_id",
 
     shingle_ds = ds.map_batches(shingle_rows, batch_format="pyarrow")
     cand_ds = collision_pairs(shingle_ds, n_shards, max_bucket=max_bucket)
-    from ray.data.aggregate import Count
+    # pair-emission counting via the repartition tree (grouped_sum):
+    # Ray's sort-based groupby().aggregate costs a fixed ~200 MB of
+    # driver RSS plus ~5x the (emission-sized) shuffled bytes
+    from ocm_ray.ops.agg import grouped_sum
 
-    inter = cand_ds.groupby(["a", "b"]).aggregate(Count(alias_name="c")) \
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column("c", pa.array(np.ones(t.num_rows, np.int64)))
+
+    inter = grouped_sum(cand_ds.map_batches(add_one, batch_format="pyarrow"),
+                        ["a", "b"], ["c"]) \
         .to_pandas()  # one row per candidate pair — output-sized
     if len(inter) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})

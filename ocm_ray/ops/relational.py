@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min, Sum
 
 
 def exact_token_counts(ds: Dataset, column: str = "tokens") -> Dataset:
@@ -630,9 +629,20 @@ def lineitem_pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-01") -> D
 
 
 def orders_by_segment(orders: Dataset, customer_df: pd.DataFrame) -> Dataset:
-    """Broadcast-join orders→customer, revenue per market segment."""
+    """Broadcast-join orders→customer, revenue per market segment —
+    few-key aggregate via the repartition tree (blocks shrink to one row
+    per segment before any coalesce; no sort-based AllToAll)."""
+    from ocm_ray.ops.agg import grouped_sum
+
     joined = broadcast_join(orders, customer_df.rename(columns={"c_custkey": "o_custkey"}),
                             key="o_custkey", select=["o_custkey", "c_mktsegment"])
-    return (joined.groupby("c_mktsegment")
-            .aggregate(Sum("o_totalprice", alias_name="total_price"),
-                       Count(alias_name="n_orders")))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "total_price": batch.column("o_totalprice"),
+            "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    return grouped_sum(joined.map_batches(prep, batch_format="pyarrow"),
+                       ["c_mktsegment"], ["total_price", "n_orders"])
