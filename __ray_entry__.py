@@ -171,6 +171,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
     q["events_asof_hourly"] = events_asof_hourly
 
+    def events_asof_sharded(sf_dir):
+        """Same as-of semantics through the LARGE x LARGE co-sharded
+        join (asof_join_sharded: both sides exchange by key hash via
+        shard_scan2 — neither side broadcast); verified against the
+        identical DuckDB ASOF JOIN oracle."""
+        import ray.data as rd
+
+        from ocm_ray.ops.relational import asof_join_sharded, windowed_event_agg
+
+        hourly = windowed_event_agg(_read(sf_dir, "events"),
+                                    window="1h").to_pandas()
+        hourly["avail_ts"] = hourly["window_start"] + pd.Timedelta(hours=1)
+        right = rd.from_pandas(
+            hourly[["event_type", "avail_ts", "sum_value"]].rename(
+                columns={"sum_value": "hourly_sum"}))
+        left = (_read(sf_dir, "events",
+                      columns=["user_id", "ts", "event_type"])
+                .filter(expr="user_id < 20"))
+        out = asof_join_sharded(left, right,
+                                right_vals=["hourly_sum"]).to_pandas()
+        out["hourly_sum"] = out["hourly_sum"].astype(float).round(2)
+        out = out[["user_id", "ts", "event_type", "avail_ts", "hourly_sum"]]
+        return out.sort_values(["user_id", "ts", "event_type"]) \
+            .reset_index(drop=True)
+    q["events_asof_sharded"] = events_asof_sharded
+
     def events_value_bands(sf_dir):
         """RANGE join: events classified into (overlapping-capable)
         value bands via the broadcast interval join, then aggregated per
@@ -233,13 +259,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["distinct_users"] = distinct_users
 
     def dedup_exact(sf_dir):
-        from ray.data.aggregate import Count, Min
+        """Exact dedup via the library's hash-sharded path (raw text
+        never shuffles; SQL-equal up to negligible 64-bit content-hash
+        collisions)."""
+        from ocm_ray.ops.dedup import exact_dedup
 
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-        out = (ds.groupby("text")
-               .aggregate(Min("doc_id", alias_name="doc_id"),
-                          Count(alias_name="n_copies")))
-        return out.select_columns(["doc_id", "n_copies"])
+        return exact_dedup(ds)
     q["dedup_exact"] = dedup_exact
 
     def token_counts_seq(sf_dir):
@@ -961,6 +987,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "events_asof_hourly": """
+            WITH hourly AS (
+                SELECT event_type,
+                       date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,
+                       SUM(value) AS hourly_sum
+                FROM events GROUP BY 1, 2
+            )
+            SELECT e.user_id, e.ts, e.event_type, h.avail_ts,
+                   ROUND(h.hourly_sum, 2) AS hourly_sum
+            FROM events e
+            ASOF JOIN hourly h
+              ON e.event_type = h.event_type AND e.ts >= h.avail_ts
+            WHERE e.user_id < 20
+        """,
+        "events_asof_sharded": """
             WITH hourly AS (
                 SELECT event_type,
                        date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,

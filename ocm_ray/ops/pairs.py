@@ -8,9 +8,9 @@ The input is a compact *band table* Dataset with two columns:
 
 Two rows colliding on ``key`` are a candidate pair. The table is sharded
 by the TOP bits of ``key`` (a prefix of the key — runs can never span
-shards), shuffled once with ``groupby(shard)`` (a few dozen groups, so
-the ~1 ms/group ``map_groups`` dispatch cost is irrelevant — CLAUDE.md
-rule 3 bans map_groups over MANY groups, not few), and each shard runs
+shards), exchanged worker-to-worker through the raw-task
+:func:`shard_scan` (NOT Ray's AllToAll ops, which retain driver memory
+∝ the shuffled bytes — see shard_scan's docstring), and each shard runs
 the vectorized sorted-run scan locally. Only (key, id) pairs — ~16 B/row
 — ever move; signatures / fingerprints / embeddings stay where they were
 computed. Driver memory is bounded by the EMITTED candidate set (output-
@@ -227,3 +227,43 @@ def lookup_rows_for_ids(ds: Dataset, ids: np.ndarray, id_col: str) -> pa.Table:
     if not (nonempty or all_t):
         return pa.table({})
     return pa.concat_tables(nonempty or all_t[:1], promote_options="default")
+
+
+def shard_scan2(ds_a: Dataset, ds_b: Dataset, shard_fn_a, shard_fn_b,
+                scan_fn, n_shards: int) -> Dataset:
+    """Two-sided :func:`shard_scan`: co-shard TWO datasets by compatible
+    shard functions and run ``scan_fn(a_table, b_table)`` once per shard
+    — the exchange shape of a large x large co-partitioned join (both
+    sides' rows for a key meet in exactly one task). Same driver
+    contract as shard_scan: only ObjectRefs on the driver."""
+    import ray
+    import ray.data as rd
+
+    def make_split(shard_fn):
+        def split_block(tbl: pa.Table):
+            return [ray.put(part)
+                    for part in _split_by_shard(tbl, shard_fn(tbl), n_shards)]
+        return ray.remote(split_block)
+
+    def scan_shard(a_refs, b_refs):
+        a_parts = [p for p in ray.get(list(a_refs)) if p.num_rows]
+        b_parts = [p for p in ray.get(list(b_refs)) if p.num_rows]
+        a_tbl = pa.concat_tables(a_parts) if a_parts else ray.get(a_refs[0])
+        b_tbl = pa.concat_tables(b_parts) if b_parts else ray.get(b_refs[0])
+        return scan_fn(a_tbl, b_tbl)
+
+    scan_task = ray.remote(scan_shard)
+    refs_a, refs_b = ds_a.to_arrow_refs(), ds_b.to_arrow_refs()
+    if not refs_a or not refs_b:
+        sa = ds_a.schema()
+        sb = ds_b.schema()
+        return rd.from_arrow(scan_fn(
+            getattr(sa, "base_schema", sa).empty_table(),
+            getattr(sb, "base_schema", sb).empty_table()))
+    split_a, split_b = make_split(shard_fn_a), make_split(shard_fn_b)
+    per_a = ray.get([split_a.remote(r) for r in refs_a])
+    per_b = ray.get([split_b.remote(r) for r in refs_b])
+    out = [scan_task.remote([per_a[i][s] for i in range(len(per_a))],
+                            [per_b[i][s] for i in range(len(per_b))])
+           for s in range(n_shards)]
+    return rd.from_arrow_refs(out)

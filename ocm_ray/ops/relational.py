@@ -646,3 +646,83 @@ def orders_by_segment(orders: Dataset, customer_df: pd.DataFrame) -> Dataset:
 
     return grouped_sum(joined.map_batches(prep, batch_format="pyarrow"),
                        ["c_mktsegment"], ["total_price", "n_orders"])
+
+
+def asof_join_sharded(left: Dataset, right: Dataset, key: str = "event_type",
+                      left_ts: str = "ts", right_ts: str = "avail_ts",
+                      right_vals: Optional[List[str]] = None,
+                      n_shards: int = 32) -> Dataset:
+    """LARGE x LARGE backward as-of join (each left row takes the most
+    recent right row with the same key and ``right_ts <= left_ts``,
+    inner semantics — unmatched left rows drop), with NEITHER side
+    broadcastable: both sides co-shard by key hash through the raw-task
+    :func:`ocm_ray.ops.pairs.shard_scan2` exchange, then one vectorized
+    merge per shard.
+
+    Per-shard kernel (no per-key dispatch): concatenate right-markers
+    and left rows, lexsort by (key, ts, side) with right first at ties
+    (equality matches, like DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``),
+    forward-fill the last right index with one ``np.maximum.accumulate``,
+    then invalidate fills that crossed a key boundary by a single key
+    equality check. Partitioning assumption: one key's rows (both
+    sides) fit one task — grow ``n_shards`` with the data; a single
+    pathologically hot key needs the broadcast variant instead."""
+    from ocm_ray.ops.pairs import shard_scan2
+
+    right_vals = right_vals or ["hourly_sum"]
+
+    def make_shard_of(col: str):
+        def shard_of(tbl: pa.Table) -> np.ndarray:
+            from ocm_ray.core.hashing import wanghash
+            from ocm_ray.engine.tokens import hash_string_array
+
+            c = tbl.column(col)
+            if pa.types.is_integer(tbl.schema.field(col).type):
+                h = wanghash(c.to_numpy(zero_copy_only=False)
+                             .astype(np.uint64))
+            else:
+                h = hash_string_array(c)
+            return (h % np.uint64(n_shards)).astype(np.int32)
+        return shard_of
+
+    def scan(ltbl: pa.Table, rtbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lk = ltbl.column(key).to_numpy(zero_copy_only=False)
+        rk = rtbl.column(key).to_numpy(zero_copy_only=False)
+        lt = _ts_to_us(ltbl, left_ts) if ltbl.num_rows else \
+            np.empty(0, np.int64)
+        rt = _ts_to_us(rtbl, right_ts) if rtbl.num_rows else \
+            np.empty(0, np.int64)
+        nl, nr = len(lk), len(rk)
+        keys_all = np.concatenate([rk, lk])
+        ts_all = np.concatenate([rt, lt])
+        side = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+        order = np.lexsort((side, ts_all, keys_all))  # right first at ties
+        # forward-fill most recent right row index; key-boundary fills
+        # are invalidated by the key equality check below
+        marker = np.where(side[order] == 0,
+                          np.arange(nl + nr), -1)
+        # marker holds SORTED positions of right rows; map back later
+        last = np.maximum.accumulate(marker)
+        pos_left = np.flatnonzero(side[order] == 1)
+        match_sorted_pos = last[pos_left]
+        valid = match_sorted_pos >= 0
+        li = order[pos_left] - nr                    # left original index
+        ri_sorted = match_sorted_pos[valid]
+        ri = order[ri_sorted]                        # right original index
+        valid_idx = np.flatnonzero(valid)
+        same_key = pd.Series(rk[ri]).to_numpy() == \
+            pd.Series(lk[li[valid_idx]]).to_numpy()
+        keep_left = li[valid_idx[same_key]]
+        keep_right = ri[same_key]
+        out = ltbl.take(pa.array(keep_left))
+        out = out.append_column(right_ts,
+                                rtbl.column(right_ts).take(pa.array(keep_right)))
+        for c in right_vals:
+            out = out.append_column(c,
+                                    rtbl.column(c).take(pa.array(keep_right)))
+        return out
+
+    return shard_scan2(left, right, make_shard_of(key), make_shard_of(key),
+                       scan, n_shards)

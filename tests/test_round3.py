@@ -397,3 +397,47 @@ def test_dup_clusters_union_find():
     expect = {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
     assert dict(zip(out["doc_id"], out["cluster_id"])) == expect
     assert len(dup_clusters(pd.DataFrame({"a": [], "b": []}))) == 0
+
+
+def test_asof_join_sharded_matches_pandas_merge_asof():
+    """Large x large as-of join through the two-sided shard exchange:
+    parity with pandas merge_asof(by=key) on random data, including
+    equal-timestamp matches and unmatched-left drops."""
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import asof_join_sharded
+
+    rng = np.random.default_rng(31)
+    nl, nr = 30_000, 2_000
+    keys = np.array([f"k{i}" for i in range(40)])
+    left = pd.DataFrame({
+        "event_type": rng.choice(keys, size=nl),
+        "ts": pd.to_datetime(rng.integers(0, 10 * 86400, size=nl), unit="s"),
+        "val": rng.normal(size=nl),
+    })
+    rts = np.unique(rng.integers(0, 10 * 86400, size=nr))
+    right = pd.DataFrame({
+        "event_type": rng.choice(keys, size=len(rts)),
+        "avail_ts": pd.to_datetime(rts, unit="s"),
+        "hourly_sum": rng.normal(size=len(rts)),
+    }).drop_duplicates(["event_type", "avail_ts"])
+
+    got = (asof_join_sharded(rd.from_pandas(left).repartition(5),
+                             rd.from_pandas(right).repartition(3),
+                             right_vals=["hourly_sum"])
+           .to_pandas()
+           .sort_values(["event_type", "ts", "val"]).reset_index(drop=True))
+
+    ref = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("avail_ts"),
+        left_on="ts", right_on="avail_ts", by="event_type",
+        direction="backward")
+    ref = ref[ref["avail_ts"].notna()] \
+        .sort_values(["event_type", "ts", "val"]).reset_index(drop=True)
+
+    assert len(got) == len(ref)
+    assert (got["event_type"].to_numpy() == ref["event_type"].to_numpy()).all()
+    assert np.allclose(got["hourly_sum"].to_numpy(),
+                       ref["hourly_sum"].to_numpy())
+    assert (got["avail_ts"].to_numpy().astype("datetime64[us]")
+            == ref["avail_ts"].to_numpy().astype("datetime64[us]")).all()
