@@ -93,12 +93,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pricing_summary"] = pricing_summary
 
     def doc_stats_by_source(sf_dir):
-        from ray.data.aggregate import Count, Sum
+        """Few-key rollup over the documents corpus via the repartition
+        tree (blocks shrink to one row per source before coalescing)."""
+        import pyarrow as pa
+
+        from ocm_ray.ops.agg import grouped_sum
 
         ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
-        df = (ds.groupby("source")
-              .aggregate(Count(alias_name="n_docs"),
-                         Sum("n_chars", alias_name="sum_chars"))).to_pandas()
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": t.column("source"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sum_chars": t.column("n_chars"),
+            })
+
+        df = grouped_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                         ["source"], ["n_docs", "sum_chars"]).to_pandas()
         df["sum_chars"] = df["sum_chars"].astype(np.int64)
         return df
     q["doc_stats_by_source"] = doc_stats_by_source
@@ -493,12 +504,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["supplier_by_region"] = supplier_by_region
 
     def lang_distribution(sf_dir):
-        from ray.data.aggregate import Count, Mean
+        """Few-key rollup over documents via the repartition tree; the
+        mean is derived from tree sums (count + char total)."""
+        import pyarrow as pa
 
-        df = (_read(sf_dir, "documents", columns=["lang", "n_chars"])
-              .groupby("lang")
-              .aggregate(Count(alias_name="n_docs"),
-                         Mean("n_chars", alias_name="avg_chars"))).to_pandas()
+        from ocm_ray.ops.agg import grouped_sum
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": t.column("lang"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "chars": t.column("n_chars"),
+            })
+
+        df = grouped_sum(
+            _read(sf_dir, "documents", columns=["lang", "n_chars"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["lang"], ["n_docs", "chars"]).to_pandas()
+        df["avg_chars"] = df["chars"] / df["n_docs"]
+        df = df.drop(columns=["chars"])
         return _round_cols(df, {"avg_chars": 4})
     q["lang_distribution"] = lang_distribution
 
