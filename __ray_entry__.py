@@ -223,9 +223,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
         joined = interval_join_broadcast(
             _read(sf_dir, "events", columns=["value"]), bands, "value")
-        df = (joined.groupby("band")
-              .aggregate(Count(alias_name="n"),
-                         Sum("value", alias_name="sum_value"))).to_pandas()
+
+        import pyarrow as pa
+
+        from ocm_ray.ops.agg import grouped_sum
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"band": t.column("band"),
+                             "n": pa.array(np.ones(t.num_rows, np.int64)),
+                             "sum_value": t.column("value")})
+
+        df = grouped_sum(joined.map_batches(prep, batch_format="pyarrow"),
+                         ["band"], ["n", "sum_value"]).to_pandas()
         return _round_cols(df, {"sum_value": 2})
     q["events_value_bands"] = events_value_bands
 
@@ -255,10 +264,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    columns=["l_orderkey", "l_extendedprice"])
         joined = shuffle_join(orders, li, on="o_orderkey",
                               right_on="l_orderkey", num_partitions=8)
-        df = (joined.groupby("o_orderpriority")
-              .aggregate(Count(alias_name="n_items"),
-                         Sum("l_extendedprice", alias_name="revenue"))
-              ).to_pandas()
+
+        import pyarrow as pa
+
+        from ocm_ray.ops.agg import grouped_sum
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                             "n_items": pa.array(np.ones(t.num_rows, np.int64)),
+                             "revenue": t.column("l_extendedprice")})
+
+        df = grouped_sum(joined.map_batches(prep, batch_format="pyarrow"),
+                         ["o_orderpriority"], ["n_items", "revenue"]) \
+            .to_pandas()
         return _round_cols(df, {"revenue": 2})
     q["order_priority_revenue"] = order_priority_revenue
 
@@ -497,9 +515,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dim = dim[["n_nationkey", "r_name"]].rename(
             columns={"n_nationkey": "s_nationkey"})
         joined = broadcast_join(_read(sf_dir, "supplier"), dim, key="s_nationkey")
-        df = (joined.groupby("r_name")
-              .aggregate(Count(alias_name="n_suppliers"),
-                         Sum("s_acctbal", alias_name="total_acctbal"))).to_pandas()
+
+        import pyarrow as pa
+
+        from ocm_ray.ops.agg import grouped_sum
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"r_name": t.column("r_name"),
+                             "n_suppliers": pa.array(np.ones(t.num_rows,
+                                                             np.int64)),
+                             "total_acctbal": t.column("s_acctbal")})
+
+        df = grouped_sum(joined.map_batches(prep, batch_format="pyarrow"),
+                         ["r_name"], ["n_suppliers", "total_acctbal"]) \
+            .to_pandas()
         return _round_cols(df, {"total_acctbal": 2})
     q["supplier_by_region"] = supplier_by_region
 
