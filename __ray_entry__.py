@@ -991,6 +991,107 @@ def _mix_split_sql() -> str:
     """
 
 
+def _simhash_sql() -> str:
+    """DuckDB oracle for ``simhash_fingerprints``: recompute the engine's
+    64-bit SimHash end-to-end in SQL. The engine fingerprint
+    (``ops/dedup.py:simhash_fingerprints``) is a pure function of the
+    text: lowercase, split on spaces, hash each word with the in-repo
+    stable codec (``core.hashing.stable_hash_bytes`` — one little-endian
+    8-byte chunk per word xor'd with wang(0 ^ CHUNK_SEED) then wang'd,
+    then xor'd with wang(len ^ seed) and wang'd again), sign-sum the 64
+    bit columns and take the majority bit. Everything is 64-bit integer
+    arithmetic: HUGEINT mod-2^64 for mul/add, signed-BIGINT xor
+    (two's-complement bit-identical), right shift = integer division.
+    The two inner wang() calls collapse to precomputed constants
+    (chunk position is always 0; word length ≤ 8 in this corpus — longer
+    words would need a second chunk and poison ``len`` to NULL so the
+    hash comparison fails rather than silently diverging)."""
+    from ocm_ray.core.hashing import _CHUNK_SEED, wanghash_scalar
+
+    M, H, seed = 1 << 64, 1 << 63, 137
+
+    def signed(v: int) -> int:
+        return v - M if v >= H else v
+
+    def to_huge(x: str) -> str:
+        return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {M} "
+                f"ELSE CAST(({x}) AS HUGEINT) END)")
+
+    def to_signed(k: str) -> str:
+        return (f"CAST(CASE WHEN ({k}) >= {H} THEN ({k}) - {M} "
+                f"ELSE ({k}) END AS BIGINT)")
+
+    def wang_chain(prefix: str, src: str, carry: str,
+                   incol: str) -> tuple[str, str]:
+        # CTE chain applying wanghash to HUGEINT column `incol` of `src`;
+        # final relation exposes the carry columns + `k` in [0, 2^64)
+        def xs(prev: str, shift: int) -> str:
+            x = f"xor({to_signed('k')}, CAST(k // {1 << shift} AS BIGINT))"
+            return f"SELECT {carry}, {to_huge(x)} AS k FROM {prev}"
+
+        p = prefix
+        sql = f"""
+        {p}1 AS (SELECT {carry}, ({M - 1} - {incol} + {incol} * 2097152) % {M} AS k FROM {src}),
+        {p}2 AS ({xs(p + '1', 24)}),
+        {p}3 AS (SELECT {carry}, (k * 265) % {M} AS k FROM {p}2),
+        {p}4 AS ({xs(p + '3', 14)}),
+        {p}5 AS (SELECT {carry}, (k * 21) % {M} AS k FROM {p}4),
+        {p}6 AS ({xs(p + '5', 28)}),
+        {p}7 AS (SELECT {carry}, (k * 2147483649) % {M} AS k FROM {p}6)"""
+        return sql, f"{p}7"
+
+    k0 = signed(wanghash_scalar(int(np.uint64(0) ^ np.uint64(_CHUNK_SEED))))
+    lut = " ".join(
+        f"WHEN {L} THEN CAST("
+        f"{signed(wanghash_scalar(int(np.uint64(L) ^ np.uint64(seed))))}"
+        f" AS BIGINT)" for L in range(9))
+    # little-endian uint64 of up to 8 zero-padded bytes (ASCII corpus:
+    # ord == byte value); ord('') is -1 in DuckDB, hence the length gate
+    chunk = " + ".join(
+        f"(CASE WHEN length(w) >= {i + 1} THEN "
+        f"CAST(ord(substr(w, {i + 1}, 1)) AS HUGEINT) ELSE 0::HUGEINT END)"
+        f" * {1 << (8 * i)}::HUGEINT" for i in range(8))
+    inner_sql, inner_rel = wang_chain("ci", "cx", "doc_id, wid, len", "cxk")
+    outer_sql, outer_rel = wang_chain("co", "ox", "doc_id, wid", "oxk")
+    bit_cols = ",\n          ".join(
+        f"SUM(CASE WHEN (k // {1 << b}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS b{b}" for b in range(64))
+    fp_sum = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64))
+    return f"""
+    WITH words AS (
+        SELECT doc_id, ROW_NUMBER() OVER () AS wid,
+               UNNEST(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    w0 AS (
+        SELECT doc_id, wid,
+               CASE WHEN length(w) > 8 THEN NULL ELSE length(w) END AS len,
+               {chunk} AS c
+        FROM words
+    ),
+    cx AS (SELECT doc_id, wid, len,
+                  {to_huge(f"xor({to_signed('c')}, CAST({k0} AS BIGINT))")} AS cxk
+           FROM w0),
+    {inner_sql},
+    ox AS (SELECT doc_id, wid,
+                  {to_huge(f"xor({to_signed('CASE WHEN len = 0 THEN 0 ELSE k END')}, "
+                           f"(CASE len {lut} END))")} AS oxk
+           FROM {inner_rel}),
+    {outer_sql},
+    bits AS (
+        SELECT doc_id,
+          {bit_cols}
+        FROM {outer_rel} GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN fu >= {H}::HUGEINT THEN fu - {M}::HUGEINT ELSE fu END AS BIGINT) AS simhash
+    FROM (SELECT doc_id, {fp_sum} AS fu FROM bits)
+    ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -1233,4 +1334,5 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
         """,
         "corpus_mix_split": _mix_split_sql(),
+        "simhash_fingerprints": _simhash_sql(),
     }
