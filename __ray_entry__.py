@@ -588,6 +588,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sfp(_read(sf_dir, "documents", columns=["doc_id", "text"]))
     q["simhash_fingerprints"] = simhash_fingerprints
 
+    def winnow_fingerprints(sf_dir):
+        """MOSS winnowing fingerprints (k-gram window minima) — the
+        rolling-hash document fingerprinting op, SQL-oracled exactly."""
+        from ocm_ray.ops.text import winnow_fingerprints as _wfp
+
+        return _wfp(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                    k=3, window=4)
+    q["winnow_fingerprints"] = winnow_fingerprints
+
     def text_stats(sf_dir):
         """Text-analysis stage over documents; the SQL-exact integer
         columns (token/char/stopword counts) are what the oracle
@@ -991,46 +1000,39 @@ def _mix_split_sql() -> str:
     """
 
 
-def _simhash_sql() -> str:
-    """DuckDB oracle for ``simhash_fingerprints``: recompute the engine's
-    64-bit SimHash end-to-end in SQL. The engine fingerprint
-    (``ops/dedup.py:simhash_fingerprints``) is a pure function of the
-    text: lowercase, split on spaces, hash each word with the in-repo
-    stable codec (``core.hashing.stable_hash_bytes`` — one little-endian
-    8-byte chunk per word xor'd with wang(0 ^ CHUNK_SEED) then wang'd,
-    then xor'd with wang(len ^ seed) and wang'd again), sign-sum the 64
-    bit columns and take the majority bit. Everything is 64-bit integer
-    arithmetic: HUGEINT mod-2^64 for mul/add, signed-BIGINT xor
-    (two's-complement bit-identical), right shift = integer division.
-    The two inner wang() calls collapse to precomputed constants
-    (chunk position is always 0; word length ≤ 8 in this corpus — longer
-    words would need a second chunk and poison ``len`` to NULL so the
-    hash comparison fails rather than silently diverging)."""
-    from ocm_ray.core.hashing import _CHUNK_SEED, wanghash_scalar
+_M64, _H63 = 1 << 64, 1 << 63
 
-    M, H, seed = 1 << 64, 1 << 63, 137
 
-    def signed(v: int) -> int:
-        return v - M if v >= H else v
+def _sql_signed(v: int) -> int:
+    """Python int in [0,2^64) → the BIGINT two's-complement literal."""
+    return v - _M64 if v >= _H63 else v
 
-    def to_huge(x: str) -> str:
-        return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {M} "
-                f"ELSE CAST(({x}) AS HUGEINT) END)")
 
-    def to_signed(k: str) -> str:
-        return (f"CAST(CASE WHEN ({k}) >= {H} THEN ({k}) - {M} "
-                f"ELSE ({k}) END AS BIGINT)")
+def _sql_to_huge(x: str) -> str:
+    """Signed-BIGINT expression → HUGEINT in [0, 2^64)."""
+    return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {_M64} "
+            f"ELSE CAST(({x}) AS HUGEINT) END)")
 
-    def wang_chain(prefix: str, src: str, carry: str,
-                   incol: str) -> tuple[str, str]:
-        # CTE chain applying wanghash to HUGEINT column `incol` of `src`;
-        # final relation exposes the carry columns + `k` in [0, 2^64)
-        def xs(prev: str, shift: int) -> str:
-            x = f"xor({to_signed('k')}, CAST(k // {1 << shift} AS BIGINT))"
-            return f"SELECT {carry}, {to_huge(x)} AS k FROM {prev}"
 
-        p = prefix
-        sql = f"""
+def _sql_to_signed(k: str) -> str:
+    """HUGEINT in [0,2^64) → signed BIGINT (two's complement, bit-identical)."""
+    return (f"CAST(CASE WHEN ({k}) >= {_H63} THEN ({k}) - {_M64} "
+            f"ELSE ({k}) END AS BIGINT)")
+
+
+def _sql_wang_chain(prefix: str, src: str, carry: str,
+                    incol: str) -> tuple[str, str]:
+    """CTE chain applying ``core.hashing.wanghash`` to HUGEINT column
+    ``incol`` of relation ``src`` (bit-exact: HUGEINT mod-2^64 mul/add,
+    signed-BIGINT xor, right shift = integer division). Returns
+    ``(ctes, final_rel)``; the final relation exposes the ``carry``
+    columns + ``k`` in [0, 2^64)."""
+    def xs(prev: str, shift: int) -> str:
+        x = f"xor({_sql_to_signed('k')}, CAST(k // {1 << shift} AS BIGINT))"
+        return f"SELECT {carry}, {_sql_to_huge(x)} AS k FROM {prev}"
+
+    p, M = prefix, _M64
+    sql = f"""
         {p}1 AS (SELECT {carry}, ({M - 1} - {incol} + {incol} * 2097152) % {M} AS k FROM {src}),
         {p}2 AS ({xs(p + '1', 24)}),
         {p}3 AS (SELECT {carry}, (k * 265) % {M} AS k FROM {p}2),
@@ -1038,21 +1040,63 @@ def _simhash_sql() -> str:
         {p}5 AS (SELECT {carry}, (k * 21) % {M} AS k FROM {p}4),
         {p}6 AS ({xs(p + '5', 28)}),
         {p}7 AS (SELECT {carry}, (k * 2147483649) % {M} AS k FROM {p}6)"""
-        return sql, f"{p}7"
+    return sql, f"{p}7"
 
-    k0 = signed(wanghash_scalar(int(np.uint64(0) ^ np.uint64(_CHUNK_SEED))))
+
+def _sql_word_hash(src: str, carry: str, seed: int = 137,
+                   prefix: str = "") -> tuple[str, str]:
+    """CTE chain computing the engine's stable word hash
+    (``core.hashing.stable_hash_bytes``) for varchar column ``w`` of
+    relation ``src``: one little-endian 8-byte zero-padded chunk xor'd
+    with the precomputed ``wang(0 ^ CHUNK_SEED)``, wang'd, xor'd with
+    the precomputed ``wang(len ^ seed)``, wang'd again. Words longer
+    than 8 bytes would need a second chunk — their ``len`` is poisoned
+    to NULL so a violated assumption mismatches instead of silently
+    hashing wrong. ``ord('')`` is -1 in DuckDB, hence the length gate
+    on every byte. Returns ``(ctes, final_rel)`` exposing carry + ``k``."""
+    from ocm_ray.core.hashing import _CHUNK_SEED, wanghash_scalar
+
+    k0 = _sql_signed(wanghash_scalar(int(np.uint64(0) ^ np.uint64(_CHUNK_SEED))))
     lut = " ".join(
         f"WHEN {L} THEN CAST("
-        f"{signed(wanghash_scalar(int(np.uint64(L) ^ np.uint64(seed))))}"
+        f"{_sql_signed(wanghash_scalar(int(np.uint64(L) ^ np.uint64(seed))))}"
         f" AS BIGINT)" for L in range(9))
-    # little-endian uint64 of up to 8 zero-padded bytes (ASCII corpus:
-    # ord == byte value); ord('') is -1 in DuckDB, hence the length gate
     chunk = " + ".join(
         f"(CASE WHEN length(w) >= {i + 1} THEN "
         f"CAST(ord(substr(w, {i + 1}, 1)) AS HUGEINT) ELSE 0::HUGEINT END)"
         f" * {1 << (8 * i)}::HUGEINT" for i in range(8))
-    inner_sql, inner_rel = wang_chain("ci", "cx", "doc_id, wid, len", "cxk")
-    outer_sql, outer_rel = wang_chain("co", "ox", "doc_id, wid", "oxk")
+    p = prefix
+    inner_sql, inner_rel = _sql_wang_chain(
+        f"{p}ci", f"{p}cx", f"{carry}, len", "cxk")
+    outer_sql, outer_rel = _sql_wang_chain(f"{p}co", f"{p}ox", carry, "oxk")
+    sql = f"""
+    {p}w0 AS (
+        SELECT {carry},
+               CASE WHEN length(w) > 8 THEN NULL ELSE length(w) END AS len,
+               {chunk} AS c
+        FROM {src}
+    ),
+    {p}cx AS (SELECT {carry}, len,
+                  {_sql_to_huge(f"xor({_sql_to_signed('c')}, CAST({k0} AS BIGINT))")} AS cxk
+           FROM {p}w0),
+    {inner_sql},
+    {p}ox AS (SELECT {carry},
+                  {_sql_to_huge(f"xor({_sql_to_signed('CASE WHEN len = 0 THEN 0 ELSE k END')}, "
+                                f"(CASE len {lut} END))")} AS oxk
+           FROM {inner_rel}),
+    {outer_sql}"""
+    return sql, outer_rel
+
+
+def _simhash_sql() -> str:
+    """DuckDB oracle for ``simhash_fingerprints``: recompute the engine's
+    64-bit SimHash end-to-end in SQL. The engine fingerprint
+    (``ops/dedup.py:simhash_fingerprints``) is a pure function of the
+    text: lowercase, split on spaces, hash each word with the in-repo
+    stable codec (``_sql_word_hash``), sign-sum the 64 bit columns and
+    take the majority bit."""
+    H, M = _H63, _M64
+    hash_sql, hash_rel = _sql_word_hash("words", "doc_id, wid")
     bit_cols = ",\n          ".join(
         f"SUM(CASE WHEN (k // {1 << b}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END)"
         f" AS b{b}" for b in range(64))
@@ -1065,30 +1109,75 @@ def _simhash_sql() -> str:
                UNNEST(string_split(lower(text), ' ')) AS w
         FROM documents
     ),
-    w0 AS (
-        SELECT doc_id, wid,
-               CASE WHEN length(w) > 8 THEN NULL ELSE length(w) END AS len,
-               {chunk} AS c
-        FROM words
-    ),
-    cx AS (SELECT doc_id, wid, len,
-                  {to_huge(f"xor({to_signed('c')}, CAST({k0} AS BIGINT))")} AS cxk
-           FROM w0),
-    {inner_sql},
-    ox AS (SELECT doc_id, wid,
-                  {to_huge(f"xor({to_signed('CASE WHEN len = 0 THEN 0 ELSE k END')}, "
-                           f"(CASE len {lut} END))")} AS oxk
-           FROM {inner_rel}),
-    {outer_sql},
+    {hash_sql},
     bits AS (
         SELECT doc_id,
           {bit_cols}
-        FROM {outer_rel} GROUP BY doc_id
+        FROM {hash_rel} GROUP BY doc_id
     )
     SELECT doc_id,
            CAST(CASE WHEN fu >= {H}::HUGEINT THEN fu - {M}::HUGEINT ELSE fu END AS BIGINT) AS simhash
     FROM (SELECT doc_id, {fp_sum} AS fu FROM bits)
     ORDER BY doc_id
+    """
+
+
+def _winnow_sql(k: int = 3, window: int = 4) -> str:
+    """DuckDB oracle for ``winnow_fingerprints``: recompute the MOSS
+    winnowing selection exactly. Word positions come from explicit list
+    indexing (UNNEST order is not relied on); word hashes from
+    ``_sql_word_hash``; the k-gram hash is the engine's chained-WangHash
+    window reduction (``engine/tokens.py:kgram_reduce``: ``wang(h0)``
+    then ``wang(acc ^ h_j)``) built from LEAD window functions plus
+    ``k-1`` more wang chains; winnowing is a windowed MIN over full
+    windows with the leftmost position of the minimum (the engine's
+    argmin tie-break) recovered by a bounded self-join."""
+    assert k == 3, "oracle generator written for the k=3 query shape"
+    W = window
+    hash_sql, hash_rel = _sql_word_hash("words", "doc_id, pos")
+    ga_sql, ga_rel = _sql_wang_chain("ga", "g0", "doc_id, pos, h1, h2", "gk")
+    gb_sql, gb_rel = _sql_wang_chain("gb", "gx1", "doc_id, pos, h2", "gk")
+    gc_sql, gc_rel = _sql_wang_chain("gc", "gx2", "doc_id, pos", "gk")
+    x1 = _sql_to_huge(f"xor({_sql_to_signed('k')}, {_sql_to_signed('h1')})")
+    x2 = _sql_to_huge(f"xor({_sql_to_signed('k')}, {_sql_to_signed('h2')})")
+    return f"""
+    WITH words AS (
+        SELECT doc_id, j - 1 AS pos, ws[j] AS w
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents),
+             UNNEST(range(1, len(ws) + 1)) AS t(j)
+    ),
+    {hash_sql},
+    leads AS (
+        SELECT doc_id, pos, k AS h0,
+               LEAD(k, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+               LEAD(k, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+        FROM {hash_rel}
+    ),
+    g0 AS (SELECT doc_id, pos, h1, h2, h0 AS gk FROM leads
+           WHERE h2 IS NOT NULL),
+    {ga_sql},
+    gx1 AS (SELECT doc_id, pos, h2, {x1} AS gk FROM {ga_rel}),
+    {gb_sql},
+    gx2 AS (SELECT doc_id, pos, {x2} AS gk FROM {gb_rel}),
+    {gc_sql},
+    grams AS (SELECT doc_id, pos, k AS g FROM {gc_rel}),
+    wins AS (
+        SELECT doc_id, pos, MIN(g) OVER w AS mn, COUNT(*) OVER w AS cnt
+        FROM grams
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+    ),
+    sel AS (
+        SELECT f.doc_id, MIN(g2.pos) AS pos, f.mn
+        FROM (SELECT * FROM wins WHERE cnt = {W}) f
+        JOIN grams g2 ON g2.doc_id = f.doc_id
+         AND g2.pos BETWEEN f.pos AND f.pos + {W - 1} AND g2.g = f.mn
+        GROUP BY f.doc_id, f.pos, f.mn
+    )
+    SELECT DISTINCT doc_id, pos, {_sql_to_signed('mn')} AS fp
+    FROM sel
+    ORDER BY doc_id, pos
     """
 
 
@@ -1335,4 +1424,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_mix_split": _mix_split_sql(),
         "simhash_fingerprints": _simhash_sql(),
+        "winnow_fingerprints": _winnow_sql(k=3, window=4),
     }

@@ -248,3 +248,67 @@ def top_k_tokens(ds, k: int = 100, text_col: str = "text"):
     tokens, so the shuffle is tiny."""
     counts = token_count_table(ds, text_col)
     return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def winnow_fingerprints(ds, k: int = 3, window: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 §4 — the MOSS local fingerprinting scheme).
+
+    Word-hash the text (engine stable codec), roll k-gram hashes over the
+    word stream (the same chained-WangHash window reduction as
+    ``engine.tokens.kgram_reduce``), then from every window of ``window``
+    consecutive grams select the minimum hash (leftmost position on
+    ties); selections shared by overlapping windows collapse to one row.
+    Output: one row per selected gram — ``(id_col, pos, fp)`` with
+    ``pos`` the 0-based word index the gram starts at and ``fp`` the
+    gram hash viewed as int64.
+
+    Guarantee (the paper's): two docs sharing ``window + k - 1``
+    consecutive words share at least one fingerprint, and no gram is
+    ever selected from a context shorter than ``window`` grams — the
+    fingerprint density is ~2/(window+1) of grams, independent of doc
+    length. Docs with fewer than ``window + k - 1`` words emit nothing.
+
+    Per-doc map — embarrassingly parallel, no shuffle; fully vectorized
+    (sliding windows + one ``np.unique`` per batch).
+    """
+    from ocm_ray.engine.tokens import split_words_hashed
+
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        flat, lens = split_words_hashed(batch.column(text_col))
+        n, nrows = len(flat), len(lens)
+        empty = pa.table({id_col: pa.array([], type=batch.schema.field(id_col).type),
+                          "pos": pa.array([], type=pa.int64()),
+                          "fp": pa.array([], type=pa.int64())})
+        if n < k:
+            return empty
+        win = np.lib.stride_tricks.sliding_window_view(flat, k)
+        acc = wanghash(win[:, 0])
+        for j in range(1, k):
+            acc = wanghash(acc ^ win[:, j])
+        rowid = np.repeat(np.arange(nrows), lens)
+        gvalid = rowid[: n - k + 1] == rowid[k - 1:]
+        g, grow = acc[gvalid], rowid[: n - k + 1][gvalid]
+        m = len(g)
+        if m < window:
+            return empty
+        # within-row gram position == word index the gram starts at
+        glens = np.maximum(lens - (k - 1), 0)
+        gstart = np.concatenate([[0], np.cumsum(glens)])
+        gpos = np.arange(m, dtype=np.int64) - gstart[grow]
+        w = np.lib.stride_tricks.sliding_window_view(g, window)
+        wvalid = grow[: m - window + 1] == grow[window - 1:]
+        # leftmost min per full window; distinct selected gram indices
+        sel = np.arange(m - window + 1)[wvalid] + w.argmin(axis=1)[wvalid]
+        sel = np.unique(sel)
+        return pa.table({id_col: pa.array(ids[grow[sel]],
+                                          type=batch.schema.field(id_col).type),
+                         "pos": pa.array(gpos[sel]),
+                         "fp": pa.array(g[sel].view(np.int64))})
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -441,3 +441,71 @@ def test_asof_join_sharded_matches_pandas_merge_asof():
                        ref["hourly_sum"].to_numpy())
     assert (got["avail_ts"].to_numpy().astype("datetime64[us]")
             == ref["avail_ts"].to_numpy().astype("datetime64[us]")).all()
+
+
+def _naive_winnow(words, k, window):
+    """Per-doc reference winnowing: scalar hashes, explicit windows,
+    leftmost-min tie-break. Independent of the vectorized kernel."""
+    from ocm_ray.core.hashing import stable_hash_scalar, wanghash_scalar
+
+    hs = [stable_hash_scalar(w, 137) for w in words]
+    grams = []
+    for i in range(len(hs) - k + 1):
+        acc = wanghash_scalar(hs[i])
+        for j in range(1, k):
+            acc = wanghash_scalar(acc ^ hs[i + j])
+        grams.append(acc)
+    sel = set()
+    for s in range(len(grams) - window + 1):
+        w = grams[s:s + window]
+        mn = min(w)
+        sel.add((s + w.index(mn), np.uint64(mn).astype(np.int64).item()))
+    return sel
+
+
+def test_winnow_fingerprints_matches_naive():
+    import ray.data as rd
+
+    from ocm_ray.ops.text import winnow_fingerprints
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab → plenty of ties
+    docs, texts = [], []
+    for d in range(60):
+        n = int(rng.integers(0, 25))     # incl. docs too short to emit
+        texts.append(" ".join(rng.choice(vocab, n)))
+        docs.append(d)
+    df = pd.DataFrame({"doc_id": docs, "text": texts})
+
+    got = winnow_fingerprints(rd.from_pandas(df).repartition(4),
+                              k=3, window=4).to_pandas()
+    got_set = {(d, p, f) for d, p, f in
+               zip(got["doc_id"], got["pos"], got["fp"])}
+
+    exp_set = set()
+    for d, t in zip(docs, texts):
+        for p, f in _naive_winnow(t.split(" "), 3, 4):
+            exp_set.add((d, p, f))
+    assert got_set == exp_set
+    # density sanity: winnowing selects ≥ 1 per window run, ≪ all grams
+    n_grams = sum(max(len(t.split(" ")) - 2, 0) for t in texts)
+    assert 0 < len(got_set) < n_grams
+
+
+def test_winnow_shared_run_guarantee():
+    """Two docs sharing >= window + k - 1 consecutive words share at
+    least one identical (fingerprint) value — the SIGMOD'03 guarantee."""
+    import ray.data as rd
+
+    from ocm_ray.ops.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = 4 + 3 - 1 words
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [f"one two {shared} three four",
+                 f"five six seven {shared} eight"],
+    })
+    out = winnow_fingerprints(rd.from_pandas(df), k=3, window=4).to_pandas()
+    fps0 = set(out.loc[out.doc_id == 0, "fp"])
+    fps1 = set(out.loc[out.doc_id == 1, "fp"])
+    assert fps0 & fps1
