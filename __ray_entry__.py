@@ -597,6 +597,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     k=3, window=4)
     q["winnow_fingerprints"] = winnow_fingerprints
 
+    def gopher_quality(sf_dir):
+        """Gopher rule-based quality filter — integer-exact flags,
+        SQL-oracled end to end."""
+        from ocm_ray.ops.text import gopher_quality_flags
+
+        return gopher_quality_flags(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]))
+    q["gopher_quality"] = gopher_quality
+
+    def unigram_logprob(sf_dir):
+        """Per-doc mean log2 unigram probability (CCNet-style fluency
+        proxy): distributed token counts → broadcast LM → scoring pass."""
+        from ocm_ray.ops.text import unigram_logprob as _ulp
+
+        return _ulp(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    q["unigram_logprob"] = unigram_logprob
+
     def text_stats(sf_dir):
         """Text-analysis stage over documents; the SQL-exact integer
         columns (token/char/stopword counts) are what the oracle
@@ -1425,4 +1442,57 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix_split": _mix_split_sql(),
         "simhash_fingerprints": _simhash_sql(),
         "winnow_fingerprints": _winnow_sql(k=3, window=4),
+        # Gopher rules in exact integer arithmetic (ops/text.py
+        # gopher_quality_flags); booleans compare as ints in the canon
+        "gopher_quality": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       CAST(length(text) - (len(ws) - 1) AS BIGINT) AS n_word_chars,
+                       CAST((length(text) - length(replace(text, '#', '')))
+                            + (length(text) - length(replace(text, '...', ''))) / 3
+                            AS BIGINT) AS n_symbols,
+                       CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                            AS BIGINT) AS n_alpha_words,
+                       CAST((CASE WHEN list_contains(ws, 'the')  THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'be')   THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'to')   THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'of')   THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'and')  THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_req_stop
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+                      FROM documents)
+            )
+            SELECT doc_id, n_words, n_word_chars, n_symbols, n_alpha_words,
+                   n_req_stop,
+                   (n_words BETWEEN 50 AND 100000)                    AS ok_word_count,
+                   (3 * n_words <= n_word_chars
+                    AND n_word_chars <= 10 * n_words)                 AS ok_mean_len,
+                   (10 * n_symbols <= n_words)                        AS ok_symbol,
+                   (5 * n_alpha_words >= 4 * n_words)                 AS ok_alpha,
+                   (n_req_stop >= 2)                                  AS ok_stop,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND (3 * n_words <= n_word_chars
+                         AND n_word_chars <= 10 * n_words)
+                    AND (10 * n_symbols <= n_words)
+                    AND (5 * n_alpha_words >= 4 * n_words)
+                    AND (n_req_stop >= 2))                            AS keep
+            FROM c
+        """,
+        # unigram LM trained on the corpus itself; ROUND(4) on both
+        # sides absorbs summation-order float noise
+        "unigram_logprob": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            cnts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+            tot AS (SELECT SUM(c) AS t FROM cnts)
+            SELECT doc_id, ROUND(AVG(log2(CAST(c AS DOUBLE) / t)), 4) AS logprob
+            FROM words JOIN cnts USING (w), tot
+            GROUP BY doc_id
+        """,
     }

@@ -312,3 +312,114 @@ def winnow_fingerprints(ds, k: int = 3, window: int = 4,
                          "fp": pa.array(g[sel].view(np.int64))})
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# the 8 "required word" stopwords of the Gopher quality rules
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(ds, min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: int = 3,
+                         max_mean_word_len: int = 10,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style document quality rules (Rae et al. 2021, App. A1.1),
+    restated in exact integer arithmetic so every flag is SQL-oracle-able:
+
+    - ``ok_word_count``: min_words <= n_words <= max_words;
+    - ``ok_mean_len``: mean word length in [min,max] via cross-
+      multiplication (``min*n <= total_word_chars <= max*n``) — no
+      float division anywhere;
+    - ``ok_symbol``: '#'-or-'...' symbol-to-word ratio <= 0.1
+      (``10 * n_symbols <= n_words``);
+    - ``ok_alpha``: >= 80% of words contain an alphabetic character
+      (``5 * n_alpha_words >= 4 * n_words``);
+    - ``ok_stop``: contains >= 2 of the 8 Gopher required stopwords;
+    - ``keep``: AND of all flags.
+
+    The paper's line-shaped rules (bullet/ellipsis line starts) don't
+    apply to this single-line corpus and are omitted. Integer diagnostic
+    columns ride along. One stateless vectorized pass, no shuffle.
+    """
+    def flags(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = pl.from_arrow(batch.column(text_col))
+        toks = texts.str.split(" ")
+        n_words = toks.list.len().to_numpy().astype(np.int64)
+        n_chars = texts.str.len_chars().to_numpy().astype(np.int64)
+        # single-space split: total word chars = chars - (n_words - 1)
+        n_word_chars = n_chars - (n_words - 1)
+        n_symbols = (texts.str.count_matches("#", literal=True).to_numpy()
+                     + texts.str.count_matches(r"\.\.\.").to_numpy()
+                     ).astype(np.int64)
+        n_alpha = toks.list.eval(
+            pl.element().str.contains("[A-Za-z]")).list.sum() \
+            .to_numpy().astype(np.int64)
+        n_stop = sum((toks.list.contains(w).to_numpy().astype(np.int64))
+                     for w in GOPHER_STOPWORDS)
+
+        ok_wc = (n_words >= min_words) & (n_words <= max_words)
+        ok_ml = ((min_mean_word_len * n_words <= n_word_chars)
+                 & (n_word_chars <= max_mean_word_len * n_words))
+        ok_sym = 10 * n_symbols <= n_words
+        ok_alpha = 5 * n_alpha >= 4 * n_words
+        ok_stop = n_stop >= 2
+        keep = ok_wc & ok_ml & ok_sym & ok_alpha & ok_stop
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words),
+            "n_word_chars": pa.array(n_word_chars),
+            "n_symbols": pa.array(n_symbols),
+            "n_alpha_words": pa.array(n_alpha),
+            "n_req_stop": pa.array(n_stop),
+            "ok_word_count": pa.array(ok_wc),
+            "ok_mean_len": pa.array(ok_ml),
+            "ok_symbol": pa.array(ok_sym),
+            "ok_alpha": pa.array(ok_alpha),
+            "ok_stop": pa.array(ok_stop),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(flags, batch_format="pyarrow")
+
+
+def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                    ndigits: int = 4):
+    """Per-document mean log2 probability of its tokens under the
+    corpus-wide unigram distribution — the CCNet-style fluency proxy
+    (a perplexity stand-in with the unigram LM trained on the corpus
+    itself).
+
+    Two passes by necessity (the LM is a global statistic): pass 1 is
+    the exact distributed token count (``token_count_table`` — partial
+    per-block counts, tiny vocab-sized shuffle), whose vocab-sized
+    (hash, log2 prob) table is broadcast once via ``ray.put``; pass 2
+    scores each batch with a searchsorted lookup — stateless tasks,
+    zero-copy broadcast reads, no per-row Python. Every token is in the
+    table by construction (same corpus), so there is no OOV path.
+    """
+    import ray
+
+    from ocm_ray.engine.tokens import hash_string_array, split_words_hashed
+
+    counts = token_count_table(ds, text_col).to_pandas()
+    keys = hash_string_array(pa.array(counts["token"].astype(str)))
+    total = float(counts["cnt"].sum())
+    lp = np.log2(counts["cnt"].to_numpy().astype(np.float64) / total)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], lp[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        k, l = ray.get(ref)
+        flat, lens = split_words_hashed(batch.column(text_col),
+                                        lowercase=False)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        lps = l[np.searchsorted(k, flat)]
+        sums = (np.add.reduceat(lps, offs[:-1]) if len(flat)
+                else np.zeros(len(lens)))
+        mean = np.round(sums / np.maximum(lens, 1), ndigits)
+        return pa.table({id_col: batch.column(id_col),
+                         "logprob": pa.array(mean)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

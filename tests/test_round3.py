@@ -509,3 +509,43 @@ def test_winnow_shared_run_guarantee():
     fps0 = set(out.loc[out.doc_id == 0, "fp"])
     fps1 = set(out.loc[out.doc_id == 1, "fp"])
     assert fps0 & fps1
+
+
+def test_gopher_quality_rules():
+    import ray.data as rd
+
+    from ocm_ray.ops.text import gopher_quality_flags
+
+    common = "the bird went to one of those hills and that dog would have run with it"
+    good = " ".join([common] * 5)          # 80 words, all rules pass
+    docs = pd.DataFrame({"doc_id": range(5), "text": [
+        good,
+        "too short to keep",                               # word count
+        " ".join(["abcdefghijklmnop"] * 60),               # mean len > 10
+        " ".join([common] * 5) + " " + " ".join(["#"] * 30),  # symbols, alpha
+        " ".join(["zzz"] * 60),                            # no req. stopwords
+    ]})
+    out = gopher_quality_flags(rd.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1, "ok_word_count"]
+    assert not out.loc[2, "ok_mean_len"]
+    assert not out.loc[3, "ok_symbol"] and not out.loc[3, "ok_alpha"]
+    assert not out.loc[4, "ok_stop"]
+    assert not out.loc[1:, "keep"].any()
+
+
+def test_unigram_logprob_by_hand():
+    import ray.data as rd
+
+    from ocm_ray.ops.text import unigram_logprob
+
+    # corpus counts: a=3, b=2, c=1 → total 6
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["a b a", "a b c"]})
+    out = unigram_logprob(rd.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    lp = {"a": np.log2(3 / 6), "b": np.log2(2 / 6), "c": np.log2(1 / 6)}
+    exp0 = round((lp["a"] + lp["b"] + lp["a"]) / 3, 4)
+    exp1 = round((lp["a"] + lp["b"] + lp["c"]) / 3, 4)
+    assert out.loc[0, "logprob"] == pytest.approx(exp0, abs=1e-9)
+    assert out.loc[1, "logprob"] == pytest.approx(exp1, abs=1e-9)
