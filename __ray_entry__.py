@@ -614,6 +614,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ulp(_read(sf_dir, "documents", columns=["doc_id", "text"]))
     q["unigram_logprob"] = unigram_logprob
 
+    def sliding_window_user_counts(sf_dir):
+        """Trailing-window frequencies via the sliding-window CM
+        (reference include/ccm.h:839-869 semantics): per-user event
+        counts within the last 2000 events of the event_id-ordered
+        stream. Geometry (2^16 cells x 5 rows vs 150 users) makes the
+        sketch exact here, so the window counts get a real SQL oracle;
+        the deterministic hash seeds make that exactness stable."""
+        import numpy as np
+
+        from ocm_ray.sketches.sliding import sliding_window_counts
+
+        ds = _read(sf_dir, "events", columns=["event_id", "user_id"]) \
+            .sort("event_id")
+        sw = sliding_window_counts(ds, "user_id", window=2000,
+                                   np_bits=16, nh=5)
+        users = np.unique(np.concatenate(
+            [b.column("user_id").to_numpy() for b in
+             _read(sf_dir, "events", columns=["user_id"])
+             .iter_batches(batch_format="pyarrow")]))
+        est = sw.estimate(users.astype(np.uint64))
+        keep = est > 0
+        return pd.DataFrame({"user_id": users[keep],
+                             "cnt": est[keep].astype(np.int64)})
+    q["sliding_window_user_counts"] = sliding_window_user_counts
+
     def text_stats(sf_dir):
         """Text-analysis stage over documents; the SQL-exact integer
         columns (token/char/stopword counts) are what the oracle
@@ -1494,5 +1519,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROUND(AVG(log2(CAST(c AS DOUBLE) / t)), 4) AS logprob
             FROM words JOIN cnts USING (w), tot
             GROUP BY doc_id
+        """,
+        "sliding_window_user_counts": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT user_id FROM events ORDER BY event_id DESC
+                  LIMIT 2000)
+            GROUP BY user_id ORDER BY user_id
         """,
     }

@@ -549,3 +549,73 @@ def test_unigram_logprob_by_hand():
     exp1 = round((lp["a"] + lp["b"] + lp["c"]) / 3, 4)
     assert out.loc[0, "logprob"] == pytest.approx(exp0, abs=1e-9)
     assert out.loc[1, "logprob"] == pytest.approx(exp1, abs=1e-9)
+
+
+class TestSlidingWindowCM:
+    def _trailing_counts(self, stream, W):
+        from collections import Counter
+        return Counter(stream[-W:] if len(stream) > W else stream)
+
+    def test_matches_exact_when_collision_free(self):
+        from ocm_ray.sketches.sliding import SlidingWindowCM
+
+        rng = np.random.default_rng(3)
+        stream = rng.integers(0, 50, 5000).astype(np.uint64)
+        sw = SlidingWindowCM(window=300, np_bits=14, nh=5)
+        for lo in range(0, len(stream), 257):   # ragged batches
+            sw.update(stream[lo:lo + 257])
+        true = self._trailing_counts(stream.tolist(), 300)
+        keys = np.array(sorted(set(stream.tolist())), dtype=np.uint64)
+        est = sw.estimate(keys)
+        exact = np.array([true.get(int(k), 0) for k in keys])
+        # 50 keys in 2^14 cells x 5 rows: collision-free in practice
+        assert (est == exact).all()
+        assert int(sw.cm.n_items[0]) == 300  # window fill tracked
+
+    def test_one_sided_under_collisions(self):
+        from ocm_ray.sketches.sliding import SlidingWindowCM
+
+        rng = np.random.default_rng(4)
+        stream = rng.integers(0, 5000, 20000).astype(np.uint64)
+        sw = SlidingWindowCM(window=1000, np_bits=6, nh=3)
+        sw.update(stream)
+        true = self._trailing_counts(stream.tolist(), 1000)
+        keys = np.unique(stream)
+        est = sw.estimate(keys)
+        exact = np.array([true.get(int(k), 0) for k in keys])
+        assert (est >= exact).all()          # one-sided vs window counts
+        assert (sw.cm.core >= 0).all()       # cells never go negative
+
+    def test_batch_split_invariance_and_big_batch(self):
+        from ocm_ray.sketches.sliding import SlidingWindowCM
+
+        rng = np.random.default_rng(5)
+        stream = rng.integers(0, 100, 3000).astype(np.uint64)
+
+        def run(chunks):
+            sw = SlidingWindowCM(window=64, np_bits=10, nh=3)
+            for c in chunks:
+                sw.update(c)
+            return sw
+
+        a = run([stream])                       # m >> W in one call
+        b = run(np.array_split(stream, 173))    # many ragged calls
+        c = run([stream[:1], stream[1:]])
+        assert (a.cm.core == b.cm.core).all()
+        assert (a.cm.core == c.cm.core).all()
+        assert (a._buf == b._buf).all()
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from ocm_ray.sketches.sliding import SlidingWindowCM
+
+        rng = np.random.default_rng(6)
+        sw = SlidingWindowCM(window=32, np_bits=8, nh=3)
+        sw.update(rng.integers(0, 40, 500).astype(np.uint64))
+        p = str(tmp_path / "sw.npz")
+        sw.save(p)
+        back = SlidingWindowCM.load(p)
+        more = rng.integers(0, 40, 100).astype(np.uint64)
+        sw.update(more)
+        back.update(more)
+        assert (sw.cm.core == back.cm.core).all()
+        assert (sw._buf == back._buf).all()
