@@ -168,6 +168,23 @@ def run_bench() -> dict:
     queries["ann_topk"], _ = _timed(lambda: brute_force_topk(
         rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")), qm, k=10))
 
+    # 14-16. round-3 text-curation ops (winnowing fingerprints, Gopher
+    # rule flags, unigram LM scoring) — new rows, not in the r1/r2
+    # shared-query comparison set
+    from ocm_ray.ops.text import (gopher_quality_flags, unigram_logprob,
+                                  winnow_fingerprints)
+
+    def docs_ds():
+        return rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    queries["winnow_fp"], _ = _timed(lambda: winnow_fingerprints(
+        docs_ds(), k=3, window=4).count())
+    queries["gopher_quality"], _ = _timed(lambda: gopher_quality_flags(
+        docs_ds()).count())
+    queries["unigram_logprob"], _ = _timed(lambda: unigram_logprob(
+        docs_ds()).count())
+
     ray.shutdown()
 
     total = sum(queries.values())
