@@ -606,6 +606,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", columns=["doc_id", "text"]))
     q["gopher_quality"] = gopher_quality
 
+    def gopher_repetition(sf_dir):
+        """Gopher repetition rules — top/duplicate n-gram character
+        statistics in exact integer arithmetic, SQL-oracled."""
+        from ocm_ray.ops.text import gopher_repetition_flags
+
+        return gopher_repetition_flags(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]))
+    q["gopher_repetition"] = gopher_repetition
+
     def unigram_logprob(sf_dir):
         """Per-doc mean log2 unigram probability (CCNet-style fluency
         proxy): distributed token counts → broadcast LM → scoring pass."""
@@ -1506,6 +1515,39 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha_words >= 4 * n_words)
                     AND (n_req_stop >= 2))                            AS keep
             FROM c
+        """,
+        # repetition statistics grouped by actual gram strings — equal to
+        # the engine's hash-grouped runs absent in-doc 64-bit collisions
+        "gopher_repetition": """
+            WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                              string_split(lower(text), ' ') AS ws
+                       FROM documents),
+            g2 AS (SELECT doc_id, ws[j] || ' ' || ws[j + 1] AS g
+                   FROM t, UNNEST(range(1, len(ws))) AS r(j)),
+            a2 AS (SELECT doc_id, MAX(cnt * clen) AS top2
+                   FROM (SELECT doc_id, COUNT(*) AS cnt, length(g) AS clen
+                         FROM g2 GROUP BY doc_id, g)
+                   GROUP BY doc_id),
+            g3 AS (SELECT doc_id,
+                          ws[j] || ' ' || ws[j + 1] || ' ' || ws[j + 2] AS g
+                   FROM t, UNNEST(range(1, len(ws) - 1)) AS r(j)),
+            a3 AS (SELECT doc_id, MAX(cnt * clen) AS top3,
+                          SUM(CASE WHEN cnt > 1 THEN cnt * clen ELSE 0 END) AS dup3
+                   FROM (SELECT doc_id, COUNT(*) AS cnt, length(g) AS clen
+                         FROM g3 GROUP BY doc_id, g)
+                   GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(COALESCE(top2, 0) AS BIGINT) AS top2_chars,
+                   CAST(COALESCE(top3, 0) AS BIGINT) AS top3_chars,
+                   CAST(COALESCE(dup3, 0) AS BIGINT) AS dup3_chars,
+                   (5 * COALESCE(top2, 0) <= n_chars)       AS ok_top2,
+                   (50 * COALESCE(top3, 0) <= 9 * n_chars)  AS ok_top3,
+                   (5 * COALESCE(dup3, 0) <= 3 * n_chars)   AS ok_dup3,
+                   ((5 * COALESCE(top2, 0) <= n_chars)
+                    AND (50 * COALESCE(top3, 0) <= 9 * n_chars)
+                    AND (5 * COALESCE(dup3, 0) <= 3 * n_chars)) AS keep
+            FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
         """,
         # unigram LM trained on the corpus itself; ROUND(4) on both
         # sides absorbs summation-order float noise

@@ -423,3 +423,96 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
                          "logprob": pa.array(mean)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def gopher_repetition_flags(ds, id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """Gopher repetition rules (Rae et al. 2021, App. A1.1): reject docs
+    dominated by repeated n-grams. Per doc, over word n-grams:
+
+    - ``top2_chars`` / ``top3_chars``: MAX over distinct n-grams of
+      ``count * n-gram char length`` (chars incl. joining spaces) — the
+      paper's "fraction of characters in the most common n-gram"
+      numerator, made deterministic under count ties by taking the max
+      product (documented deviation: the paper leaves tie-break
+      unspecified);
+    - ``dup3_chars``: SUM of ``count * char length`` over 3-grams
+      occurring more than once — the paper's duplicate-n-gram rule with
+      chars counted per occurrence rather than overlap-deduplicated
+      (documented deviation; keeps the statistic integer-exact and
+      SQL-expressible);
+    - flags at the paper's thresholds as exact rationals against
+      ``n_chars``: ``ok_top2`` (<= 0.20), ``ok_top3`` (<= 0.18),
+      ``ok_dup3`` (<= 0.60), and ``keep`` = AND.
+
+    Grouping is by gram hash (engine stable word codec chained with
+    WangHash) — equal to string grouping absent 64-bit in-doc hash
+    collisions. One vectorized pass: lexsort-free run detection via
+    per-row sorted gram arrays; no shuffle, no per-row Python.
+    """
+    from ocm_ray.engine.tokens import split_words_hashed
+
+    def rep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_chars = pc.utf8_length(texts.fill_null("")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat, lens = split_words_hashed(texts)
+        wlens = pc.utf8_length(
+            pc.split_pattern(pc.utf8_lower(texts.fill_null("")), " ")
+            .flatten()).to_numpy(zero_copy_only=False).astype(np.int64)
+        n, nrows = len(flat), len(lens)
+        rowid = np.repeat(np.arange(nrows), lens)
+
+        def gram_stats(k: int):
+            """(per-row MAX(cnt*clen), per-row SUM(cnt*clen | cnt>1))"""
+            top = np.zeros(nrows, dtype=np.int64)
+            dup = np.zeros(nrows, dtype=np.int64)
+            if n < k:
+                return top, dup
+            win = np.lib.stride_tricks.sliding_window_view(flat, k)
+            acc = wanghash(win[:, 0])
+            for j in range(1, k):
+                acc = wanghash(acc ^ win[:, j])
+            valid = rowid[: n - k + 1] == rowid[k - 1:]
+            g, grow = acc[valid], rowid[: n - k + 1][valid]
+            wl = np.lib.stride_tricks.sliding_window_view(wlens, k)
+            clen = (wl.sum(axis=1) + (k - 1))[: n - k + 1][valid]
+            if not len(g):
+                return top, dup
+            # group by (row, gram hash): one lexsort, run boundaries
+            order = np.lexsort((g, grow))
+            gs, rs, cs = g[order], grow[order], clen[order]
+            bnd = np.flatnonzero(np.concatenate(
+                [[True], (gs[1:] != gs[:-1]) | (rs[1:] != rs[:-1])]))
+            cnt = np.diff(np.concatenate([bnd, [len(gs)]]))
+            score = cnt * cs[bnd]
+            run_row = rs[bnd]
+            rstart = np.flatnonzero(np.concatenate(
+                [[True], run_row[1:] != run_row[:-1]]))
+            top[run_row[rstart]] = np.maximum.reduceat(score, rstart)
+            dup_score = np.where(cnt > 1, score, 0)
+            dup[run_row[rstart]] = np.add.reduceat(dup_score, rstart)
+            return top, dup
+
+        top2, _ = gram_stats(2)
+        top3, dup3 = gram_stats(3)
+        ok_top2 = 5 * top2 <= n_chars            # <= 0.20
+        ok_top3 = 50 * top3 <= 9 * n_chars       # <= 0.18
+        ok_dup3 = 5 * dup3 <= 3 * n_chars        # <= 0.60
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_chars": pa.array(n_chars),
+            "top2_chars": pa.array(top2),
+            "top3_chars": pa.array(top3),
+            "dup3_chars": pa.array(dup3),
+            "ok_top2": pa.array(ok_top2),
+            "ok_top3": pa.array(ok_top3),
+            "ok_dup3": pa.array(ok_dup3),
+            "keep": pa.array(ok_top2 & ok_top3 & ok_dup3),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow")

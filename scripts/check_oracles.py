@@ -45,7 +45,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir="/root/testdata/sf0.01"):
+def main(sf_dir="/root/testdata/sf0.01", *only):
     import duckdb
     import ray
 
@@ -68,6 +68,8 @@ def main(sf_dir="/root/testdata/sf0.01"):
 
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             mine = canon(to_pandas(fn(sf_dir)))
         except Exception as e:

@@ -535,6 +535,35 @@ def test_gopher_quality_rules():
     assert not out.loc[1:, "keep"].any()
 
 
+def test_gopher_repetition_by_hand():
+    import ray.data as rd
+
+    from ocm_ray.ops.text import gopher_repetition_flags
+
+    long_clean = " ".join(f"w{i:03d}" for i in range(60))  # 60 distinct words
+    docs = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        # "a b" twice (2*3=6 chars); distinct trigrams ("a b a", "b a b")
+        "a b a b",
+        # spam: "x x" 5x -> top2=5*3=15, "x x x" 4x -> top3=4*5=20=dup3
+        "x x x x x x",
+        # long clean doc: every gram count 1 -> top2 is one bigram's chars
+        long_clean,
+    ]})
+    out = gopher_repetition_flags(rd.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "top2_chars"] == 6          # "a b" x2, len 3
+    assert out.loc[0, "dup3_chars"] == 0          # both trigrams unique
+    assert out.loc[1, "top2_chars"] == 15
+    assert out.loc[1, "top3_chars"] == 20
+    assert out.loc[1, "dup3_chars"] == 20
+    assert not out.loc[1, "keep"]                 # n_chars=11: all fail
+    assert out.loc[2, "top2_chars"] == 9          # one "wAAA wBBB" bigram
+    assert out.loc[2, "dup3_chars"] == 0
+    assert bool(out.loc[2, "keep"])               # 9/299 etc. under thresholds
+    # rule arithmetic: ok_top2 is 5*top2 <= n_chars
+    assert (out["ok_top2"] == (5 * out["top2_chars"] <= out["n_chars"])).all()
+
+
 def test_unigram_logprob_by_hand():
     import ray.data as rd
 
