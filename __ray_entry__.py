@@ -979,6 +979,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows)
     q["minhash_source_similarity"] = minhash_source_similarity
 
+    def decontaminate_eval(sf_dir):
+        """Eval-set k-gram decontamination (GPT-3 App. C style): docs
+        with doc_id % 10 == 7 play the held-out benchmark; every other
+        doc is flagged if it shares any word 3-gram with them. The eval
+        gram set travels once via ray.put; the corpus side is one
+        stateless vectorized map pass (no shuffle)."""
+        import pyarrow as pa
+
+        from ocm_ray.ops.retrieval import decontaminate
+
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def part(want_eval):
+            def f(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                m = (ids % 10 == 7)
+                return batch.filter(pa.array(m if want_eval else ~m))
+            return f
+
+        out = decontaminate(docs.map_batches(part(False), batch_format="pyarrow"),
+                            docs.map_batches(part(True), batch_format="pyarrow"),
+                            k=3).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+    q["decontaminate_eval"] = decontaminate_eval
+
+    def bm25_top20(sf_dir):
+        """Distributed BM25 (Lucene k1/b variant) over the documents
+        corpus for a fixed bag-of-words query; two stateless passes
+        (stats partials, then scoring vs a broadcast idf table),
+        per-batch top-k bounds the collect."""
+        from ocm_ray.ops.retrieval import bm25_topk
+
+        return bm25_topk(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                         ["customer", "filter", "vector"], topk=20)
+    q["bm25_top20"] = bm25_top20
+
     return q
 
 
@@ -1567,5 +1603,75 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT user_id FROM events ORDER BY event_id DESC
                   LIMIT 2000)
             GROUP BY user_id ORDER BY user_id
+        """,
+        # string-domain 3-gram membership — equal to the engine's
+        # hash-domain probe absent 64-bit collisions (the documented
+        # contract, same as jaccard_dup_pairs)
+        "decontaminate_eval": """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+                FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+            ),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+            tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 7),
+            agg AS (
+                SELECT tr.doc_id, COUNT(*) AS n_grams,
+                       SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+                FROM tr LEFT JOIN ev ON tr.g = ev.g
+                GROUP BY tr.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(a.n_cont, 0) AS BIGINT) AS n_contaminated,
+                   (COALESCE(a.n_cont, 0) > 0) AS contaminated
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            WHERE d.doc_id % 10 <> 7
+            ORDER BY d.doc_id
+        """,
+        # BM25 with the exact float expression shape of
+        # ops/retrieval.py:bm25_scores; ROUND(4) on both sides absorbs
+        # term-summation-order ulps, collation (rounded score DESC,
+        # doc_id ASC) matches bm25_topk's deterministic tie-break
+        "bm25_top20": """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+            corpus AS (
+                SELECT CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl,
+                       COUNT(*) AS n
+                FROM toks
+            ),
+            words AS (SELECT doc_id, unnest(w) AS w FROM toks),
+            terms(t) AS (VALUES ('customer'), ('filter'), ('vector')),
+            tf AS (
+                SELECT w.doc_id, t.t, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM words w JOIN terms t ON w.w = t.t
+                GROUP BY 1, 2
+            ),
+            df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+            idf AS (
+                SELECT terms.t,
+                       ln((c.n - COALESCE(df.df, 0) + 0.5)
+                          / (COALESCE(df.df, 0) + 0.5) + 1.0) AS idf
+                FROM terms LEFT JOIN df USING (t), corpus c
+            ),
+            scores AS (
+                SELECT tf.doc_id,
+                       SUM(idf.idf * tf.tf * (1.2 + 1.0)
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * dl.dl / c.avgdl))) AS s
+                FROM tf JOIN idf USING (t) JOIN dl USING (doc_id), corpus c
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, ROUND(s, 4) AS score
+            FROM scores WHERE s > 0
+            ORDER BY ROUND(s, 4) DESC, doc_id ASC
+            LIMIT 20
         """,
     }

@@ -125,6 +125,29 @@ def kgram_reduce(flat: np.ndarray, lengths: np.ndarray, k: int) -> np.ndarray:
     return acc[valid]
 
 
+def word_kgram_hashes(arr: "pa.ChunkedArray | pa.Array", k: int,
+                      lowercase: bool = True, seed: int = 137,
+                      ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Word k-gram hashes of a string column with row attribution:
+    ``(gram_hashes uint64, gram_rowid int64, n_rows)``. Words are
+    space-split (DuckDB ``string_split`` semantics via
+    :func:`split_words_hashed`); the window hash is the same chained
+    WangHash as :func:`kgram_reduce`, so grouping/joining on these
+    values equals grouping on the gram strings absent 64-bit
+    collisions. Fully vectorized (one ``sliding_window_view``)."""
+    flat, lens = split_words_hashed(arr, lowercase, seed)
+    n, nrows = len(flat), len(lens)
+    if n < k:
+        return (np.empty(0, dtype=U64), np.empty(0, dtype=np.int64), nrows)
+    rowid = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    win = np.lib.stride_tricks.sliding_window_view(flat, k)
+    acc = wanghash(win[:, 0])
+    for j in range(1, k):
+        acc = wanghash(acc ^ win[:, j])
+    valid = rowid[: n - k + 1] == rowid[k - 1:]
+    return acc[valid], rowid[: n - k + 1][valid], nrows
+
+
 def items_from_batch(batch: pa.Table, column: str = "tokens", kgram: int = 1,
                      weights_column: Optional[str] = None) -> np.ndarray:
     """uint64 item stream for one Arrow batch.
