@@ -1015,6 +1015,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          ["customer", "filter", "vector"], topk=20)
     q["bm25_top20"] = bm25_top20
 
+    def event_windows(sf_dir):
+        """SQL window functions (row_number / rank / dense_rank / lag
+        gap / running max) per user ordered by time — the shard_scan
+        exchange + one vectorized pass per shard, no per-key dispatch.
+        running_sum is dropped here: sequential float accumulation is
+        oracle-exact only for integer values (unit-tested there)."""
+        from ocm_ray.ops.relational import partitioned_window
+
+        out = partitioned_window(
+            _read(sf_dir, "events",
+                  columns=["event_id", "ts", "user_id", "value"]),
+            key="user_id", order_col="ts", tie_col="event_id",
+            value_col="value", n_shards=16).to_pandas()
+        out = out.drop(columns=["running_sum"])
+        out["running_max"] = out["running_max"].round(4)
+        return out.sort_values("event_id").reset_index(drop=True)
+    q["event_windows"] = event_windows
+
     return q
 
 
@@ -1673,5 +1691,19 @@ def oracle_sql() -> dict[str, str]:
             FROM scores WHERE s > 0
             ORDER BY ROUND(s, 4) DESC, doc_id ASC
             LIMIT 20
+        """,
+        "event_windows": """
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER w AS row_number,
+                   RANK() OVER (PARTITION BY user_id ORDER BY ts) AS rank,
+                   DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts)
+                       AS dense_rank,
+                   COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                                 AS BIGINT), -1) AS gap_us,
+                   ROUND(MAX(value) OVER (w ROWS UNBOUNDED PRECEDING), 4)
+                       AS running_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
         """,
     }

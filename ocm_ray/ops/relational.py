@@ -726,3 +726,100 @@ def asof_join_sharded(left: Dataset, right: Dataset, key: str = "event_type",
 
     return shard_scan2(left, right, make_shard_of(key), make_shard_of(key),
                        scan, n_shards)
+
+
+def partitioned_window(ds: Dataset, key: str = "user_id",
+                       order_col: str = "ts", tie_col: str = "event_id",
+                       value_col: Optional[str] = "value",
+                       n_shards: int = 64) -> Dataset:
+    """SQL window functions over (PARTITION BY key ORDER BY order_col,
+    tie_col): row_number, rank, dense_rank (rank/dense on order_col
+    alone, SQL tie semantics), gap to the previous row's order value
+    (``gap_us`` int64, -1 for partition heads), and — when
+    ``value_col`` is given — the running max and running sum of the
+    value.
+
+    Scale shape (same as :func:`sessionize`, NOT per-key
+    ``map_groups``): compact projection, one raw-task
+    :func:`ocm_ray.ops.pairs.shard_scan` exchange over key-hash shards
+    (driver holds only ObjectRefs), then ONE vectorized pass per shard
+    — sort by (key, order, tie), partition/tie boundaries from
+    ``np.diff``-style comparisons, ranks from cumsum / maximum-
+    accumulate index arithmetic, running max/sum via pandas grouped
+    cumulatives (single C pass, no per-group dispatch). ``running_sum``
+    over floats inherits sequential-accumulation rounding — exact for
+    integer values, ulp-level otherwise (document ROUND when oracling).
+    """
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+
+    bits = _shard_bits(n_shards)
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key), tie_col: batch.column(tie_col),
+                "_ord": pa.array(_order_to_i64(batch, order_col))}
+        if value_col is not None:
+            cols["_val"] = batch.column(value_col)
+        return pa.table(cols)
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        from ocm_ray.core.hashing import wanghash
+        from ocm_ray.engine.tokens import hash_string_array
+
+        col = tbl.column(key)
+        if pa.types.is_integer(tbl.schema.field(key).type):
+            h = wanghash(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = hash_string_array(col)
+        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(h), np.int32)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        out_cols = [key, tie_col, "row_number", "rank", "dense_rank",
+                    "gap_us"] + (["running_max", "running_sum"]
+                                 if value_col is not None else [])
+        if len(df) == 0:
+            empty = {key: tbl.column(key), tie_col: tbl.column(tie_col)}
+            for c in out_cols[2:6]:
+                empty[c] = pa.array([], pa.int64())
+            if value_col is not None:
+                empty["running_max"] = pa.array([], pa.float64())
+                empty["running_sum"] = pa.array([], pa.float64())
+            return pa.table(empty)
+        df = df.sort_values([key, "_ord", tie_col], kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        o = df["_ord"].to_numpy()
+        pos = np.arange(len(df), dtype=np.int64)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        run = np.cumsum(new_key) - 1
+        starts = pos[new_key]
+        row_number = pos - starts[run] + 1
+        # SQL RANK: 1 + #rows strictly before the first peer (order ties
+        # share); DENSE_RANK: #distinct order values seen in partition
+        new_val = new_key | np.concatenate([[True], o[1:] != o[:-1]])
+        first_peer = np.maximum.accumulate(np.where(new_val, pos, -1))
+        rank = first_peer - starts[run] + 1
+        dv = np.cumsum(new_val)
+        dense_rank = dv - dv[starts[run]] + 1
+        gap = np.concatenate([[0], o[1:] - o[:-1]])
+        gap[new_key] = -1
+        cols = {key: df[key], tie_col: df[tie_col],
+                "row_number": row_number, "rank": rank,
+                "dense_rank": dense_rank, "gap_us": gap}
+        if value_col is not None:
+            g = df.groupby(run, sort=False)["_val"]
+            cols["running_max"] = g.cummax().to_numpy()
+            cols["running_sum"] = g.cumsum().to_numpy()
+        return pa.Table.from_pandas(pd.DataFrame(cols),
+                                    preserve_index=False)
+
+    return shard_scan(ds.map_batches(project, batch_format="pyarrow"),
+                      shard_of, scan, n_shards)
+
+
+def _order_to_i64(batch: pa.Table, col: str) -> np.ndarray:
+    """Order column → int64 (timestamps via :func:`_ts_to_us`)."""
+    if pa.types.is_timestamp(batch.schema.field(col).type):
+        return _ts_to_us(batch, col)
+    return batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -648,3 +648,46 @@ class TestSlidingWindowCM:
         back.update(more)
         assert (sw.cm.core == back.cm.core).all()
         assert (sw._buf == back._buf).all()
+
+
+def test_partitioned_window_matches_duckdb():
+    """row_number / rank / dense_rank / gap / running max+sum vs DuckDB
+    window functions, with deliberate order-value ties and integer
+    values (running_sum exact)."""
+    import duckdb
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import partitioned_window
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n),
+        # coarse grid -> plenty of (user, ts) ties
+        "ts": pd.to_datetime(rng.integers(0, 500, n) * 3_600_000_000,
+                             unit="us"),
+        "value": rng.integers(-50, 50, n).astype(float),
+    })
+    got = (partitioned_window(rd.from_pandas(df, override_num_blocks=5),
+                              n_shards=8)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER w AS row_number,
+               RANK() OVER (PARTITION BY user_id ORDER BY ts) AS rank,
+               DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS dense_rank,
+               COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT),
+                        -1) AS gap_us,
+               MAX(value) OVER (w ROWS UNBOUNDED PRECEDING) AS running_max,
+               SUM(value) OVER (w ROWS UNBOUNDED PRECEDING) AS running_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """).df()
+    for c in ["user_id", "row_number", "rank", "dense_rank", "gap_us"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    for c in ["running_max", "running_sum"]:
+        np.testing.assert_allclose(got[c], want[c], atol=1e-9, err_msg=c)
