@@ -1033,6 +1033,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("event_id").reset_index(drop=True)
     q["event_windows"] = event_windows
 
+    def top_tokens_per_source(sf_dir):
+        """Exact top-5 tokens per source: per-block (source, token)
+        partial counts → grouped_sum tree → grouped_topk tree (per-block
+        top-k-per-key is a valid partial reducer; no shuffle anywhere)."""
+        import polars as pl
+        import pyarrow as pa
+
+        from ocm_ray.ops.agg import grouped_sum, grouped_topk
+
+        def local_counts(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch.select(["source", "text"]))
+            out = (df.with_columns(pl.col("text").str.split(" ")
+                                   .alias("token"))
+                   .drop("text").explode("token")
+                   .group_by(["source", "token"]).len()
+                   .rename({"len": "cnt"})
+                   .with_columns(pl.col("cnt").cast(pl.Int64)))
+            return out.to_arrow()
+
+        counts = grouped_sum(
+            _read(sf_dir, "documents", columns=["source", "text"])
+            .map_batches(local_counts, batch_format="pyarrow"),
+            ["source", "token"], ["cnt"])
+        out = grouped_topk(counts, ["source"], "cnt", 5,
+                           tie_cols=["token"]).to_pandas()
+        return out.sort_values(["source", "cnt", "token"],
+                               ascending=[True, False, True],
+                               ignore_index=True)
+    q["top_tokens_per_source"] = top_tokens_per_source
+
+    def doc_chunks(sf_dir):
+        """Overlapping word-window chunking (RAG / context prep):
+        size=32 stride=24 over every doc; exact string output."""
+        from ocm_ray.ops.text import chunk_documents
+
+        out = chunk_documents(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            size=32, stride=24).to_pandas()
+        return out.sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    q["doc_chunks"] = doc_chunks
+
     return q
 
 
@@ -1705,5 +1746,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id
+        """,
+        "top_tokens_per_source": """
+            SELECT source, token, cnt FROM (
+                SELECT source, tok AS token, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY COUNT(*) DESC, tok ASC) AS rn
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY source, tok
+            ) WHERE rn <= 5
+            ORDER BY source, cnt DESC, token
+        """,
+        "doc_chunks": """
+            SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+                   CAST(least(32, len(w) - j * 24) AS BIGINT) AS n_words,
+                   array_to_string(w[j * 24 + 1 : j * 24 + 32], ' ') AS text
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+                 UNNEST(range(0, (len(w) + 23) // 24)) AS u(j)
+            WHERE j * 24 < len(w)
+            ORDER BY doc_id, chunk_id
         """,
     }

@@ -52,3 +52,54 @@ def grouped_sum(ds: Dataset, keys: List[str], sum_cols: List[str],
             break
         width //= fanin
     return out
+
+
+def grouped_topk(ds: Dataset, keys: List[str], rank_col: str, k: int,
+                 tie_cols: List[str] | None = None, descending: bool = True,
+                 fanin: int = 8, levels: int = 2) -> Dataset:
+    """Exact top-k ROWS per key group, shuffle-free.
+
+    Per-block top-k-per-key is a valid partial reducer (each row lives in
+    exactly one block, so the global per-key top-k is contained in the
+    union of per-block top-k's); blocks therefore shrink to ≤ k rows per
+    key present, and the same repartition tree as :func:`grouped_sum`
+    coalesces them. Collation is total and deterministic:
+    ``rank_col`` (desc by default) then ``tie_cols`` asc — the SQL
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY ...) <= k`` result.
+    Driver/output size is bounded by k × |keys|.
+    """
+    import numpy as np
+
+    tie_cols = tie_cols or []
+
+    def sel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.sort_values(
+            keys + [rank_col] + tie_cols,
+            ascending=[True] * len(keys) + [not descending]
+            + [True] * len(tie_cols),
+            kind="mergesort", ignore_index=True)
+        kv = [df[c].to_numpy() for c in keys]
+        new_key = np.zeros(len(df), dtype=bool)
+        new_key[0] = True
+        for col in kv:
+            new_key[1:] |= col[1:] != col[:-1]
+        run = np.cumsum(new_key) - 1
+        pos = np.arange(len(df), dtype=np.int64)
+        starts = pos[new_key]
+        keep = (pos - starts[run]) < k
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    out = ds.map_batches(sel, batch_size=None, batch_format="pyarrow")
+    width = fanin ** (levels - 1)
+    while width >= 1:
+        out = out.repartition(width).map_batches(
+            sel, batch_size=None, batch_format="pyarrow")
+        if width == 1:
+            break
+        width //= fanin
+    return out

@@ -516,3 +516,62 @@ def gopher_repetition_flags(ds, id_col: str = "doc_id",
         })
 
     return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def chunk_documents(ds, size: int = 64, stride: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Overlapping word-window chunking (the RAG / training-context
+    prep step): doc → chunks of ``size`` words every ``stride`` words
+    (``stride < size`` overlaps; the tail chunk may be short). Emits
+    ``(id_col, chunk_id, n_words, text)`` — ``chunk_id`` is the
+    within-doc window index, ``text`` the space-joined word slice.
+
+    Stateless vectorized map pass, no shuffle: per batch, ONE
+    ``pc.split_pattern`` → repeat/cumsum index arithmetic expands every
+    (chunk, word) pair → one gather of the flat word array → one
+    ``pc.binary_join_element_wise``-free ListArray join. Output rows ≈
+    input words / stride; chunk boundaries are per-doc, so partitioning
+    is preserved (resumable, order-free)."""
+    import pyarrow.compute as pc
+
+    assert size >= 1 and stride >= 1
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        woff, lens = offs[:-1], np.diff(offs)
+        # chunk layout: doc d has ceil(len_d / stride) windows
+        n_chunks = -(-lens // stride)
+        total = int(n_chunks.sum())
+        ids = batch.column(id_col)
+        if total == 0:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        chunk_doc = np.repeat(np.arange(len(lens)), n_chunks)
+        coff = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        j = np.arange(total, dtype=np.int64) - coff[chunk_doc]
+        start = j * stride
+        clen = np.minimum(size, lens[chunk_doc] - start)
+        # expand (chunk, word) pairs and gather the flat words
+        pair_chunk = np.repeat(np.arange(total), clen)
+        poff = np.concatenate([[0], np.cumsum(clen)[:-1]])
+        widx = (np.arange(int(clen.sum()), dtype=np.int64)
+                - poff[pair_chunk] + start[pair_chunk]
+                + woff[chunk_doc[pair_chunk]])
+        gathered = flat.take(pa.array(widx))
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(clen)]), pa.int32()),
+            gathered)
+        joined = pc.binary_join(lst, " ")
+        return pa.table({id_col: ids.take(pa.array(chunk_doc)),
+                         "chunk_id": pa.array(j),
+                         "n_words": pa.array(clen.astype(np.int64)),
+                         "text": joined})
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -691,3 +691,62 @@ def test_partitioned_window_matches_duckdb():
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     for c in ["running_max", "running_sum"]:
         np.testing.assert_allclose(got[c], want[c], atol=1e-9, err_msg=c)
+
+
+def test_grouped_topk_partition_invariance_and_ties():
+    """Per-block top-k-per-key is a valid partial reducer: result is
+    exact and block-layout independent; ties resolved by tie_cols asc."""
+    import ray.data as rd
+
+    from ocm_ray.ops.agg import grouped_topk
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 12, 3000),
+                       "item": rng.integers(0, 40, 3000),
+                       "score": rng.integers(0, 5, 3000).astype(np.int64)})
+    df = df.drop_duplicates(["g", "item"]).reset_index(drop=True)
+
+    def ref(k):
+        s = df.sort_values(["g", "score", "item"],
+                           ascending=[True, False, True], kind="mergesort")
+        return s.groupby("g", sort=True).head(k) \
+            .sort_values(["g", "score", "item"],
+                         ascending=[True, False, True], ignore_index=True)
+
+    for nb in (1, 9):
+        got = (grouped_topk(rd.from_pandas(df, override_num_blocks=nb),
+                            ["g"], "score", 3, tie_cols=["item"])
+               .to_pandas()
+               .sort_values(["g", "score", "item"],
+                            ascending=[True, False, True],
+                            ignore_index=True))
+        pd.testing.assert_frame_equal(got, ref(3))
+
+
+def test_chunk_documents_reconstruction():
+    """Chunks tile every doc: stride-offset windows, exact text slices,
+    tail chunk short, chunk 0 of a (size<=len) doc reconstructs the
+    prefix; empty docs chunk to one empty chunk (string_split
+    semantics)."""
+    import ray.data as rd
+
+    from ocm_ray.ops.text import chunk_documents
+
+    rng = np.random.default_rng(5)
+    texts = [" ".join(f"w{rng.integers(100)}"
+                      for _ in range(int(n)))
+             for n in rng.integers(1, 90, 60)] + ["", "one"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    size, stride = 16, 10
+    out = (chunk_documents(rd.from_pandas(df, override_num_blocks=4),
+                           size=size, stride=stride)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]))
+    for did, g in out.groupby("doc_id"):
+        words = df.loc[did, "text"].split(" ")
+        n = len(words)
+        assert g["chunk_id"].tolist() == list(range(-(-n // stride)))
+        for _, r in g.iterrows():
+            s = int(r.chunk_id) * stride
+            want = words[s:s + size]
+            assert r.text == " ".join(want)
+            assert r.n_words == len(want)
