@@ -1074,6 +1074,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["doc_id", "chunk_id"], ignore_index=True)
     q["doc_chunks"] = doc_chunks
 
+    def value_quantiles_by_type(sf_dir):
+        """Exact per-key quantile_disc over a CONTINUOUS value domain
+        (the histogram tree would degenerate there): shard_scan by key
+        hash + one sort and vectorized index pick per shard."""
+        from ocm_ray.ops.relational import grouped_quantiles
+
+        out = grouped_quantiles(
+            _read(sf_dir, "events", columns=["event_type", "value"]),
+            "event_type", "value", (0.1, 0.5, 0.9, 0.99),
+            n_shards=8).to_pandas()
+        out["value"] = out["value"].round(4)
+        return out.sort_values(["event_type", "q"], ignore_index=True)
+    q["value_quantiles_by_type"] = value_quantiles_by_type
+
+    def bigram_logprob_q(sf_dir):
+        """Corpus-trained MLE bigram LM scoring (fluency proxy, one
+        step past unigram_logprob): distributed count tables →
+        broadcast (bigram, log2 p) → stateless scoring pass."""
+        from ocm_ray.ops.text import bigram_logprob
+
+        return bigram_logprob(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])) \
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+    q["bigram_logprob"] = bigram_logprob_q
+
+    def sample_per_source(sf_dir):
+        """Deterministic per-key reservoir (n smallest seeded id
+        hashes per source — stable across runs/partitionings); rides
+        grouped_topk, output bounded by n × |keys|."""
+        from ocm_ray.ops.sampling import sample_n_per_key
+
+        out = sample_n_per_key(
+            _read(sf_dir, "documents", columns=["doc_id", "source"]),
+            "source", id_col="doc_id", n=8).to_pandas()
+        return out.sort_values(["source", "doc_id"], ignore_index=True)
+    q["sample_per_source"] = sample_per_source
+
     return q
 
 
@@ -1324,6 +1361,32 @@ def _winnow_sql(k: int = 3, window: int = 4) -> str:
     SELECT DISTINCT doc_id, pos, {_sql_to_signed('mn')} AS fp
     FROM sel
     ORDER BY doc_id, pos
+    """
+
+
+def _sample_per_key_sql(n: int = 8, seed: int = 137) -> str:
+    """DuckDB oracle for ``sample_per_source``: the engine keeps the n
+    smallest ``wanghash(doc_id ^ SPLIT_SALT ^ seed)`` per source —
+    recompute the EXACT uint64 hash via :func:`_sql_wang_chain` (not
+    the lossy double ``u``) and take ROW_NUMBER over (k, doc_id)."""
+    from ocm_ray.ops.sampling import _SPLIT_SALT
+
+    salt = _sql_signed(_SPLIT_SALT ^ seed)
+    chain, rel = _sql_wang_chain("sp", "spx", "doc_id, source", "xk")
+    return f"""
+        WITH spx AS (
+            SELECT doc_id, source,
+                   {_sql_to_huge(f"xor(doc_id, CAST({salt} AS BIGINT))")} AS xk
+            FROM documents
+        ),
+        {chain}
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY k, doc_id) AS rn
+            FROM {rel}
+        ) WHERE rn <= {n}
+        ORDER BY source, doc_id
     """
 
 
@@ -1768,4 +1831,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE j * 24 < len(w)
             ORDER BY doc_id, chunk_id
         """,
+        "value_quantiles_by_type": """
+            SELECT event_type, CAST(0.1 AS DOUBLE) AS q,
+                   ROUND(quantile_disc(value, 0.1), 4) AS value
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.5, ROUND(quantile_disc(value, 0.5), 4)
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9, ROUND(quantile_disc(value, 0.9), 4)
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.99, ROUND(quantile_disc(value, 0.99), 4)
+            FROM events GROUP BY event_type
+            ORDER BY event_type, q
+        """,
+        # MLE bigram LM trained on the corpus itself (string-domain
+        # grouping — equals the engine's hash-domain tables absent
+        # 64-bit collisions); ROUND(4) absorbs summation-order ulps
+        "bigram_logprob": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            bg AS (SELECT doc_id, ws[j] AS w1, ws[j + 1] AS w2
+                   FROM t, UNNEST(range(1, len(ws))) AS r(j)),
+            bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+            ctx AS (SELECT w1, COUNT(*) AS cc FROM bg GROUP BY w1)
+            SELECT doc_id,
+                   ROUND(AVG(log2(CAST(cb AS DOUBLE) / cc)), 4) AS logprob
+            FROM bg JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "sample_per_source": _sample_per_key_sql(n=8, seed=137),
     }

@@ -823,3 +823,65 @@ def _order_to_i64(batch: pa.Table, col: str) -> np.ndarray:
     if pa.types.is_timestamp(batch.schema.field(col).type):
         return _ts_to_us(batch, col)
     return batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def grouped_quantiles(ds: Dataset, key: str, value_col: str,
+                      qs=(0.1, 0.5, 0.9, 0.99),
+                      n_shards: int = 16) -> Dataset:
+    """Exact per-key discrete quantiles (SQL ``quantile_disc``
+    semantics: value at ceil(q·n), 1-indexed) for CONTINUOUS value
+    domains, where the histogram tree of
+    :func:`exact_value_quantiles` would degenerate (distinct values ≈
+    rows).
+
+    Scale shape: one :func:`ocm_ray.ops.pairs.shard_scan` exchange by
+    key hash, then per shard ONE sort by (key, value) and a vectorized
+    index pick per (run, q) — no per-key dispatch. Assumes one key's
+    rows fit one shard task (grow ``n_shards`` with the corpus; same
+    documented assumption as sessionize / partitioned_window)."""
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+
+    bits = _shard_bits(n_shards)
+    qs = list(qs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select([key, value_col])
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        from ocm_ray.core.hashing import wanghash
+        from ocm_ray.engine.tokens import hash_string_array
+
+        col = tbl.column(key)
+        if pa.types.is_integer(tbl.schema.field(key).type):
+            h = wanghash(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = hash_string_array(col)
+        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(h), np.int32)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if len(df) == 0:
+            return pa.table({key: tbl.column(key),
+                             "q": pa.array([], pa.float64()),
+                             value_col: pa.array([], pa.float64())})
+        df = df.sort_values([key, value_col], kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        v = df[value_col].to_numpy()
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.concatenate([starts, [len(df)]]))
+        keys_out, q_out, v_out = [], [], []
+        for q in qs:                       # loop over quantiles, not keys
+            tgt = np.maximum(np.ceil(q * lens).astype(np.int64), 1)
+            pick = starts + np.minimum(tgt - 1, lens - 1)
+            keys_out.append(k[starts])
+            q_out.append(np.full(len(starts), q))
+            v_out.append(v[pick])
+        return pa.table({key: pa.array(np.concatenate(keys_out)),
+                         "q": pa.array(np.concatenate(q_out)),
+                         value_col: pa.array(np.concatenate(v_out))})
+
+    return shard_scan(ds.map_batches(project, batch_format="pyarrow"),
+                      shard_of, scan, n_shards)

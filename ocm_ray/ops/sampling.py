@@ -105,3 +105,35 @@ def stratified_sample(ds: Dataset, key_col: str,
         return batch.filter(pa.array(u < thr))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sample_n_per_key(ds: Dataset, key_col: str, id_col: str = "doc_id",
+                     n: int = 10, seed: int = 137) -> Dataset:
+    """Deterministic uniform sample of exactly min(n, group size) rows
+    per key: keep the n smallest ``wanghash(id ^ salt ^ seed)`` within
+    each key — a seeded reservoir whose membership is a pure function
+    of the ids (stable across runs, partitionings and cluster sizes,
+    unlike an RNG reservoir). Rides :func:`ocm_ray.ops.agg.grouped_topk`
+    (per-block partial top-k + repartition tree — no shuffle); output
+    is bounded by n × |keys|."""
+    from ocm_ray.core.hashing import wanghash
+    from ocm_ray.engine.tokens import hash_string_array
+    from ocm_ray.ops.agg import grouped_topk
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        col = batch.column(id_col)
+        if pa.types.is_integer(batch.schema.field(id_col).type):
+            h = wanghash(col.to_numpy(zero_copy_only=False).astype(U64)
+                         ^ U64(_SPLIT_SALT) ^ U64(seed))
+        else:
+            h = hash_string_array(col, seed=seed ^ (_SPLIT_SALT & 0x7FFFFFFF))
+        return batch.append_column("_h", pa.array(h, pa.uint64()))
+
+    out = grouped_topk(ds.map_batches(add_h, batch_format="pyarrow"),
+                       [key_col], "_h", n, tie_cols=[id_col],
+                       descending=False)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_h"])
+
+    return out.map_batches(drop, batch_format="pyarrow")

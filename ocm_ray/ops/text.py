@@ -575,3 +575,79 @@ def chunk_documents(ds, size: int = 64, stride: int = 32,
                          "text": joined})
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def _doc_bigrams(batch: pa.Table, text_col: str):
+    """Within-doc word bigram hashes with attribution: ``(g, first,
+    rowid, lens)`` — ``g`` the chained-WangHash of (w0, w1) (the
+    ``engine.tokens.kgram_reduce`` chain at k=2), ``first`` the k=1
+    hash of w0 (the LM context), ``rowid`` the doc index of each
+    bigram."""
+    from ocm_ray.core.hashing import wanghash
+    from ocm_ray.engine.tokens import split_words_hashed
+
+    flat, lens = split_words_hashed(batch.column(text_col),
+                                    lowercase=False)
+    n = len(flat)
+    if n < 2:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z, np.empty(0, dtype=np.int64), lens
+    rowid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    g = wanghash(wanghash(flat[:-1]) ^ flat[1:])
+    valid = rowid[:-1] == rowid[1:]
+    return g[valid], flat[:-1][valid], rowid[:-1][valid], lens
+
+
+def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                   ndigits: int = 4):
+    """Per-document mean log2 conditional probability of its word
+    bigrams under the corpus-trained MLE bigram LM,
+    ``p(w1|w0) = c(w0,w1) / c_ctx(w0)`` — the next step up from
+    :func:`unigram_logprob` as a fluency / perplexity proxy. Docs with
+    fewer than 2 words have no bigrams and are omitted.
+
+    Same scale shape as the unigram: ONE distributed counting pass
+    (per-block unique + the grouped_sum tree — the count tables are
+    distinct-bigram-bounded, not corpus-bounded), a driver-side join of
+    bigram and context counts (both vocab-sized), one ``ray.put``
+    broadcast of the sorted (g, log2 p) table, then a stateless scoring
+    pass with a searchsorted lookup. Trained on the same corpus, so no
+    OOV path."""
+    import ray
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        g, first, _, _ = _doc_bigrams(batch, text_col)
+        ug, idx, cnt = np.unique(g, return_index=True, return_counts=True)
+        return pa.table({"g": pa.array(ug.view(np.int64)),
+                         "h1": pa.array(first[idx].view(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    bg = grouped_sum(ds.map_batches(local, batch_format="pyarrow"),
+                     ["g", "h1"], ["cnt"]).to_pandas()
+    ctx = bg.groupby("h1", as_index=False)["cnt"].sum() \
+        .rename(columns={"cnt": "ctx"})
+    bg = bg.merge(ctx, on="h1")
+    lp = np.log2(bg["cnt"].to_numpy().astype(np.float64)
+                 / bg["ctx"].to_numpy().astype(np.float64))
+    keys = bg["g"].to_numpy().view(np.uint64)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], lp[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        k, l = ray.get(ref)
+        g, _, rowid, lens = _doc_bigrams(batch, text_col)
+        nb = np.maximum(lens - 1, 0)
+        has = nb > 0
+        if not has.any():
+            return pa.table({id_col: batch.column(id_col).slice(0, 0),
+                             "logprob": pa.array([], pa.float64())})
+        sums = np.bincount(rowid, weights=l[np.searchsorted(k, g)],
+                           minlength=len(lens))
+        mean = np.round(sums[has] / nb[has], ndigits)
+        return pa.table({id_col: batch.column(id_col)
+                         .filter(pa.array(has)),
+                         "logprob": pa.array(mean)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

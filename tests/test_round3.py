@@ -750,3 +750,75 @@ def test_chunk_documents_reconstruction():
             want = words[s:s + size]
             assert r.text == " ".join(want)
             assert r.n_words == len(want)
+
+
+def test_grouped_quantiles_matches_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import grouped_quantiles
+
+    rng = np.random.default_rng(1)
+    ev = pd.DataFrame({"et": rng.choice(["a", "b", "c"], 2000),
+                       "value": rng.normal(0, 10, 2000)})
+    got = (grouped_quantiles(rd.from_pandas(ev, override_num_blocks=4),
+                             "et", "value", (0.1, 0.5, 0.99), n_shards=4)
+           .to_pandas().sort_values(["et", "q"], ignore_index=True))
+    con = duckdb.connect()
+    con.register("ev", ev)
+    want = con.execute("""
+      SELECT et, 0.1 AS q, quantile_disc(value, 0.1) AS value FROM ev GROUP BY et
+      UNION ALL SELECT et, 0.5, quantile_disc(value, 0.5) FROM ev GROUP BY et
+      UNION ALL SELECT et, 0.99, quantile_disc(value, 0.99) FROM ev GROUP BY et
+      ORDER BY et, q""").df()
+    assert got["et"].tolist() == want["et"].tolist()
+    np.testing.assert_allclose(got["value"], want["value"])
+
+
+def test_bigram_logprob_matches_duckdb():
+    """Incl. short docs (0/1 words omitted) and repeated-bigram docs."""
+    import duckdb
+    import ray.data as rd
+
+    from ocm_ray.ops.text import bigram_logprob
+
+    docs = pd.DataFrame({"doc_id": np.arange(6),
+                         "text": ["a b a b c", "c c c c", "a", "",
+                                  "b c a b", "x y x y x"]})
+    got = (bigram_logprob(rd.from_pandas(docs, override_num_blocks=3))
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bg AS (SELECT doc_id, ws[j] AS w1, ws[j+1] AS w2
+             FROM t, UNNEST(range(1, len(ws))) AS r(j)),
+      bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+      ctx AS (SELECT w1, COUNT(*) AS cc FROM bg GROUP BY w1)
+      SELECT doc_id, ROUND(AVG(log2(CAST(cb AS DOUBLE) / cc)), 4) AS logprob
+      FROM bg JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+      GROUP BY doc_id ORDER BY doc_id""").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["logprob"], want["logprob"], atol=1e-9)
+
+
+def test_sample_n_per_key_deterministic():
+    """Partition-invariant membership, exact per-key sizes, seed
+    sensitivity."""
+    import ray.data as rd
+
+    from ocm_ray.ops.sampling import sample_n_per_key
+
+    df = pd.DataFrame({"doc_id": np.arange(500),
+                       "source": np.repeat([f"s{i}" for i in range(5)], 100)})
+    outs = []
+    for nb in (3, 8):
+        outs.append(sample_n_per_key(rd.from_pandas(df, override_num_blocks=nb),
+                                     "source", n=7).to_pandas()
+                    .sort_values(["source", "doc_id"], ignore_index=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0].groupby("source").size() == 7).all()
+    other = (sample_n_per_key(rd.from_pandas(df), "source", n=7, seed=999)
+             .to_pandas().sort_values(["source", "doc_id"],
+                                      ignore_index=True))
+    assert not other["doc_id"].tolist() == outs[0]["doc_id"].tolist()
