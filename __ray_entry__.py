@@ -1111,6 +1111,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["source", "doc_id"], ignore_index=True)
     q["sample_per_source"] = sample_per_source
 
+    def encoded_docs(sf_dir):
+        """Training-prep encode: corpus-frequency vocab (top-20 —
+        small on purpose so the OOV path is exercised), docs mapped to
+        space-joined token-id sequences via one broadcast + stateless
+        vectorized lookup."""
+        from ocm_ray.ops.text import encode_documents
+
+        out = encode_documents(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            max_size=20).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+    q["encoded_docs"] = encoded_docs
+
+    def pmi_top50(sf_dir):
+        """Collocations: top-50 adjacent pairs by PMI over the bigram
+        stream (marginals from the same stream), count >= 5."""
+        from ocm_ray.ops.text import top_pmi_pairs
+
+        return top_pmi_pairs(
+            _read(sf_dir, "documents", columns=["text"]),
+            k=50, min_count=5)
+    q["pmi_top50"] = pmi_top50
+
     return q
 
 
@@ -1863,4 +1886,46 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "sample_per_source": _sample_per_key_sql(n=8, seed=137),
+        # vocab rank ties broken (cnt desc, token asc) exactly as
+        # build_vocab; hash-domain lookup == string join absent
+        # 64-bit collisions
+        "encoded_docs": """
+            WITH words AS (
+                SELECT doc_id, j - 1 AS pos, ws[j] AS w
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+                     UNNEST(range(1, len(ws) + 1)) AS t(j)
+            ),
+            cnts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+            vocab AS (SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC)
+                                 - 1 AS tid
+                      FROM cnts),
+            v AS (SELECT * FROM vocab WHERE tid < 20)
+            SELECT words.doc_id,
+                   string_agg(CAST(COALESCE(v.tid, -1) AS VARCHAR), ' '
+                              ORDER BY pos) AS ids,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM words LEFT JOIN v ON words.w = v.w
+            GROUP BY words.doc_id
+            ORDER BY words.doc_id
+        """,
+        "pmi_top50": """
+            WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            bg AS (SELECT ws[j] AS w1, ws[j + 1] AS w2
+                   FROM t, UNNEST(range(1, len(ws))) AS r(j)),
+            bc AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),
+            n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS nn FROM bc),
+            m1 AS (SELECT w1, SUM(cnt) AS c1 FROM bc GROUP BY w1),
+            m2 AS (SELECT w2, SUM(cnt) AS c2 FROM bc GROUP BY w2)
+            SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, pmi FROM (
+                SELECT w1, w2, cnt,
+                       ROUND(log2(cnt * nn / (c1 * c2)), 4) AS pmi
+                FROM bc JOIN m1 USING (w1) JOIN m2 USING (w2), n
+                WHERE cnt >= 5
+            )
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 50
+        """,
     }

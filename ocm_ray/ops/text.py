@@ -651,3 +651,114 @@ def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
                          "logprob": pa.array(mean)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def build_vocab(ds, text_col: str = "text",
+                max_size: int = 32768) -> "pd.DataFrame":
+    """Frequency vocabulary: top ``max_size`` words by (count desc,
+    token asc), ``token_id`` = dense rank from 0. One distributed
+    count pass (:func:`token_count_table`, vocab-sized shuffle); the
+    sort/truncate runs on the vocab-sized table."""
+    import pandas as pd
+
+    counts = token_count_table(ds, text_col).to_pandas()
+    counts = counts.sort_values(["cnt", "token"],
+                                ascending=[False, True],
+                                kind="mergesort").head(max_size) \
+        .reset_index(drop=True)
+    counts["token_id"] = np.arange(len(counts), dtype=np.int64)
+    return counts
+
+
+def encode_documents(ds, vocab: "pd.DataFrame | None" = None,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     max_size: int = 32768, unk_id: int = -1):
+    """Tokenize every doc to vocabulary ids (the training-prep encode
+    step): emits ``(id_col, ids, n_tokens, n_oov)`` where ``ids`` is
+    the space-joined ``token_id`` sequence (OOV → ``unk_id``).
+
+    The vocab rides ONE ``ray.put`` as a sorted (word-hash → id)
+    table; the encode pass is stateless and vectorized — one
+    ``split_words_hashed``, one ``searchsorted``, one int→string cast
+    and ListArray ``binary_join`` per batch. Ids as a space-joined
+    string keeps the row a flat Arrow string (zero-copy friendly) and
+    makes the op SQL-oracle-able via ``string_agg``."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ocm_ray.engine.tokens import hash_string_array, split_words_hashed
+
+    if vocab is None:
+        vocab = build_vocab(ds, text_col, max_size)
+    vh = hash_string_array(pa.array(vocab["token"].astype(str))) \
+        .astype(np.uint64)
+    vid = vocab["token_id"].to_numpy().astype(np.int64)
+    order = np.argsort(vh)
+    ref = ray.put((vh[order], vid[order]))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        h, ids_sorted = ray.get(ref)
+        flat, lens = split_words_hashed(batch.column(text_col),
+                                        lowercase=False)
+        pos = np.searchsorted(h, flat)
+        pos_c = np.minimum(pos, max(len(h) - 1, 0))
+        hit = (h[pos_c] == flat) if len(h) else \
+            np.zeros(len(flat), dtype=bool)
+        tid = np.where(hit, ids_sorted[pos_c] if len(h) else 0, unk_id)
+        id_strs = pc.cast(pa.array(tid), pa.string())
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), id_strs)
+        rowid = np.repeat(np.arange(len(lens)), lens)
+        n_oov = np.bincount(rowid, weights=~hit,
+                            minlength=len(lens)).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "ids": pc.binary_join(lst, " "),
+                         "n_tokens": pa.array(lens.astype(np.int64)),
+                         "n_oov": pa.array(n_oov)})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def top_pmi_pairs(ds, k: int = 50, min_count: int = 5,
+                  text_col: str = "text", ndigits: int = 4) -> "pd.DataFrame":
+    """Top-k adjacent word pairs by pointwise mutual information
+    ``log2(c12·N / (c1·c2))`` over the within-doc bigram stream
+    (marginals from the same stream), count-thresholded — the
+    collocation detector of classic corpus analysis.
+
+    One distributed string-domain bigram count (per-block polars
+    group_by → grouped_sum tree; distinct-bigram-bounded, not
+    corpus-bounded); marginals + PMI on the vocab-sized driver table.
+    Deterministic collation: (rounded pmi desc, w1 asc, w2 asc)."""
+    import pandas as pd
+    import polars as pl
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([text_col]))
+        w = df.with_columns(pl.col(text_col).str.split(" ").alias("w"))
+        out = (w.with_columns(
+                   pl.col("w").list.slice(0, pl.col("w").list.len() - 1)
+                     .alias("w1"),
+                   pl.col("w").list.slice(1).alias("w2"))
+               .select(["w1", "w2"]).explode(["w1", "w2"])
+               .drop_nulls()
+               .group_by(["w1", "w2"]).len().rename({"len": "cnt"})
+               .with_columns(pl.col("cnt").cast(pl.Int64)))
+        return out.to_arrow()
+
+    bg = grouped_sum(ds.map_batches(local, batch_format="pyarrow"),
+                     ["w1", "w2"], ["cnt"]).to_pandas()
+    n = float(bg["cnt"].sum())
+    c1 = bg.groupby("w1")["cnt"].sum()
+    c2 = bg.groupby("w2")["cnt"].sum()
+    bg = bg[bg["cnt"] >= min_count].copy()
+    pmi = np.log2(bg["cnt"].to_numpy() * n
+                  / (c1[bg["w1"]].to_numpy()
+                     * c2[bg["w2"]].to_numpy()))
+    bg["pmi"] = np.round(pmi, ndigits)
+    bg = bg.sort_values(["pmi", "w1", "w2"],
+                        ascending=[False, True, True],
+                        kind="mergesort").head(k)
+    return bg[["w1", "w2", "cnt", "pmi"]].reset_index(drop=True)

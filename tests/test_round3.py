@@ -822,3 +822,67 @@ def test_sample_n_per_key_deterministic():
              .to_pandas().sort_values(["source", "doc_id"],
                                       ignore_index=True))
     assert not other["doc_id"].tolist() == outs[0]["doc_id"].tolist()
+
+
+def test_encode_documents_roundtrip():
+    """Encoded ids decode back to the original words (within-vocab),
+    OOV marked, partition-invariant."""
+    import ray.data as rd
+
+    from ocm_ray.ops.text import build_vocab, encode_documents
+
+    docs = pd.DataFrame({"doc_id": np.arange(4),
+                         "text": ["b a a c", "c c b rare", "a", ""]})
+    ds = rd.from_pandas(docs, override_num_blocks=2)
+    vocab = build_vocab(ds, max_size=3)   # a(3) c(4)? -> by cnt desc
+    out = (encode_documents(ds, vocab=vocab).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    id2tok = dict(zip(vocab["token_id"], vocab["token"]))
+    for _, r in out.iterrows():
+        words = docs.loc[docs.doc_id == r.doc_id, "text"].iloc[0].split(" ")
+        ids = [int(x) for x in r.ids.split(" ")]
+        assert len(ids) == len(words) == r.n_tokens
+        n_oov = 0
+        for w, i in zip(words, ids):
+            if i == -1:
+                assert w not in set(vocab["token"])
+                n_oov += 1
+            else:
+                assert id2tok[i] == w
+        assert n_oov == r.n_oov
+    # vocab ids are frequency ranks with (cnt desc, token asc) ties
+    assert vocab.sort_values("token_id")["token"].tolist() == \
+        sorted(vocab["token"].tolist(),
+               key=lambda t: (-vocab.set_index("token")["cnt"][t], t))
+
+
+def test_top_pmi_pairs_by_hand():
+    import math
+
+    import ray.data as rd
+
+    from ocm_ray.ops.text import top_pmi_pairs
+
+    # "x y" always adjacent; "p q" sometimes; fillers break adjacency
+    texts = (["x y p q"] * 6) + (["x y f p g q"] * 4)
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}),
+                        override_num_blocks=3)
+    out = top_pmi_pairs(ds, k=10, min_count=2)
+    bigrams = {}
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w[:-1], w[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+    n = sum(bigrams.values())
+    c1, c2 = {}, {}
+    for (a, b), c in bigrams.items():
+        c1[a] = c1.get(a, 0) + c
+        c2[b] = c2.get(b, 0) + c
+    for _, r in out.iterrows():
+        want = math.log2(bigrams[(r.w1, r.w2)] * n
+                         / (c1[r.w1] * c2[r.w2]))
+        assert abs(r.pmi - round(want, 4)) < 1e-9
+        assert r.cnt == bigrams[(r.w1, r.w2)]
+    assert (out["cnt"] >= 2).all()
+    pm = out["pmi"].to_numpy()
+    assert (pm[:-1] >= pm[1:]).all()
