@@ -339,6 +339,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return truth
     q["cm_conservative_query"] = cm_conservative_query
 
+    def cm_vanilla_query(sf_dir):
+        """Vanilla (non-conservative) CM point query. Unlike the
+        conservative variant this is a DETERMINISTIC function of the
+        stream multiset, so the sketch ESTIMATE itself carries a full
+        SQL oracle: DuckDB recomputes every counter cell as SUM(cnt)
+        over the tokens hashing into it (WangHash chain, mt19937_64 row
+        seeds inlined as literals) and takes the per-token row minimum
+        — hash-verified end to end, not just invariant-asserted."""
+        import glob as _glob
+
+        from ocm_ray.engine.build import build_sketch_sharded
+        from ocm_ray.sketches import CountMin
+
+        seq = _seq_dir_for(sf_dir)
+        files = sorted(_glob.glob(os.path.join(seq, "*.parquet")))
+        # np=14 on ~50k distinct tokens → real collisions: estimates
+        # genuinely exceed truth, so the oracle checks sketch semantics,
+        # not a trivial exact-count echo
+        sk = build_sketch_sharded(files,
+                                  lambda: CountMin(14, 7, conservative=False))
+        toks = np.arange(200, dtype=np.uint64)
+        return pd.DataFrame({"token": toks.astype(np.int64),
+                             "est_count": sk.estimate(toks).astype(np.int64)})
+    q["cm_vanilla_query"] = cm_vanilla_query
+
     def occm_query(sf_dir):
         import ray.data as rd
 
@@ -1413,6 +1438,85 @@ def _sample_per_key_sql(n: int = 8, seed: int = 137) -> str:
     """
 
 
+def _cm_vanilla_sql(np_bits: int = 14, nh: int = 7, seedseed: int = 137,
+                    n_query: int = 200) -> str:
+    """DuckDB oracle for ``cm_vanilla_query``: vanilla CM estimates are
+    a pure function of the stream multiset — cell(j, p) = SUM(cnt) over
+    tokens with ``wang(tok ^ seed_j) % 2^np == p``, estimate = per-row
+    MIN. Row seeds (``core.hashing.derive_seeds`` — mt19937_64(seed+4),
+    ``include/ocm.h:273-274``) are inlined as literals. Query tokens
+    ride along with cnt=0 so absent ids still get a position row."""
+    from ocm_ray.core.hashing import derive_seeds, force_odd_nh
+
+    seeds = derive_seeds(force_odd_nh(nh), seedseed)
+    vals = ", ".join(f"({j}, CAST({_sql_signed(int(s))} AS BIGINT))"
+                     for j, s in enumerate(seeds))
+    chain, rel = _sql_wang_chain("cv", "cvx", "j, t, cnt", "xk")
+    return f"""
+        WITH toks AS (
+            SELECT tok, CAST(COUNT(*) AS HUGEINT) AS cnt
+            FROM (SELECT unnest(tokens) AS tok
+                  FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+            GROUP BY tok
+        ),
+        allt AS (SELECT tok, cnt FROM toks
+                 UNION ALL
+                 SELECT unnest(range(0, {n_query})), 0::HUGEINT),
+        seeds(j, s) AS (VALUES {vals}),
+        cvx AS (SELECT j, allt.tok AS t, cnt,
+                       {_sql_to_huge("xor(CAST(allt.tok AS BIGINT), s)")} AS xk
+                FROM allt CROSS JOIN seeds),
+        {chain},
+        pos AS (SELECT j, t, cnt, k % {1 << np_bits} AS p FROM {rel}),
+        cell AS (SELECT j, p, SUM(cnt) AS c FROM pos GROUP BY j, p)
+        SELECT pos.t AS token, CAST(MIN(cell.c) AS BIGINT) AS est_count
+        FROM pos JOIN cell ON pos.j = cell.j AND pos.p = cell.p
+        WHERE pos.t < {n_query}
+        GROUP BY pos.t
+        ORDER BY token
+    """
+
+
+def _bloom_member_sql(p: int = 20, nh: int = 5, seedseed: int = 137) -> str:
+    """DuckDB oracle for ``bloom_membership``: a Bloom filter's probe
+    result (false positives INCLUDED) is a pure function of the
+    inserted key set — bit set = {wang(id ^ seed_j) % 2^p over inserted
+    ids, all j}; probe is a member iff all nh of its positions are in
+    the set. Seeds are ``mt19937_64(seedseed)`` draws
+    (``sketches/bloom.py``), inlined as literals."""
+    from ocm_ray.core.hashing import MT19937_64
+
+    rng = MT19937_64(seedseed)
+    vals = ", ".join(f"({j}, CAST({_sql_signed(rng())} AS BIGINT))"
+                     for j in range(nh))
+    chain, rel = _sql_wang_chain("bm", "bmx", "role, pid, j", "xk")
+    return f"""
+        WITH probes AS (
+            SELECT unnest(range(1, 101)) AS id
+            UNION ALL
+            SELECT unnest(range(1000000000, 1000000100))
+        ),
+        seeds(j, s) AS (VALUES {vals}),
+        bmx AS (SELECT role, u.id AS pid, j,
+                       {_sql_to_huge("xor(CAST(u.id AS BIGINT), s)")} AS xk
+                FROM (SELECT 'i' AS role, DISTINCT_KEYS.id FROM
+                          (SELECT DISTINCT l_partkey AS id
+                           FROM lineitem) DISTINCT_KEYS
+                      UNION ALL
+                      SELECT 'q', id FROM probes) u
+                CROSS JOIN seeds),
+        {chain},
+        pos AS (SELECT role, pid, j, k % {1 << p} AS p FROM {rel}),
+        bits AS (SELECT DISTINCT p FROM pos WHERE role = 'i'),
+        hits AS (SELECT pid, COUNT(*) AS nhit
+                 FROM pos JOIN bits USING (p)
+                 WHERE role = 'q' GROUP BY pid)
+        SELECT probes.id AS key, COALESCE(hits.nhit, 0) = {nh} AS member
+        FROM probes LEFT JOIN hits ON probes.id = hits.pid
+        ORDER BY key
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -1886,6 +1990,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "sample_per_source": _sample_per_key_sql(n=8, seed=137),
+        "cm_vanilla_query": _cm_vanilla_sql(),
+        "bloom_membership": _bloom_member_sql(),
         # vocab rank ties broken (cnt desc, token asc) exactly as
         # build_vocab; hash-domain lookup == string join absent
         # 64-bit collisions
