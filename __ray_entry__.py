@@ -397,6 +397,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort_values("source").reset_index(drop=True)
     q["hll_distinct_by_source"] = hll_distinct_by_source
 
+    def hll_register_histogram(sf_dir):
+        """Per-source HLL register-value histogram. Unlike the ESTIMATE
+        (floating, estimator-specific), the registers themselves are
+        order-free integer state — max leading-zero rank per bucket —
+        so the sketch's entire update/merge machinery is verified by an
+        integer-exact SQL oracle that recomputes every register from
+        the distinct (source, token) set (wang chain + bin() bit
+        length in DuckDB)."""
+        import ray.data as rd
+
+        from ocm_ray.engine.build import grouped_sketches
+        from ocm_ray.sketches import HyperLogLog
+
+        seq = _seq_dir_for(sf_dir)
+        per = grouped_sketches(rd.read_parquet(seq, columns=["tokens", "source"]),
+                               "source", lambda: HyperLogLog(12))
+        rows = []
+        for src in sorted(per):
+            counts = np.bincount(per[src].registers, minlength=1)
+            for v in np.flatnonzero(counts):
+                rows.append((src, int(v), int(counts[v])))
+        return pd.DataFrame(rows, columns=["source", "reg_value", "n_regs"])
+    q["hll_register_histogram"] = hll_register_histogram
+
     def distinct_tokens_by_source(sf_dir):
         """Exact per-key distinct counts (the SQL-checkable oracle of
         hll_distinct_by_source); the HLL estimate is asserted within its
@@ -999,8 +1023,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         per = grouped_sketches(rd.read_parquet(seq, columns=["tokens", "source"]),
                                "source", lambda: BottomKMinHash(1024))
         names = sorted(per)
-        rows = [{"a": a, "b": b, "jaccard": round(per[a].jaccard(per[b]), 3)}
-                for i, a in enumerate(names) for b in names[i + 1:]]
+        rows = []
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                # bottom-k state is DETERMINISTIC (k smallest distinct
+                # hashes), so the estimator's numerator/denominator are
+                # integer-exact and carry a full SQL oracle; the float
+                # estimate is cross-checked in-query via the same ints
+                union = np.unique(np.concatenate(
+                    [per[a].values, per[b].values]))[:1024]
+                inter = np.intersect1d(union, per[a].values,
+                                       assume_unique=True)
+                inter = np.intersect1d(inter, per[b].values,
+                                       assume_unique=True)
+                ni, nu = len(inter), len(union)
+                assert abs(per[a].jaccard(per[b]) - ni / max(nu, 1)) < 1e-12
+                rows.append({"a": a, "b": b, "n_inter": ni, "n_union": nu,
+                             "jaccard_milli": (1000 * ni) // max(nu, 1)})
         return pd.DataFrame(rows)
     q["minhash_source_similarity"] = minhash_source_similarity
 
@@ -1438,6 +1477,118 @@ def _sample_per_key_sql(n: int = 8, seed: int = 137) -> str:
     """
 
 
+def _minhash_pairs_sql(num_perm: int = 128, bands: int = 32,
+                       shingle_k: int = 3, threshold: float = 0.5,
+                       seedseed: int = 137) -> str:
+    """DuckDB oracle for ``minhash_dedup_pairs``: the whole MinHash-LSH
+    pipeline is a pure function of the texts, so the pair set AND the
+    estimated Jaccards are SQL-exact. Recomputed end to end: word
+    hashes (``_sql_word_hash``) → chained-wang 3-shingles (the
+    ``_winnow_sql`` gram construction) → per-permutation signature
+    ``MIN(wang(g ^ seed_p))`` with the engine's empty-doc sentinel
+    2^64−1 → per-band chained key with the band index mixed in
+    (``ops/dedup.py:_band_keys``) → candidates join on exact key
+    equality (globally, as the engine's flat run scan does) →
+    ``jaccard`` = matching-component fraction (multiples of 1/num_perm:
+    exact doubles on both sides)."""
+    assert shingle_k == 3, "oracle generator written for k=3"
+    from ocm_ray.core.hashing import derive_seeds
+
+    rpb = num_perm // bands
+    assert rpb == 4, "band pivot written for rows_per_band=4"
+    seeds = derive_seeds(num_perm, seedseed)
+    vals = ", ".join(f"({p}, CAST({_sql_signed(int(s))} AS BIGINT))"
+                     for p, s in enumerate(seeds))
+    max64 = f"CAST({_M64 - 1} AS HUGEINT)"
+
+    hash_sql, hash_rel = _sql_word_hash("words", "doc_id, pos")
+    ga_sql, ga_rel = _sql_wang_chain("ga", "g0", "doc_id, pos, h1, h2", "gk")
+    gb_sql, gb_rel = _sql_wang_chain("gb", "gx1", "doc_id, pos, h2", "gk")
+    gc_sql, gc_rel = _sql_wang_chain("gc", "gx2", "doc_id, pos", "gk")
+    x1 = _sql_to_huge(f"xor({_sql_to_signed('k')}, {_sql_to_signed('h1')})")
+    x2 = _sql_to_huge(f"xor({_sql_to_signed('k')}, {_sql_to_signed('h2')})")
+
+    mh_sql, mh_rel = _sql_wang_chain("mh", "mhx", "doc_id, p", "xk")
+    xg = _sql_to_huge(f"xor({_sql_to_signed('g')}, s)")
+
+    ba_sql, ba_rel = _sql_wang_chain("ba", "bax", "doc_id, b, s2, s3", "xk")
+    bb_sql, bb_rel = _sql_wang_chain("bb", "bbx", "doc_id, b, s3", "xk")
+    bc_sql, bc_rel = _sql_wang_chain("bc", "bcx", "doc_id, b", "xk")
+    bd_sql, bd_rel = _sql_wang_chain("bd", "bdx", "doc_id, b", "xk")
+    xa = _sql_to_huge(f"xor({_sql_to_signed('s0')}, {_sql_to_signed('s1')})")
+    xb = _sql_to_huge(f"xor({_sql_to_signed('k')}, {_sql_to_signed('s2')})")
+    xc = _sql_to_huge(f"xor({_sql_to_signed('k')}, {_sql_to_signed('s3')})")
+    xd = _sql_to_huge(f"xor({_sql_to_signed('k')}, "
+                      f"CAST(b * {1 << 48} AS BIGINT))")
+
+    return f"""
+    WITH words AS (
+        SELECT doc_id, j - 1 AS pos, ws[j] AS w
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents),
+             UNNEST(range(1, len(ws) + 1)) AS t(j)
+    ),
+    {hash_sql},
+    leads AS (
+        SELECT doc_id, pos, k AS h0,
+               LEAD(k, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+               LEAD(k, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+        FROM {hash_rel}
+    ),
+    g0 AS (SELECT doc_id, pos, h1, h2, h0 AS gk FROM leads
+           WHERE h2 IS NOT NULL),
+    {ga_sql},
+    gx1 AS (SELECT doc_id, pos, h2, {x1} AS gk FROM {ga_rel}),
+    {gb_sql},
+    gx2 AS (SELECT doc_id, pos, {x2} AS gk FROM {gb_rel}),
+    {gc_sql},
+    grams AS (SELECT doc_id, k AS g FROM {gc_rel}),
+    seeds(p, s) AS (VALUES {vals}),
+    mhx AS (SELECT doc_id, p, {xg} AS xk FROM grams CROSS JOIN seeds),
+    {mh_sql},
+    mins AS (SELECT doc_id, p, MIN(k) AS mn FROM {mh_rel}
+             GROUP BY doc_id, p),
+    sig AS (
+        SELECT d.doc_id, s.p, COALESCE(m.mn, {max64}) AS v
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN seeds s
+        LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.p = s.p
+    ),
+    bt AS (
+        SELECT doc_id, p // {rpb} AS b,
+               MAX(CASE WHEN p % {rpb} = 0 THEN v END) AS s0,
+               MAX(CASE WHEN p % {rpb} = 1 THEN v END) AS s1,
+               MAX(CASE WHEN p % {rpb} = 2 THEN v END) AS s2,
+               MAX(CASE WHEN p % {rpb} = 3 THEN v END) AS s3
+        FROM sig GROUP BY doc_id, p // {rpb}
+    ),
+    bax AS (SELECT doc_id, b, s2, s3, {xa} AS xk FROM bt),
+    {ba_sql},
+    bbx AS (SELECT doc_id, b, s3, {xb} AS xk FROM {ba_rel}),
+    {bb_sql},
+    bcx AS (SELECT doc_id, b, {xc} AS xk FROM {bb_rel}),
+    {bc_sql},
+    bdx AS (SELECT doc_id, b, {xd} AS xk FROM {bc_rel}),
+    {bd_sql},
+    keys AS (SELECT doc_id, k FROM {bd_rel}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM keys x JOIN keys y ON x.k = y.k AND x.doc_id < y.doc_id
+    ),
+    est AS (
+        SELECT cand.a, cand.b,
+               COUNT(*) FILTER (sa.v = sb.v) / {float(num_perm)} AS jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = cand.a
+        JOIN sig sb ON sb.doc_id = cand.b AND sb.p = sa.p
+        GROUP BY cand.a, cand.b
+    )
+    SELECT a, b, jaccard FROM est
+    WHERE jaccard >= {threshold}
+    ORDER BY a, b
+    """
+
+
 def _cm_vanilla_sql(np_bits: int = 14, nh: int = 7, seedseed: int = 137,
                     n_query: int = 200) -> str:
     """DuckDB oracle for ``cm_vanilla_query``: vanilla CM estimates are
@@ -1474,6 +1625,99 @@ def _cm_vanilla_sql(np_bits: int = 14, nh: int = 7, seedseed: int = 137,
         WHERE pos.t < {n_query}
         GROUP BY pos.t
         ORDER BY token
+    """
+
+
+def _hll_registers_sql(p: int = 12, seedseed: int = 137) -> str:
+    """DuckDB oracle for ``hll_register_histogram``: register[idx] =
+    MAX over distinct tokens of (64−p − bit_length(low bits) + 1) where
+    ``idx`` is the top p bits of ``wang(tok ^ seedseed)`` — exact
+    integer arithmetic via DuckDB ``bin()`` string length; untouched
+    registers contribute the value-0 row (m − touched)."""
+    m = 1 << p
+    w = 64 - p
+    chain, rel = _sql_wang_chain("hr", "hrx", "source", "xk")
+    bl = ("CASE WHEN low = 0 THEN 0 "
+          "ELSE length(bin(CAST(low AS BIGINT))) END")
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT source, tok
+            FROM (SELECT source, unnest(tokens) AS tok
+                  FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+        ),
+        hrx AS (SELECT source,
+                       {_sql_to_huge(f"xor(CAST(tok AS BIGINT), {seedseed})")}
+                           AS xk
+                FROM toks),
+        {chain},
+        ir AS (SELECT source, k // {1 << w} AS idx, k % {1 << w} AS low
+               FROM {rel}),
+        regs AS (SELECT source, idx,
+                        MAX({w} - {bl} + 1) AS v
+                 FROM ir GROUP BY source, idx),
+        hist AS (
+            SELECT source, CAST(v AS BIGINT) AS reg_value,
+                   CAST(COUNT(*) AS BIGINT) AS n_regs
+            FROM regs GROUP BY source, v
+            UNION ALL
+            SELECT source, 0, CAST({m} - COUNT(*) AS BIGINT)
+            FROM regs GROUP BY source HAVING COUNT(*) < {m}
+        )
+        SELECT source, reg_value, n_regs FROM hist
+        ORDER BY source, reg_value
+    """
+
+
+def _bottomk_similarity_sql(k: int = 1024, seedseed: int = 137) -> str:
+    """DuckDB oracle for ``minhash_source_similarity``: the bottom-k
+    state is the k smallest distinct ``wang(tok ^ seedseed)`` per
+    source, so the estimator's numerator |bottom-k(A∪B) ∩ A ∩ B| and
+    denominator |bottom-k(A∪B)| are integer-exact; ``jaccard_milli``
+    uses integer division on both sides (no float rounding anywhere)."""
+    chain, rel = _sql_wang_chain("bk", "bkx", "source", "xk")
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT source, tok
+            FROM (SELECT source, unnest(tokens) AS tok
+                  FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+        ),
+        bkx AS (SELECT source,
+                       {_sql_to_huge(f"xor(CAST(tok AS BIGINT), {seedseed})")}
+                           AS xk
+                FROM toks),
+        {chain},
+        ranked AS (SELECT source, k,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY k) AS rn
+                   FROM (SELECT DISTINCT source, k FROM {rel})),
+        bk AS (SELECT source, k FROM ranked WHERE rn <= {k}),
+        srcs AS (SELECT DISTINCT source FROM toks),
+        pairs AS (SELECT x.source AS a, y.source AS b
+                  FROM srcs x JOIN srcs y ON x.source < y.source),
+        un AS (
+            SELECT a, b, k FROM (
+                SELECT a, b, k,
+                       ROW_NUMBER() OVER (PARTITION BY a, b
+                                          ORDER BY k) AS rn
+                FROM (SELECT DISTINCT p.a, p.b, bk.k
+                      FROM pairs p
+                      JOIN bk ON bk.source IN (p.a, p.b))
+            ) WHERE rn <= {k}
+        ),
+        stats AS (
+            SELECT un.a, un.b,
+                   CAST(COUNT(*) AS BIGINT) AS n_union,
+                   CAST(COUNT(*) FILTER (ka.k IS NOT NULL
+                                         AND kb.k IS NOT NULL)
+                        AS BIGINT) AS n_inter
+            FROM un
+            LEFT JOIN bk ka ON ka.source = un.a AND ka.k = un.k
+            LEFT JOIN bk kb ON kb.source = un.b AND kb.k = un.k
+            GROUP BY un.a, un.b
+        )
+        SELECT a, b, n_inter, n_union,
+               (1000 * n_inter) // GREATEST(n_union, 1) AS jaccard_milli
+        FROM stats ORDER BY a, b
     """
 
 
@@ -1992,6 +2236,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_source": _sample_per_key_sql(n=8, seed=137),
         "cm_vanilla_query": _cm_vanilla_sql(),
         "bloom_membership": _bloom_member_sql(),
+        "minhash_dedup_pairs": _minhash_pairs_sql(),
+        "hll_register_histogram": _hll_registers_sql(),
+        "minhash_source_similarity": _bottomk_similarity_sql(),
         # vocab rank ties broken (cnt desc, token asc) exactly as
         # build_vocab; hash-domain lookup == string join absent
         # 64-bit collisions
