@@ -777,11 +777,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         inter = a.intersect(b)
         ei = inter.estimate(keys)
         assert (ei <= np.minimum(ea, eb)).all()  # cellwise-min bound
+        # Morris (PowerOfTwo) is RNG-driven → invariant-asserted only;
+        # the vanilla intersect estimate is deterministic and carries a
+        # full SQL oracle (_cm_intersect_sql: per-half cell sums,
+        # LEAST across halves, MIN across rows)
         p2 = build_sketch_sharded(files, lambda: CountMinPow2(18, 5))
         ep = p2.estimate(keys)
         assert (ep > 0).all()  # head tokens all registered
         return pd.DataFrame({"token": keys.astype(np.int64),
-                             "inter_est": ei, "pow2_est": ep})
+                             "inter_est": ei.astype(np.int64)})
     q["cm_set_algebra"] = cm_set_algebra
 
     def bloom_dedup(sf_dir):
@@ -1721,6 +1725,61 @@ def _bottomk_similarity_sql(k: int = 1024, seedseed: int = 137) -> str:
     """
 
 
+def _cm_intersect_sql(np_bits: int = 18, nh: int = 5, seedseed: int = 137,
+                      lo: int = 1, hi: int = 201) -> str:
+    """DuckDB oracle for ``cm_set_algebra``: the vanilla-CM intersect
+    estimate (``ccm.h:393-400`` cellwise min) is deterministic — per
+    half (even/odd sequence files), cell(j,p) = SUM(cnt) of colliding
+    tokens; estimate = MIN over rows of LEAST(cell_even, cell_odd).
+    Query tokens ride along with cnt=0 in BOTH halves so every queried
+    position exists even when untouched."""
+    from ocm_ray.core.hashing import derive_seeds, force_odd_nh
+
+    seeds = derive_seeds(force_odd_nh(nh), seedseed)
+    vals = ", ".join(f"({j}, CAST({_sql_signed(int(s))} AS BIGINT))"
+                     for j, s in enumerate(seeds))
+    even = ", ".join(f"'{_SEQ_SF01_DIR}/part-0000{i}.parquet'"
+                     for i in range(0, 8, 2))
+    odd = ", ".join(f"'{_SEQ_SF01_DIR}/part-0000{i}.parquet'"
+                    for i in range(1, 8, 2))
+    chain, rel = _sql_wang_chain("ci", "cix", "h, j, t, cnt", "xk")
+    return f"""
+        WITH cnt_e AS (
+            SELECT tok, CAST(COUNT(*) AS HUGEINT) AS cnt
+            FROM (SELECT unnest(tokens) AS tok FROM read_parquet([{even}]))
+            GROUP BY tok
+        ),
+        cnt_o AS (
+            SELECT tok, CAST(COUNT(*) AS HUGEINT) AS cnt
+            FROM (SELECT unnest(tokens) AS tok FROM read_parquet([{odd}]))
+            GROUP BY tok
+        ),
+        qt AS (SELECT unnest(range({lo}, {hi})) AS tok),
+        allt AS (
+            SELECT 'e' AS h, tok, cnt FROM cnt_e
+            UNION ALL SELECT 'o', tok, cnt FROM cnt_o
+            UNION ALL SELECT 'e', tok, 0::HUGEINT FROM qt
+            UNION ALL SELECT 'o', tok, 0::HUGEINT FROM qt
+        ),
+        seeds(j, s) AS (VALUES {vals}),
+        cix AS (SELECT h, j, allt.tok AS t, cnt,
+                       {_sql_to_huge("xor(CAST(allt.tok AS BIGINT), s)")} AS xk
+                FROM allt CROSS JOIN seeds),
+        {chain},
+        pos AS (SELECT h, j, t, cnt, k % {1 << np_bits} AS p FROM {rel}),
+        cell AS (SELECT h, j, p, SUM(cnt) AS c FROM pos GROUP BY h, j, p),
+        qpos AS (SELECT DISTINCT j, t, p FROM pos
+                 WHERE t >= {lo} AND t < {hi})
+        SELECT qpos.t AS token,
+               CAST(MIN(LEAST(ce.c, co.c)) AS BIGINT) AS inter_est
+        FROM qpos
+        JOIN cell ce ON ce.h = 'e' AND ce.j = qpos.j AND ce.p = qpos.p
+        JOIN cell co ON co.h = 'o' AND co.j = qpos.j AND co.p = qpos.p
+        GROUP BY qpos.t
+        ORDER BY token
+    """
+
+
 def _bloom_member_sql(p: int = 20, nh: int = 5, seedseed: int = 137) -> str:
     """DuckDB oracle for ``bloom_membership``: a Bloom filter's probe
     result (false positives INCLUDED) is a pure function of the
@@ -2239,6 +2298,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_pairs": _minhash_pairs_sql(),
         "hll_register_histogram": _hll_registers_sql(),
         "minhash_source_similarity": _bottomk_similarity_sql(),
+        "cm_set_algebra": _cm_intersect_sql(),
         # vocab rank ties broken (cnt desc, token asc) exactly as
         # build_vocab; hash-domain lookup == string join absent
         # 64-bit collisions
