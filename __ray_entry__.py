@@ -1047,6 +1047,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows)
     q["minhash_source_similarity"] = minhash_source_similarity
 
+    def weighted_jaccard_by_source(sf_dir):
+        """ICWS weighted MinHash (cws, mult.h:25-40 parameterization)
+        between per-source token MULTISETS: exact weighted Jaccard
+        sums (integer, SQL-oracled) + the CWS estimator asserted
+        within 5 sigma in-query. The per-(source, token) count table
+        rides the grouped_sum repartition tree; CWS partials are built
+        per batch OVER THE GROUPED TABLE (each (source, token) final
+        weight appears exactly once -> disjoint-element merge is exact,
+        the sketch's documented contract) and min-merged."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocm_ray.engine.tokens import list_column_values
+        from ocm_ray.ops.agg import grouped_sum
+        from ocm_ray.sketches.cws import WeightedMinHash
+
+        NPERM = 256
+        seq = _seq_dir_for(sf_dir)
+        ds = rd.read_parquet(seq, columns=["tokens", "source"])
+
+        def cnts(batch: pa.Table) -> pa.Table:
+            flat, lens = list_column_values(batch, "tokens")
+            src = batch.column("source").to_numpy(zero_copy_only=False)
+            rowid = np.repeat(np.arange(len(lens)), lens)
+            out_s, out_t, out_c = [], [], []
+            for s in np.unique(src):          # handful of sources
+                m = src[rowid] == s
+                toks = flat[m].astype(np.int64)
+                bc = np.bincount(toks)
+                nz = np.flatnonzero(bc)
+                out_s.append(np.full(len(nz), s))
+                out_t.append(nz.astype(np.int64))
+                out_c.append(bc[nz].astype(np.int64))
+            if not out_s:
+                return pa.table({"source": pa.array([], pa.string()),
+                                 "token": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({"source": pa.array(np.concatenate(out_s)),
+                             "token": pa.array(np.concatenate(out_t)),
+                             "c": pa.array(np.concatenate(out_c))})
+
+        counts = grouped_sum(ds.map_batches(cnts, batch_format="pyarrow"),
+                             ["source", "token"], ["c"])
+
+        def wmh_partial(batch: pa.Table) -> pa.Table:
+            src = batch.column("source").to_numpy(zero_copy_only=False)
+            tok = batch.column("token").to_numpy(zero_copy_only=False)
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            rows_s, rows_b = [], []
+            for s in np.unique(src):
+                sk = WeightedMinHash(NPERM)
+                m = src == s
+                sk.update(tok[m].astype(np.uint64), c[m])
+                rows_s.append(s)
+                rows_b.append(sk.to_bytes())
+            return pa.table({"source": pa.array(rows_s),
+                             "state": pa.array(rows_b, pa.binary())})
+
+        per: dict = {}
+        for b in counts.map_batches(wmh_partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for s, st in zip(b.column("source").to_pylist(),
+                             b.column("state").to_pylist()):
+                sk = WeightedMinHash.from_bytes(st)
+                per[s] = sk if s not in per else per[s].merge(sk)
+
+        pdf = counts.to_pandas()              # vocab-sized driver table
+        tot = pdf.groupby("source")["c"].sum()
+        piv = pdf.pivot_table(index="token", columns="source", values="c",
+                              fill_value=0)
+        names = sorted(per)
+        rows = []
+        for i, a in enumerate(names):
+            for b2 in names[i + 1:]:
+                smin = int(np.minimum(piv[a], piv[b2]).sum())
+                smax = int(tot[a] + tot[b2] - smin)
+                jw = smin / max(smax, 1)
+                est = per[a].weighted_jaccard(per[b2])
+                sd = max((jw * (1 - jw) / NPERM) ** 0.5, 1e-9)
+                assert abs(est - jw) < 5 * sd + 1e-9, (a, b2, est, jw)
+                rows.append({"a": a, "b": b2, "sum_min": smin,
+                             "sum_max": smax,
+                             "wjaccard_milli": (1000 * smin) // max(smax, 1)})
+        return pd.DataFrame(rows)
+    q["weighted_jaccard_by_source"] = weighted_jaccard_by_source
+
     def decontaminate_eval(sf_dir):
         """Eval-set k-gram decontamination (GPT-3 App. C style): docs
         with doc_id % 10 == 7 play the held-out benchmark; every other
@@ -1071,6 +1157,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             k=3).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
     q["decontaminate_eval"] = decontaminate_eval
+
+    def dup_ngram_spans(sf_dir):
+        """Cross-document repeated 5-gram statistics (exact-substring
+        dedup lite, Lee et al. 2021): per doc, occurrences / distinct
+        count / longest consecutive run of word 5-grams shared with at
+        least one other document. Discovery rides the raw-task
+        shard_scan exchange; the dup-gram set broadcasts once."""
+        from ocm_ray.ops.dedup import dup_ngram_stats
+
+        out = dup_ngram_stats(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            k=5, min_docs=2).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+    q["dup_ngram_spans"] = dup_ngram_spans
 
     def bm25_top20(sf_dir):
         """Distributed BM25 (Lucene k1/b variant) over the documents
@@ -2184,6 +2284,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 10 <> 7
             ORDER BY d.doc_id
         """,
+        # string-domain repeated 5-grams — equal to the engine's
+        # gram-hash domain absent 64-bit collisions (same documented
+        # contract as decontaminate_eval); max_dup_run via
+        # gaps-and-islands over gram positions
+        "dup_ngram_spans": """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i,
+                       w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+                            || w[i + 3] || ' ' || w[i + 4] AS g
+                FROM toks, UNNEST(range(1, len(w) - 3)) AS u(i)
+            ),
+            dup AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+                SELECT grams.doc_id, grams.i, grams.g,
+                       (dup.g IS NOT NULL) AS hit
+                FROM grams LEFT JOIN dup ON grams.g = dup.g
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_grams,
+                       SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_dup,
+                       COUNT(DISTINCT CASE WHEN hit THEN g END) AS n_dist
+                FROM hits GROUP BY doc_id
+            ),
+            islands AS (
+                SELECT doc_id, grp, COUNT(*) AS run_len
+                FROM (SELECT doc_id, i,
+                             i - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                    ORDER BY i) AS grp
+                      FROM hits WHERE hit)
+                GROUP BY doc_id, grp
+            ),
+            runs AS (
+                SELECT doc_id, MAX(run_len) AS max_run
+                FROM islands GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(COALESCE(a.n_dist, 0) AS BIGINT)
+                       AS n_distinct_dup_grams,
+                   CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_dup_run
+            FROM documents d
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+            LEFT JOIN runs r ON d.doc_id = r.doc_id
+            ORDER BY d.doc_id
+        """,
         # BM25 with the exact float expression shape of
         # ops/retrieval.py:bm25_scores; ROUND(4) on both sides absorbs
         # term-summation-order ulps, collation (rounded score DESC,
@@ -2298,6 +2451,39 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_pairs": _minhash_pairs_sql(),
         "hll_register_histogram": _hll_registers_sql(),
         "minhash_source_similarity": _bottomk_similarity_sql(),
+        # exact weighted Jaccard between per-source token multisets:
+        # sum_min via the inner join on token, sum_max = tot_a + tot_b
+        # - sum_min; integer arithmetic end to end (the CWS estimator
+        # itself is float-geometry and asserted in-query instead)
+        "weighted_jaccard_by_source": f"""
+            WITH cnt AS (
+                SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT source, unnest(tokens) AS tok
+                      FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+                GROUP BY source, tok
+            ),
+            tot AS (SELECT source, SUM(c) AS t FROM cnt GROUP BY source),
+            inter AS (
+                SELECT x.source AS a, y.source AS b,
+                       SUM(LEAST(x.c, y.c)) AS smin
+                FROM cnt x JOIN cnt y
+                  ON x.tok = y.tok AND x.source < y.source
+                GROUP BY x.source, y.source
+            ),
+            pairs AS (
+                SELECT ta.source AS a, tb.source AS b,
+                       COALESCE(i.smin, 0) AS smin,
+                       ta.t + tb.t - COALESCE(i.smin, 0) AS smax
+                FROM tot ta JOIN tot tb ON ta.source < tb.source
+                LEFT JOIN inter i ON i.a = ta.source AND i.b = tb.source
+            )
+            SELECT a, b, CAST(smin AS BIGINT) AS sum_min,
+                   CAST(smax AS BIGINT) AS sum_max,
+                   (1000 * CAST(smin AS BIGINT))
+                       // GREATEST(CAST(smax AS BIGINT), 1)
+                       AS wjaccard_milli
+            FROM pairs ORDER BY a, b
+        """,
         "cm_set_algebra": _cm_intersect_sql(),
         # vocab rank ties broken (cnt desc, token asc) exactly as
         # build_vocab; hash-domain lookup == string join absent

@@ -733,3 +733,148 @@ def dup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
             parent[hi] = lo
     roots = np.array([find(i) for i in range(len(ids))])
     return pd.DataFrame({"doc_id": ids, "cluster_id": ids[roots]})
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated n-grams (exact-substring dedup lite)
+
+
+def dup_gram_table(ds: Dataset, k: int = 5, min_docs: int = 2,
+                   text_col: str = "text", lowercase: bool = True,
+                   seed: int = 137, n_shards: int = 64) -> Dataset:
+    """Word k-grams appearing in >= ``min_docs`` DISTINCT documents.
+
+    The gram-hash discovery step of exact-substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better" —
+    the k-gram approximation of their suffix-array repeated-substring
+    search; cf. reference dedup-by-membership ``bf.h:586``). Per batch:
+    distinct ``(gram, doc)`` pairs collapse to one ``(gram, n_docs)``
+    partial row (a doc lives in exactly one batch, so partial doc
+    counts sum exactly). The corpus-sized gram keyspace is exchanged
+    through the raw-task :func:`ocm_ray.ops.pairs.shard_scan` (top gram
+    bits — NEVER Ray's AllToAll, CLAUDE.md rule 3b/9), each shard
+    summing with one sort + ``np.add.reduceat``. Output: Dataset
+    ``(gram int64-view, n_docs int64)``, bounded by the duplicated-gram
+    vocabulary."""
+    from ocm_ray.engine.tokens import word_kgram_hashes
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+
+    def gram_doc_partials(batch: pa.Table) -> pa.Table:
+        g, rowid, _ = word_kgram_hashes(batch.column(text_col), k,
+                                        lowercase, seed)
+        if not len(g):
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        order = np.lexsort((g.view(np.int64), rowid))
+        gs, rs = g[order], rowid[order]
+        first = np.concatenate([[True], (gs[1:] != gs[:-1])
+                                | (rs[1:] != rs[:-1])])
+        uniq = np.sort(gs[first])          # one entry per (gram, doc)
+        run = np.concatenate([[True], uniq[1:] != uniq[:-1]])
+        starts = np.flatnonzero(run)
+        nd = np.diff(np.concatenate([starts, [len(uniq)]]))
+        return pa.table({"key": pa.array(uniq[starts].view(np.int64)),
+                         "nd": pa.array(nd.astype(np.int64))})
+
+    bits = _shard_bits(n_shards)
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        kk = tbl.column("key").to_numpy(zero_copy_only=False).view(U64)
+        return (kk >> U64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(kk), np.int32)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        kk = tbl.column("key").to_numpy(zero_copy_only=False).view(U64)
+        nd = tbl.column("nd").to_numpy(zero_copy_only=False)
+        if not len(kk):
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        order = np.argsort(kk, kind="stable")
+        ks, ns = kk[order], nd[order]
+        run = np.concatenate([[True], ks[1:] != ks[:-1]])
+        starts = np.flatnonzero(run)
+        tot = np.add.reduceat(ns, starts).astype(np.int64)
+        keep = tot >= min_docs
+        return pa.table({"gram": pa.array(ks[starts][keep].view(np.int64)),
+                         "n_docs": pa.array(tot[keep])})
+
+    partials = ds.map_batches(gram_doc_partials, batch_format="pyarrow")
+    return shard_scan(partials, shard_of, scan, n_shards)
+
+
+def dup_ngram_stats(ds: Dataset, k: int = 5, min_docs: int = 2,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    lowercase: bool = True, seed: int = 137,
+                    n_shards: int = 64,
+                    max_broadcast: int = 50_000_000) -> Dataset:
+    """Per-document cross-corpus repeated-k-gram statistics: for each doc
+    ``(id, n_grams, n_dup_grams, n_distinct_dup_grams, max_dup_run)``
+    where a *dup gram* occurs in >= ``min_docs`` distinct documents and
+    ``max_dup_run`` is the longest run of CONSECUTIVE dup grams (a run
+    of r dup k-grams == a shared span of r+k-1 words — the quantity
+    exact-substring dedup truncates on). Stats are exact in the gram-
+    hash domain (== string grams absent 64-bit collisions, the engine's
+    documented contract).
+
+    Scale shape: discovery via :func:`dup_gram_table` (shard_scan
+    exchange); the dup-gram set then travels ONCE via ``ray.put`` and
+    the corpus side is a single stateless vectorized map pass — run
+    lengths need doc-local gram order, which only the broadcast probe
+    preserves without a second positional exchange. The broadcast is
+    bounded by the duplicated-gram vocabulary (~64 MB at the default
+    cap); corpora whose dup vocabulary exceeds it should raise ``k``
+    (longer grams -> geometrically fewer cross-doc repeats) or fall
+    back to suffix-array sharding, per Lee et al."""
+    from ocm_ray.engine.tokens import word_kgram_hashes
+    from ocm_ray.ops.retrieval import _sorted_member
+
+    dup_ds = dup_gram_table(ds, k, min_docs, text_col, lowercase, seed,
+                            n_shards)
+    parts = [b.column("gram").to_numpy(zero_copy_only=False)
+             for b in dup_ds.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    dup = np.sort(np.concatenate(parts).view(U64)) if parts \
+        else np.empty(0, U64)
+    if len(dup) > max_broadcast:
+        raise ValueError(
+            f"dup_ngram_stats: {len(dup)} duplicated {k}-grams exceed the "
+            f"broadcast cap {max_broadcast}; raise k or the cap")
+    ref = ray.put(dup)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        dup_arr = ray.get(ref)   # zero-copy from the shared object store
+        g, rowid, nrows = word_kgram_hashes(batch.column(text_col), k,
+                                            lowercase, seed)
+        hit = _sorted_member(dup_arr, g)
+        n_grams = np.bincount(rowid, minlength=nrows).astype(np.int64)
+        n_dup = np.bincount(rowid, weights=hit,
+                            minlength=nrows).astype(np.int64)
+        # distinct dup grams per doc: consecutive-unique over (doc, gram)
+        n_distinct = np.zeros(nrows, np.int64)
+        if hit.any():
+            gh, rh = g[hit].view(np.int64), rowid[hit]
+            order = np.lexsort((gh, rh))
+            gs, rs = gh[order], rh[order]
+            first = np.concatenate([[True], (gs[1:] != gs[:-1])
+                                    | (rs[1:] != rs[:-1])])
+            n_distinct = np.bincount(rs[first],
+                                     minlength=nrows).astype(np.int64)
+        # longest consecutive dup run per doc, vectorized across rows:
+        # run starts where hit begins or the row changes; run length via
+        # bincount over run ids; per-row max via np.maximum.at
+        max_run = np.zeros(nrows, np.int64)
+        if hit.any():
+            row_change = np.concatenate([[True], rowid[1:] != rowid[:-1]])
+            new_run = hit & (np.concatenate([[True], ~hit[:-1]]) | row_change)
+            run_id = np.cumsum(new_run) - 1
+            run_lens = np.bincount(run_id[hit])
+            np.maximum.at(max_run, rowid[new_run], run_lens)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(n_grams),
+            "n_dup_grams": pa.array(n_dup),
+            "n_distinct_dup_grams": pa.array(n_distinct),
+            "max_dup_run": pa.array(max_run),
+        })
+
+    return ds.map_batches(mark, batch_format="pyarrow")

@@ -16,6 +16,7 @@ from ocm_ray.sketches.bbmh import BBitMinHash
 from ocm_ray.sketches.bloom import BloomFilter, CountingBloomFilter, FilterHLL
 from ocm_ray.sketches.countmin import CountMin, OfflineCountMin
 from ocm_ray.sketches.countsketch import CountSketch, CountSketch4W, TopK
+from ocm_ray.sketches.cws import WeightedMinHash
 from ocm_ray.sketches.ddsketch import DDSketch
 from ocm_ray.sketches.heavykeeper import HeavyKeeper, HeavyKeeperTopK
 from ocm_ray.sketches.hll import HyperLogLog
@@ -33,5 +34,5 @@ __all__ = [
     "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
     "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
-    "HyperMinHash", "BBitMinHash", "SetSketch",
+    "HyperMinHash", "BBitMinHash", "SetSketch", "WeightedMinHash",
 ]

@@ -886,3 +886,105 @@ def test_top_pmi_pairs_by_hand():
     assert (out["cnt"] >= 2).all()
     pm = out["pmi"].to_numpy()
     assert (pm[:-1] >= pm[1:]).all()
+
+
+def test_dup_ngram_stats_matches_bruteforce():
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import dup_ngram_stats
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a quick brown fox jumps over a sleeping cat",
+        "lorem ipsum dolor sit amet",
+        "the quick brown fox jumps over the lazy dog today",
+        "completely unique words here nothing shared",
+        "", "single word",
+        "the quick brown fox leaps quick brown fox jumps over",
+    ]
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    k = 3
+    out = (dup_ngram_stats(rd.from_pandas(docs).repartition(3), k=k)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    gram_docs: dict = {}
+    doc_grams = {}
+    for _, r in docs.iterrows():
+        w = r.text.lower().split(" ")
+        grams = [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
+        doc_grams[r.doc_id] = grams
+        for g in grams:
+            gram_docs.setdefault(g, set()).add(r.doc_id)
+    dup = {g for g, s in gram_docs.items() if len(s) >= 2}
+    for _, r in out.iterrows():
+        grams = doc_grams[r.doc_id]
+        hits = [g in dup for g in grams]
+        run = best = 0
+        for h in hits:
+            run = run + 1 if h else 0
+            best = max(best, run)
+        assert r.n_grams == len(grams)
+        assert r.n_dup_grams == sum(hits)
+        assert r.n_distinct_dup_grams == len({g for g, h
+                                              in zip(grams, hits) if h})
+        assert r.max_dup_run == best
+
+    # partition invariance: stats are a pure function of the corpus
+    out1 = (dup_ngram_stats(rd.from_pandas(docs).repartition(1), k=k)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out1)
+
+
+def test_weighted_minhash_icws():
+    from ocm_ray.sketches.cws import WeightedMinHash
+
+    rng = np.random.default_rng(1)
+    n = 4000
+    vocab = np.arange(n, dtype=np.uint64)
+    wa = np.where(rng.random(n) < 0.7, rng.integers(1, 50, n), 0).astype(float)
+    wb = np.where(rng.random(n) < 0.7, rng.integers(1, 50, n), 0).astype(float)
+    exact = np.minimum(wa, wb).sum() / np.maximum(wa, wb).sum()
+
+    # unbiasedness: mean estimate over independent seeds within ~3 sigma
+    # of the exact weighted Jaccard (P[match] = J_w per permutation)
+    ests = []
+    for s in range(8):
+        a = WeightedMinHash(128, seedseed=137 + s)
+        b = WeightedMinHash(128, seedseed=137 + s)
+        a.update(vocab[wa > 0], wa[wa > 0])
+        b.update(vocab[wb > 0], wb[wb > 0])
+        ests.append(a.weighted_jaccard(b))
+    sd = (exact * (1 - exact) / 128) ** 0.5
+    assert abs(np.mean(ests) - exact) < 3 * sd / np.sqrt(len(ests))
+    assert np.std(ests) > 0  # seeds produce distinct samples
+
+    # disjoint-element merge is EXACT (min-of-mins == min over union)
+    # and chunking the kernel cannot change the argmin
+    full = WeightedMinHash(64)
+    chunked = WeightedMinHash(64)
+    chunked.CHUNK = 128
+    a1, a2 = WeightedMinHash(64), WeightedMinHash(64)
+    m = rng.random(n) < 0.5
+    pos = wa > 0
+    a1.update(vocab[m & pos], wa[m & pos])
+    a2.update(vocab[~m & pos], wa[~m & pos])
+    full.update(vocab[pos], wa[pos])
+    chunked.update(vocab[pos], wa[pos])
+    a1.merge(a2)
+    for other in (a1, chunked):
+        assert np.array_equal(full.elem, other.elem)
+        assert np.array_equal(full.t, other.t)
+        assert np.allclose(full.ln_a, other.ln_a)
+
+    # identical weighted sets match on every slot; scaling one set's
+    # weights breaks J_w=1 (weighted, not set, semantics)
+    c1, c2 = WeightedMinHash(64), WeightedMinHash(64)
+    c1.update(vocab[pos], wa[pos])
+    c2.update(vocab[pos], wa[pos] * 3.0)
+    assert full.matching_slots(c1) == 64
+    assert full.matching_slots(c2) < 64
+
+    # serialization roundtrip preserves the state exactly
+    rt = WeightedMinHash.from_bytes(full.to_bytes())
+    assert rt.matching_slots(full) == 64
+    assert np.array_equal(rt.elem, full.elem)
