@@ -1158,6 +1158,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("doc_id").reset_index(drop=True)
     q["decontaminate_eval"] = decontaminate_eval
 
+    def dsir_importance(sf_dir):
+        """DSIR importance scores (Xie et al. 2023): every document
+        scored by the log-likelihood ratio of hashed word-bigram
+        bucket models (target = src0/src1 docs vs the rest). One
+        stats pass (bucket-count partials), one broadcast, one
+        stateless scoring pass; integer n_feats / n_target_heavy and
+        the ROUND(4) float score are all SQL-recomputable."""
+        from ocm_ray.ops.sampling import dsir_scores
+
+        out = dsir_scores(
+            _read(sf_dir, "documents", columns=["doc_id", "source", "text"]),
+            target_values=["src0", "src1"], feat_bits=16, k=2).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+    q["dsir_importance"] = dsir_importance
+
     def dup_ngram_spans(sf_dir):
         """Cross-document repeated 5-gram statistics (exact-substring
         dedup lite, Lee et al. 2021): per doc, occurrences / distinct
@@ -1460,6 +1475,75 @@ def _sql_word_hash(src: str, carry: str, seed: int = 137,
            FROM {inner_rel}),
     {outer_sql}"""
     return sql, outer_rel
+
+
+def _dsir_sql(feat_bits: int = 16, targets=("src0", "src1")) -> str:
+    """DuckDB oracle for ``dsir_importance``: the whole DSIR scoring
+    pipeline is a pure function of the texts — word hashes
+    (``_sql_word_hash``) → chained-wang bigram hashes → top-bit
+    buckets → target/raw bucket counts → per-doc integer n_feats /
+    n_target_heavy (HUGEINT cross-multiply, exact) and the ROUND(4)
+    log-likelihood-ratio score (same expression shape as the engine;
+    ROUND absorbs summation-order ulps, the bm25_top20 contract)."""
+    B = 1 << feat_bits
+    div = 1 << (64 - feat_bits)
+    tlist = ", ".join(f"'{t}'" for t in targets)
+    hash_sql, hash_rel = _sql_word_hash("words", "doc_id, pos")
+    ga_sql, ga_rel = _sql_wang_chain("ga", "g0", "doc_id, pos, h1", "gk")
+    gb_sql, gb_rel = _sql_wang_chain("gb", "gx1", "doc_id, pos", "gk")
+    x1 = _sql_to_huge(f"xor({_sql_to_signed('k')}, {_sql_to_signed('h1')})")
+    return f"""
+    WITH words AS (
+        SELECT doc_id, j - 1 AS pos, ws[j] AS w
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents),
+             UNNEST(range(1, len(ws) + 1)) AS t(j)
+    ),
+    {hash_sql},
+    leads AS (
+        SELECT doc_id, pos, k AS h0,
+               LEAD(k, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1
+        FROM {hash_rel}
+    ),
+    g0 AS (SELECT doc_id, pos, h1, {_sql_to_huge('h0')} AS gk
+           FROM leads WHERE h1 IS NOT NULL),
+    {ga_sql},
+    gx1 AS (SELECT doc_id, pos, {x1} AS gk FROM {ga_rel}),
+    {gb_sql},
+    grams AS (SELECT doc_id, CAST(gk // {div} AS BIGINT) AS b
+              FROM (SELECT doc_id, k AS gk FROM {gb_rel})),
+    tgt AS (SELECT doc_id, (source IN ({tlist})) AS is_t FROM documents),
+    occ AS (SELECT grams.doc_id, b, is_t
+            FROM grams JOIN tgt ON grams.doc_id = tgt.doc_id),
+    cnt AS (SELECT b,
+                   CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS t,
+                   CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT)
+                       AS r
+            FROM occ GROUP BY b),
+    tot AS (SELECT SUM(t) AS tt, SUM(r) AS rr FROM cnt),
+    scored AS (
+        SELECT occ.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(CASE WHEN
+                        (2 * CAST(c.t AS HUGEINT) + 1)
+                            * (2 * CAST(tot.rr AS HUGEINT) + {B})
+                        > (2 * CAST(c.r AS HUGEINT) + 1)
+                            * (2 * CAST(tot.tt AS HUGEINT) + {B})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_target_heavy,
+               SUM(ln(2 * c.t + 1.0) - ln(2 * c.r + 1.0))
+                   + COUNT(*) * (ln(2 * tot.rr + {B}.0)
+                                 - ln(2 * tot.tt + {B}.0)) AS score
+        FROM occ JOIN cnt c ON occ.b = c.b, tot
+        GROUP BY occ.doc_id, tot.tt, tot.rr
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(s.n_target_heavy, 0) AS BIGINT) AS n_target_heavy,
+           ROUND(COALESCE(s.score, 0.0), 4) AS dsir_score
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """
 
 
 def _simhash_sql() -> str:
@@ -2449,6 +2533,7 @@ def oracle_sql() -> dict[str, str]:
         "cm_vanilla_query": _cm_vanilla_sql(),
         "bloom_membership": _bloom_member_sql(),
         "minhash_dedup_pairs": _minhash_pairs_sql(),
+        "dsir_importance": _dsir_sql(),
         "hll_register_histogram": _hll_registers_sql(),
         "minhash_source_similarity": _bottomk_similarity_sql(),
         # exact weighted Jaccard between per-source token multisets:

@@ -137,3 +137,92 @@ def sample_n_per_key(ds: Dataset, key_col: str, id_col: str = "doc_id",
         return batch.drop_columns(["_h"])
 
     return out.map_batches(drop, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (data selection)
+
+
+def dsir_scores(ds: Dataset, target_values, group_col: str = "source",
+                id_col: str = "doc_id", text_col: str = "text",
+                feat_bits: int = 16, k: int = 2, seed: int = 137,
+                lowercase: bool = True) -> Dataset:
+    """Data Selection via Importance Resampling scores (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score raw documents by how target-like their hashed word-n-gram
+    features are. The feature space is ``2^feat_bits`` buckets (top bits
+    of the engine's chained word-k-gram hash); the target / raw bucket
+    unigram models use Laplace-1/2 smoothing, so a document's score is
+
+        sum_over_gram_occurrences [ ln(2 t[b]+1) - ln(2 r[b]+1) ]
+        + n_feats * ( ln(2 R + B) - ln(2 T + B) )
+
+    (t/r = per-bucket gram counts over target/raw docs, T/R their
+    totals, B the bucket count — the log-likelihood ratio of the two
+    smoothed models). Returns per doc: integer ``n_feats`` and
+    ``n_target_heavy`` (gram occurrences whose bucket favors the target
+    model — an exact-integer cross-multiply, SQL-oracle-able with zero
+    float risk) plus the float ``dsir_score``.
+
+    Scale shape: one stats pass emits per-batch nonzero (bucket,
+    t, r) partials (bounded by 2^feat_bits rows per batch); the two
+    dense count vectors (2^16 × 8 B = 512 KB each by default) broadcast
+    once via ``ray.put``; scoring is a second stateless vectorized
+    pass. No shuffle anywhere."""
+    import ray
+
+    from ocm_ray.engine.tokens import word_kgram_hashes
+
+    B = 1 << feat_bits
+    shift = U64(64 - feat_bits)
+    tv = set(target_values)
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        g, rowid, _ = word_kgram_hashes(batch.column(text_col), k,
+                                        lowercase, seed)
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        is_t = np.isin(grp, list(tv))[rowid]
+        b = (g >> shift).astype(np.int64)
+        t = np.bincount(b[is_t], minlength=B)
+        r = np.bincount(b[~is_t], minlength=B)
+        nz = np.flatnonzero(t | r)
+        return pa.table({"bucket": pa.array(nz),
+                         "t": pa.array(t[nz]), "r": pa.array(r[nz])})
+
+    agg = (ds.map_batches(bucket_partials, batch_format="pyarrow")
+           .to_pandas().groupby("bucket", as_index=False).sum())
+    t_vec = np.zeros(B, np.int64)
+    r_vec = np.zeros(B, np.int64)
+    t_vec[agg["bucket"].to_numpy()] = agg["t"].to_numpy()
+    r_vec[agg["bucket"].to_numpy()] = agg["r"].to_numpy()
+    T, R = int(t_vec.sum()), int(r_vec.sum())
+    const = float(np.log(2 * R + B) - np.log(2 * T + B))
+    # target-heavy b <=> (2t+1)/(2T+B) > (2r+1)/(2R+B); cross-multiplied
+    # ONCE per bucket in exact python ints (no int64 overflow at any
+    # corpus size), then the boolean vector broadcasts with the counts
+    lhs_mul, rhs_mul = 2 * R + B, 2 * T + B
+    heavy_vec = np.fromiter(
+        ((2 * int(t) + 1) * lhs_mul > (2 * int(r) + 1) * rhs_mul
+         for t, r in zip(t_vec, r_vec)), dtype=bool, count=B)
+    bc = ray.put((t_vec, r_vec, heavy_vec))
+
+    def score(batch: pa.Table) -> pa.Table:
+        t_v, r_v, heavy_v = ray.get(bc)
+        g, rowid, nrows = word_kgram_hashes(batch.column(text_col), k,
+                                            lowercase, seed)
+        b = (g >> shift).astype(np.int64)
+        n_feats = np.bincount(rowid, minlength=nrows).astype(np.int64)
+        tb, rb = t_v[b], r_v[b]
+        n_heavy = np.bincount(rowid, weights=heavy_v[b].astype(np.float64),
+                              minlength=nrows).astype(np.int64)
+        term = np.log(2 * tb + 1.0) - np.log(2 * rb + 1.0)
+        sc = np.bincount(rowid, weights=term, minlength=nrows) \
+            + n_feats * const
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_feats": pa.array(n_feats),
+            "n_target_heavy": pa.array(n_heavy),
+            "dsir_score": pa.array(np.round(sc, 4)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

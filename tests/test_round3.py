@@ -988,3 +988,65 @@ def test_weighted_minhash_icws():
     rt = WeightedMinHash.from_bytes(full.to_bytes())
     assert rt.matching_slots(full) == 64
     assert np.array_equal(rt.elem, full.elem)
+
+
+def test_dsir_scores_by_hand():
+    import ray.data as rd
+
+    from ocm_ray.core.hashing import wanghash
+    from ocm_ray.ops.sampling import dsir_scores
+
+    texts = ["alpha beta gamma alpha beta", "beta gamma delta",
+             "epsilon zeta eta", "alpha beta epsilon zeta",
+             "one", ""]
+    srcs = ["t", "t", "r", "r", "r", "t"]
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts)),
+                         "source": srcs, "text": texts})
+    FEAT_BITS = 8
+    out = (dsir_scores(rd.from_pandas(docs).repartition(3),
+                       target_values=["t"], feat_bits=FEAT_BITS, k=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # by-hand recomputation in the same hash domain
+    from ocm_ray.engine.tokens import hash_string_array
+    import pyarrow as pa_
+
+    def doc_buckets(text):
+        ws = text.lower().split(" ")
+        h = hash_string_array(pa_.array(ws), 137)
+        out_b = []
+        for i in range(len(ws) - 1):
+            acc = wanghash(np.array([h[i]], np.uint64))
+            acc = wanghash(acc ^ h[i + 1])
+            out_b.append(int(acc[0]) >> (64 - FEAT_BITS))
+        return out_b
+
+    B = 1 << FEAT_BITS
+    t_cnt, r_cnt = np.zeros(B, np.int64), np.zeros(B, np.int64)
+    for txt, s in zip(texts, srcs):
+        for b in doc_buckets(txt):
+            (t_cnt if s == "t" else r_cnt)[b] += 1
+    T, R = t_cnt.sum(), r_cnt.sum()
+    for _, row in out.iterrows():
+        bs = doc_buckets(texts[int(row.doc_id)])
+        assert row.n_feats == len(bs)
+        heavy = sum((2 * int(t_cnt[b]) + 1) * (2 * int(R) + B)
+                    > (2 * int(r_cnt[b]) + 1) * (2 * int(T) + B)
+                    for b in bs)
+        assert row.n_target_heavy == heavy
+        want = sum(np.log(2 * t_cnt[b] + 1.0) - np.log(2 * r_cnt[b] + 1.0)
+                   for b in bs) \
+            + len(bs) * (np.log(2 * R + B) - np.log(2 * T + B))
+        assert abs(row.dsir_score - round(want, 4)) < 1e-9
+
+    # target docs should score higher on average than raw docs
+    m = out.merge(docs[["doc_id", "source"]], on="doc_id")
+    m = m[m.n_feats > 0]
+    assert m[m.source == "t"].dsir_score.mean() > \
+        m[m.source == "r"].dsir_score.mean()
+
+    # partition invariance
+    out1 = (dsir_scores(rd.from_pandas(docs).repartition(1),
+                        target_values=["t"], feat_bits=FEAT_BITS, k=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out1)
