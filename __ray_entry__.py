@@ -623,6 +623,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.reset_index(drop=True)
     q["embedding_dup_pairs"] = embedding_dup_pairs
 
+    def embedding_kmeans(sf_dir):
+        """Distributed full-corpus Lloyd k-means over the embeddings
+        table (one partial-sums map pass per iteration, centroid
+        broadcast between — no shuffle). Returns per-cluster sizes;
+        in-query asserts: sizes exhaust the corpus, inertia is
+        non-increasing, and a sample of assignments equals the brute
+        argmax against the final centroids."""
+        import ray.data as rd
+
+        from ocm_ray.ops.similarity import (_embedding_matrix, _normalize,
+                                            assign_clusters, kmeans_lloyd)
+
+        ds = _read(sf_dir, "embeddings")
+        cents, hist = kmeans_lloyd(ds, n_clusters=16, iters=5)
+        assert all(hist[i + 1] <= hist[i] + 1e-12
+                   for i in range(len(hist) - 1)), hist
+        assigned = assign_clusters(ds, cents)
+        out = (assigned.to_pandas().groupby("cell").size()
+               .rename("n_vectors").reset_index())
+        n_total = _read(sf_dir, "embeddings").count()
+        assert int(out["n_vectors"].sum()) == n_total
+        # spot-check: first 64 rows assigned == brute argmax
+        import pyarrow as pa
+        head = pa.table(ds.take_batch(64, batch_format="pyarrow"))
+        m = _normalize(_embedding_matrix(head, "embedding"))
+        want = (m @ cents.T).argmax(axis=1)
+        got = (assigned.to_pandas().set_index("vec_id")
+               .loc[head.column("vec_id").to_pylist(), "cell"].to_numpy())
+        assert (want == got).all()
+        out["cell"] = out["cell"].astype(np.int64)
+        return out.sort_values("cell").reset_index(drop=True)
+    q["embedding_kmeans"] = embedding_kmeans
+
+    def semdedup_pairs(sf_dir):
+        """SemDeDup (Abbas et al. 2023): k-means cells + within-cell
+        cosine pairs. Exact duplicate vectors are planted (vec_id % 10
+        == 3 copied to vec_id + 100000), so at threshold 0.999 the
+        expected pair set is fully determined (corpus max non-dup sim
+        ~0.6) — identical vectors always co-cluster, making this
+        approximate pipeline SQL-oracle-able end to end."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocm_ray.ops.dedup import semantic_dedup_pairs
+
+        ds = _read(sf_dir, "embeddings")
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 3)
+            dup = batch.filter(pa.array(m))
+            dup = dup.set_column(
+                dup.schema.get_field_index("vec_id"), "vec_id",
+                pa.array(dup.column("vec_id").to_numpy(
+                    zero_copy_only=False) + 100000))
+            return pa.concat_tables([batch, dup])
+
+        aug = ds.map_batches(plant, batch_format="pyarrow")
+        out = semantic_dedup_pairs(aug, threshold=0.999, n_clusters=16,
+                                   iters=4).to_pandas()
+        out = out.drop_duplicates(["a", "b"])
+        out["sim"] = out["sim"].round(4)
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+    q["semdedup_pairs"] = semdedup_pairs
+
     def minhash_dedup_pairs(sf_dir):
         from ocm_ray.ops.dedup import minhash_lsh_pairs
 
@@ -2227,6 +2292,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        # planted-exact-duplicate SemDeDup: identical vectors always
+        # co-cluster, so the within-cell search finds exactly the
+        # global >= 0.999 pairs (corpus max non-dup sim ~0.6)
+        "semdedup_pairs": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding FROM embeddings
+                WHERE vec_id % 10 = 3
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.999
+            ORDER BY a, b
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

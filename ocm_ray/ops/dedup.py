@@ -878,3 +878,73 @@ def dup_ngram_stats(ds: Dataset, k: int = 5, min_docs: int = 2,
         })
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: k-means cells + within-cell cosine)
+
+
+def semantic_dedup_pairs(ds: Dataset, threshold: float = 0.95,
+                         n_clusters: int = 64, iters: int = 4,
+                         emb_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         seedseed: int = 137) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embeddings are
+    k-means-clustered (full-corpus Lloyd,
+    :func:`ocm_ray.ops.similarity.kmeans_lloyd`), then near-duplicate
+    pairs (cosine >= ``threshold``) are searched ONLY within each
+    cluster — the pairwise work drops from O(N^2) to
+    O(sum of cluster sizes squared), the paper's tractability trick.
+    Approximate by construction: cross-cluster near-dups are missed
+    (recall is asserted against the brute-force pair set in tests and
+    in the driver query at test scale).
+
+    Exchange shape: cluster ids are the shard key of a raw-task
+    :func:`ocm_ray.ops.pairs.shard_scan` (one cell per shard; driver
+    holds only ObjectRefs); each shard runs one chunked matmul over its
+    cell's matrix. Partitioning assumption (documented): one cluster's
+    vectors fit one task — at 100 TB raise ``n_clusters`` so N/k stays
+    bounded; the matmul is row-chunked so peak memory is the chunk, not
+    the cell squared. Drop policy composes downstream via
+    :func:`dup_clusters` (union-find, keep min id)."""
+    from ocm_ray.ops.pairs import shard_scan
+    from ocm_ray.ops.similarity import (_embedding_matrix, _normalize,
+                                        assign_clusters, kmeans_lloyd)
+
+    cents, _hist = kmeans_lloyd(ds, n_clusters, iters, emb_col,
+                                seedseed=seedseed)
+    assigned = assign_clusters(ds, cents, emb_col)
+    n_shards = 1 << max(0, (int(n_clusters) - 1).bit_length())
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        return tbl.column("cell").to_numpy(zero_copy_only=False) \
+            .astype(np.int32)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        ids_arr = tbl.column(id_col) if tbl.num_rows else None
+        if tbl.num_rows < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        m = _normalize(_embedding_matrix(tbl, emb_col))
+        ids = ids_arr.to_numpy(zero_copy_only=False)
+        n = len(m)
+        chunk = max(1, (1 << 22) // max(n, 1))   # ~4 MB sim rows (r4)
+        outs_a, outs_b, outs_s = [], [], []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = m[lo:hi] @ m.T                # (chunk, n)
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = (ii + lo) < jj                # upper triangle only
+            ii, jj = ii[keep], jj[keep]
+            a, b = ids[ii + lo], ids[jj]
+            swap = a > b
+            outs_a.append(np.where(swap, b, a))
+            outs_b.append(np.where(swap, a, b))
+            outs_s.append(sims[ii, jj])
+        return pa.table({"a": pa.array(np.concatenate(outs_a)),
+                         "b": pa.array(np.concatenate(outs_b)),
+                         "sim": pa.array(np.concatenate(outs_s))})
+
+    return shard_scan(assigned, shard_of, scan, n_shards)

@@ -303,3 +303,92 @@ def ivf_topk(queries: np.ndarray, k: int = 10, n_probe: int = 4,
                              "rank": []})
     return brute_force_topk(rd.read_parquet(paths), q, k, id_col,
                             meta["emb_col"])
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-corpus Lloyd iterations)
+
+
+def kmeans_lloyd(ds: Dataset, n_clusters: int = 64, iters: int = 6,
+                 emb_col: str = "embedding", sample_size: int = 20_000,
+                 seedseed: int = 137):
+    """Distributed spherical k-means over the FULL corpus.
+
+    :func:`_kmeans_fit` trains on a driver-sized sample (the IVF coarse
+    quantizer); this is the full Lloyd loop for when cluster quality
+    matters (semantic dedup, data curation by cluster): initialize from
+    the sample fit, then per iteration ONE stateless ``map_batches``
+    pass emits a per-batch partial — assigned-vector sums (k × dim),
+    counts and cosine inertia, ~k·dim·8 B per BATCH — which the driver
+    folds (bounded by n_batches × 32 KB at the defaults, never by the
+    corpus) and re-broadcasts as the next centroid matrix. No shuffle;
+    corpus passes = ``iters``. Empty clusters keep their previous
+    centroid (deterministic; no data-dependent reseeding mid-stream).
+
+    Returns ``(centroids (k, dim) float64, inertia_history list)`` —
+    inertia is mean ``1 − cos(x, centroid(x))``, non-increasing across
+    iterations up to empty-cluster freezes (asserted in tests).
+    """
+    sample_tbl = ds.limit(sample_size).take_batch(sample_size,
+                                                  batch_format="pyarrow")
+    sample = _embedding_matrix(pa.table(sample_tbl), emb_col)
+    c = _kmeans_fit(sample, n_clusters, iters=4, seedseed=seedseed)
+    k, dim = c.shape
+    history = []
+
+    def partials(batch: pa.Table, c_ref) -> pa.Table:
+        cc = ray.get(c_ref)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        sims = m @ cc.T
+        assign = sims.argmax(axis=1)
+        sums = np.zeros_like(cc)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=len(cc)).astype(np.int64)
+        inertia = float((1.0 - sims[np.arange(len(m)), assign]).sum())
+        return pa.table({
+            "sums": pa.array([sums.tobytes()], pa.binary()),
+            "counts": pa.array([counts.tobytes()], pa.binary()),
+            "inertia": pa.array([inertia]),
+            "n": pa.array([len(m)], pa.int64()),
+        })
+
+    import functools
+
+    for _ in range(iters):
+        ref = ray.put(c)
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, np.int64)
+        tot_inertia, tot_n = 0.0, 0
+        for b in ds.map_batches(functools.partial(partials, c_ref=ref),
+                                batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for s_raw, c_raw, ine, n in zip(b.column("sums").to_pylist(),
+                                            b.column("counts").to_pylist(),
+                                            b.column("inertia").to_pylist(),
+                                            b.column("n").to_pylist()):
+                sums += np.frombuffer(s_raw, np.float64).reshape(k, dim)
+                counts += np.frombuffer(c_raw, np.int64)
+                tot_inertia += ine
+                tot_n += n
+        history.append(tot_inertia / max(tot_n, 1))
+        nonempty = counts > 0
+        newc = c.copy()
+        newc[nonempty] = sums[nonempty] / counts[nonempty, None]
+        c = _normalize(newc)
+    return c, history
+
+
+def assign_clusters(ds: Dataset, centroids: np.ndarray,
+                    emb_col: str = "embedding",
+                    out_col: str = "cell") -> Dataset:
+    """Append the nearest-centroid (cosine) cluster id — one broadcast,
+    one stateless vectorized map pass."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(ref)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        cell = (m @ cc.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column(out_col, pa.array(cell))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

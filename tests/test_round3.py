@@ -1050,3 +1050,50 @@ def test_dsir_scores_by_hand():
                         target_values=["t"], feat_bits=FEAT_BITS, k=2)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out1)
+
+
+def test_kmeans_lloyd_and_semdedup():
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import semantic_dedup_pairs
+    from ocm_ray.ops.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(6, 32)) * 4
+    pts, ids = [], []
+    vid = 0
+    for c in range(6):
+        for _ in range(200):
+            pts.append(centers[c] + rng.normal(size=32) * 0.5)
+            ids.append(vid)
+            vid += 1
+    planted = []
+    for _ in range(10):
+        src = rng.integers(0, len(pts))
+        pts.append(np.asarray(pts[src]) + rng.normal(size=32) * 1e-3)
+        ids.append(vid)
+        planted.append((min(ids[src], vid), max(ids[src], vid)))
+        vid += 1
+    emb = np.stack(pts)
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": list(emb.astype(np.float32))})
+    ds = rd.from_pandas(df).repartition(4)
+
+    # full-corpus Lloyd: inertia never increases
+    cents, hist = kmeans_lloyd(ds, n_clusters=8, iters=5, sample_size=1500)
+    assert cents.shape == (8, 32)
+    assert all(hist[i + 1] <= hist[i] + 1e-12 for i in range(len(hist) - 1))
+
+    # SemDeDup finds every planted near-dup pair and nothing spurious
+    # beyond the brute-force >= threshold set (subset by construction)
+    pairs = semantic_dedup_pairs(ds, threshold=0.999, n_clusters=8,
+                                 iters=3).to_pandas()
+    found = set(zip(pairs.a, pairs.b))
+    assert all(p in found for p in planted)
+    m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu = np.triu_indices(len(m), 1)
+    brute = {(min(ids[i], ids[j]), max(ids[i], ids[j]))
+             for i, j in zip(iu[0][sims[iu] >= 0.999],
+                             iu[1][sims[iu] >= 0.999])}
+    assert found <= brute
