@@ -1223,6 +1223,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("doc_id").reset_index(drop=True)
     q["decontaminate_eval"] = decontaminate_eval
 
+    def char_entropy_stats(sf_dir):
+        """Per-document character-distribution Shannon entropy (the
+        gibberish/boilerplate filter signal) — one stateless map pass
+        computing byte histograms straight off the Arrow string
+        buffers."""
+        from ocm_ray.ops.text import char_entropy
+
+        out = char_entropy(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+    q["char_entropy_stats"] = char_entropy_stats
+
     def dsir_importance(sf_dir):
         """DSIR importance scores (Xie et al. 2023): every document
         scored by the log-likelihood ratio of hashed word-bigram
@@ -2452,6 +2464,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 10 <> 7
             ORDER BY d.doc_id
+        """,
+        # byte-level == char-level entropy for this ASCII corpus (the
+        # documented contract); DuckDB entropy() is log2 Shannon
+        "char_entropy_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   ROUND(COALESCE(ent, 0.0), 4) AS char_entropy
+            FROM documents
+            LEFT JOIN (
+                SELECT doc_id, entropy(ch) AS ent
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                      FROM documents)
+                GROUP BY doc_id
+            ) USING (doc_id)
+            ORDER BY doc_id
         """,
         # string-domain repeated 5-grams — equal to the engine's
         # gram-hash domain absent 64-bit collisions (same documented

@@ -80,6 +80,23 @@ def _round_pass(it, np_bits: int, nh: int, seedseed: int, conservative: bool,
 
 
 @ray.remote(num_cpus=1)
+def _count_table_len(tbl) -> int:
+    return len(tbl[0])
+
+
+@ray.remote(num_cpus=1)
+def _merge_count_tables(*tables):
+    """Fold several sorted (unique, count) tables into one (worker-side;
+    the driver only ever holds the ObjectRef)."""
+    from ocm_ray.sketches.base import merge_sorted_counts
+
+    u, c = tables[0]
+    for u2, c2 in tables[1:]:
+        u, c = merge_sorted_counts(u, c, u2, c2)
+    return u, c
+
+
+@ray.remote(num_cpus=1)
 def _round_pass_counts(shard_counts, np_bits: int, nh: int, seedseed: int,
                        conservative: bool, mode: str, round_no: int,
                        total_round: int, frozen_core, frozen_coll,
@@ -131,7 +148,8 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
               materialize: bool = False,
               files: Optional[list] = None,
               partial_counter_dtype: str = "int64",
-              paper_collision_pass: bool = False) -> OfflineCountMin:
+              paper_collision_pass: bool = False,
+              collapse_threshold: int = 1 << 22) -> OfflineCountMin:
     """n-round offline count-min over a re-scannable Dataset.
 
     ``dataset_factory`` returns a FRESH lazy Dataset per pass (each pass
@@ -171,6 +189,19 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
         # (vocab-bounded; every subsequent pass reads these, not Parquet)
         count_refs = [shard_token_counts.remote(g, column, kgram)
                       for g in shard_groups]
+        # bounded-vocab collapse: token-id domains make every shard's
+        # table cover nearly the whole vocabulary, so 2n passes would
+        # each pay P sketch-sized partials + a 100s-of-MB tree merge to
+        # re-aggregate the SAME few-MB multiset. Fold the tables into
+        # ONE global (unique, count) table worker-side (tree of sorted
+        # merges) and run each pass as a single task with no merge.
+        # Skipped for unbounded domains (k-grams / hashes): there the
+        # global table is corpus-sized and the sharded path stands.
+        sizes = ray.get([_count_table_len.remote(r) for r in count_refs])
+        if sum(sizes) <= collapse_threshold:
+            while len(count_refs) > 1:
+                count_refs = [_merge_count_tables.remote(*count_refs[i:i + 8])
+                              for i in range(0, len(count_refs), 8)]
 
     def run_pass(mode: str, r: int, frozen_core, frozen_coll):
         core_ref = ray.put(frozen_core) if frozen_core is not None else None

@@ -762,3 +762,44 @@ def top_pmi_pairs(ds, k: int = 50, min_count: int = 5,
                         ascending=[False, True, True],
                         kind="mergesort").head(k)
     return bg[["w1", "w2", "cnt", "pmi"]].reset_index(drop=True)
+
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon entropy (log2) of the character
+    distribution — the classic gibberish / boilerplate signal (low
+    entropy = repeated characters, high = encrypted/random blobs; cf.
+    CCNet's perplexity filters at word level). One stateless map pass:
+    the byte histogram comes straight off the Arrow string data buffer
+    (one ``bincount`` over ``rowid*256 + byte`` per batch — no per-row
+    Python). Computed over BYTES, == characters for ASCII corpora (the
+    documented contract; multi-byte UTF-8 would weight code units)."""
+    import pyarrow as pa
+
+    def ent(batch: pa.Table) -> pa.Table:
+        arr = batch.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.fill_null("").cast(pa.large_binary())
+        n = len(arr)
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                                count=n + 1, offset=arr.offset * 8)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) \
+            if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+        lens = np.diff(offsets)
+        rowid = np.repeat(np.arange(n, dtype=np.int64), lens)
+        seg = data[offsets[0]:offsets[-1]].astype(np.int64)
+        hist = np.bincount(rowid * 256 + seg,
+                           minlength=n * 256).reshape(n, 256) \
+            if n else np.zeros((0, 256), np.int64)
+        tot = np.maximum(lens, 1).astype(np.float64)
+        p = hist / tot[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(p > 0, p * np.log2(p), 0.0)
+        e = -term.sum(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_chars": pa.array(lens.astype(np.int64)),
+            "char_entropy": pa.array(np.round(e, 4)),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow")

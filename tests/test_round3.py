@@ -1097,3 +1097,31 @@ def test_kmeans_lloyd_and_semdedup():
              for i, j in zip(iu[0][sims[iu] >= 0.999],
                              iu[1][sims[iu] >= 0.999])}
     assert found <= brute
+
+
+def test_char_entropy_by_hand():
+    import math
+
+    import ray.data as rd
+
+    from ocm_ray.ops.text import char_entropy
+
+    texts = ["hello world", "aaaa", "", "ab", "abab"]
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = (char_entropy(rd.from_pandas(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def ent(s):
+        if not s:
+            return 0.0
+        from collections import Counter
+        c = np.array(list(Counter(s).values()), float)
+        p = c / c.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    for _, r in out.iterrows():
+        s = texts[int(r.doc_id)]
+        assert r.n_chars == len(s)
+        assert abs(r.char_entropy - round(ent(s), 4)) < 1e-9
+    assert math.isclose(out.loc[1, "char_entropy"], 0.0)   # "aaaa"
+    assert math.isclose(out.loc[3, "char_entropy"], 1.0)   # "ab"
