@@ -184,11 +184,24 @@ def cmd_dedup(args) -> int:
     if not files:
         print(f"no parquet files under {args.input}", file=sys.stderr)
         return 2
-    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    cols = [args.id_col, args.emb_col] if args.mode == "semantic" \
+        else [args.id_col, args.text_col]
+    ds = rd.read_parquet(files, columns=cols)
     t0 = time.time()
     from ocm_ray.ops import dedup as dd
 
-    if args.mode == "minhash":
+    if args.mode == "semantic":
+        out = dd.semantic_dedup_pairs(ds, threshold=args.threshold,
+                                      n_clusters=args.n_clusters,
+                                      emb_col=args.emb_col,
+                                      id_col=args.id_col).to_pandas()
+        out = out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]) \
+            .reset_index(drop=True)
+    elif args.mode == "ngram":
+        out = dd.dup_ngram_stats(ds, k=args.ngram_k, id_col=args.id_col,
+                                 text_col=args.text_col).to_pandas() \
+            .sort_values(args.id_col).reset_index(drop=True)
+    elif args.mode == "minhash":
         out = dd.minhash_lsh_pairs(ds, args.id_col, args.text_col,
                                    num_perm=args.num_perm, bands=args.bands,
                                    threshold=args.threshold,
@@ -209,7 +222,8 @@ def cmd_dedup(args) -> int:
                           "wall_sec": round(time.time() - t0, 3),
                           "out": args.output}))
         return 0
-    if args.mode in ("minhash", "simhash", "jaccard") and args.clusters:
+    if args.mode in ("minhash", "simhash", "jaccard", "semantic") \
+            and args.clusters:
         out = dd.dup_clusters(out)  # pairs → (doc_id, cluster_id)
     if args.output.endswith(".csv"):
         out.to_csv(args.output, index=False)
@@ -331,7 +345,8 @@ def main(argv=None) -> int:
 
     d = sub.add_parser("dedup", help="dedup a documents table")
     d.add_argument("--mode", required=True,
-                   choices=["exact", "minhash", "simhash", "jaccard", "bloom"])
+                   choices=["exact", "minhash", "simhash", "jaccard",
+                            "bloom", "semantic", "ngram"])
     d.add_argument("--input", required=True, help="parquet dir or glob")
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
@@ -340,6 +355,12 @@ def main(argv=None) -> int:
     d.add_argument("--bands", type=int, default=32)
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--sig-cache", help="parquet dir for resumable signatures")
+    d.add_argument("--emb-col", default="embedding",
+                   help="embedding column (semantic mode)")
+    d.add_argument("--n-clusters", type=int, default=64,
+                   help="k-means cells (semantic mode)")
+    d.add_argument("--ngram-k", type=int, default=5,
+                   help="gram width (ngram mode)")
     d.add_argument("--clusters", action="store_true",
                    help="emit (doc_id, cluster_id) connected components "
                         "instead of raw pairs (pair modes only)")

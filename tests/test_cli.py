@@ -162,3 +162,53 @@ def test_cli_ann_build_probe(tmp_path):
     hits = pd.read_csv(out)
     top1 = hits[hits["rank"] == 0].sort_values("query_idx")
     assert top1["vec_id"].tolist() == [0, 1, 2]  # self is nearest
+
+
+def test_cli_dedup_semantic_and_ngram(tmp_path):
+    """dedup subcommand round-3 modes: SemDeDup pairs over an embeddings
+    table and cross-doc repeated-n-gram stats over documents."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(50, 16)).astype(np.float32)
+    emb[41] = emb[3]                      # planted exact dup
+    edf = pd.DataFrame({"vec_id": np.arange(50), "embedding": list(emb)})
+    esrc = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.Table.from_pandas(edf, preserve_index=False), esrc)
+
+    texts = ["shared run of words here " + f"tail{i}" for i in range(10)]
+    texts += [f"unique doc {i} nothing common" for i in range(5)]
+    ddf = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    dsrc = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(ddf, preserve_index=False), dsrc)
+
+    env = dict(__import__("os").environ)
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "ocm_ray", *extra],
+            capture_output=True, text=True, env=env, cwd="/root/repo")
+
+    sem_csv = str(tmp_path / "sem.csv")
+    r = run("dedup", "--mode", "semantic", "--input", esrc,
+            "--id-col", "vec_id", "--threshold", "0.999",
+            "--n-clusters", "4", "-o", sem_csv, "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    pairs = pd.read_csv(sem_csv)
+    assert (3, 41) in set(map(tuple, pairs[["a", "b"]].values))
+
+    ngram_csv = str(tmp_path / "ngram.csv")
+    r = run("dedup", "--mode", "ngram", "--input", dsrc, "--ngram-k", "4",
+            "-o", ngram_csv, "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    st = pd.read_csv(ngram_csv)
+    # the 10 "shared run" docs share the 4-gram prefix; the 5 unique
+    # docs share nothing
+    assert (st.loc[st.doc_id < 10, "n_dup_grams"] > 0).all()
+    assert (st.loc[st.doc_id >= 10, "n_dup_grams"] == 0).all()
