@@ -1223,6 +1223,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("doc_id").reset_index(drop=True)
     q["decontaminate_eval"] = decontaminate_eval
 
+    def jsonl_source_stats(sf_dir):
+        """JSONL source/sink round trip: documents are exported once to
+        line-delimited JSON (atomic tmp-dir rename — rerunning cannot
+        double-count, the curate dirty-sink contract), read back with
+        ``ray.data.read_json``, and aggregated per source. The oracle
+        reads the PARQUET view — matching proves the JSON path carries
+        identical data."""
+        import glob as _glob
+        import shutil
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocm_ray.ops.agg import grouped_sum
+
+        base = os.path.basename(sf_dir.rstrip("/"))
+        out_dir = f"/tmp/ocm_ray_jsonl/{base}"
+        if not _glob.glob(os.path.join(out_dir, "*")):
+            tmp = out_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            _read(sf_dir, "documents",
+                  columns=["doc_id", "source", "text"]).write_json(tmp)
+            os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.rename(tmp, out_dir)
+        ds = rd.read_json(out_dir)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            words = pc.list_value_length(
+                pc.split_pattern(batch.column("text"), " "))
+            return pa.table({
+                "source": batch.column("source"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_words": pa.array(words.to_numpy(zero_copy_only=False)
+                                    .astype(np.int64)),
+            })
+
+        out = grouped_sum(ds.map_batches(stats, batch_format="pyarrow"),
+                          ["source"], ["n_docs", "n_words"]).to_pandas()
+        return out.sort_values("source").reset_index(drop=True)
+    q["jsonl_source_stats"] = jsonl_source_stats
+
     def char_entropy_stats(sf_dir):
         """Per-document character-distribution Shannon entropy (the
         gibberish/boilerplate filter signal) — one stateless map pass
@@ -2464,6 +2508,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 10 <> 7
             ORDER BY d.doc_id
+        """,
+        # format-independent truth: the parquet view must equal what the
+        # engine read back from its own JSONL export
+        "jsonl_source_stats": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_words
+            FROM documents GROUP BY source ORDER BY source
         """,
         # byte-level == char-level entropy for this ASCII corpus (the
         # documented contract); DuckDB entropy() is log2 Shannon
