@@ -1308,6 +1308,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("doc_id").reset_index(drop=True)
     q["dup_ngram_spans"] = dup_ngram_spans
 
+    def token_dup_ngrams(sf_dir):
+        """Tokens-domain repeated n-grams: the same cross-document
+        dup-gram statistics computed over the north-rule sequences
+        table's ``list<int32>`` tokens (chained-wang token 4-grams) —
+        no text, pure token-id windows. Restricted to the deterministic
+        ``doc_id LIKE '%0'`` tenth of the corpus on BOTH sides: the
+        oracle recomputes every gram hash through four HUGEINT wang
+        chains, which is minutes of DuckDB at full sf0.01 (the engine
+        side is seconds either way)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from ocm_ray.ops.dedup import dup_ngram_stats
+
+        seq = _seq_dir_for(sf_dir)
+        ds = rd.read_parquet(seq, columns=["doc_id", "tokens"]) \
+            .map_batches(lambda t: t.filter(
+                pc.ends_with(t.column("doc_id"), pattern="0")),
+                batch_format="pyarrow")
+        out = dup_ngram_stats(ds, k=4, min_docs=2,
+                              tokens_col="tokens").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+    q["token_dup_ngrams"] = token_dup_ngrams
+
     def bm25_top20(sf_dir):
         """Distributed BM25 (Lucene k1/b variant) over the documents
         corpus for a fixed bag-of-words query; two stateless passes
@@ -1664,6 +1689,81 @@ def _dsir_sql(feat_bits: int = 16, targets=("src0", "src1")) -> str:
            ROUND(COALESCE(s.score, 0.0), 4) AS dsir_score
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     ORDER BY d.doc_id
+    """
+
+
+def _token_dup_ngrams_sql(k: int = 4) -> str:
+    """DuckDB oracle for ``token_dup_ngrams``: chained-wang token
+    k-gram hashes recomputed over the sequences table (``k`` wang-chain
+    instances over LEAD-windowed token ids), then the same dup-set /
+    per-doc stats / gaps-and-islands max-run shape as
+    ``dup_ngram_spans``. Hash-domain == id-window domain absent 64-bit
+    collisions (the engine's documented contract)."""
+    leads = ", ".join(
+        f"LEAD(tok, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS t{j}"
+        for j in range(1, k))
+    carry0 = ", ".join(["doc_id", "pos"] + [f"t{j}" for j in range(1, k)])
+    ctes, rel = [], None
+    src = "g0"
+    for j in range(1, k + 1):
+        carry = ", ".join(["doc_id", "pos"] + [f"t{i}" for i in range(j, k)])
+        sql, rel = _sql_wang_chain(f"tg{j}", src, carry, "gk")
+        ctes.append(sql)
+        if j < k:
+            x = _sql_to_huge(f"xor({_sql_to_signed('k')}, "
+                             f"CAST(t{j} AS BIGINT))")
+            ctes.append(f"tgx{j} AS (SELECT {carry.replace(f't{j}, ', '', 1)}"
+                        f", {x} AS gk FROM {rel})")
+            src = f"tgx{j}"
+    chain_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH seq AS (
+        SELECT doc_id, tokens FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
+        WHERE doc_id LIKE '%0'
+    ),
+    toks AS (
+        SELECT doc_id, j - 1 AS pos, tokens[j] AS tok
+        FROM seq, UNNEST(range(1, len(tokens) + 1)) AS u(j)
+    ),
+    leads AS (SELECT doc_id, pos, tok AS t0, {leads} FROM toks),
+    g0 AS (SELECT {carry0}, {_sql_to_huge('t0')} AS gk
+           FROM leads WHERE t{k - 1} IS NOT NULL),
+    {chain_sql},
+    grams AS MATERIALIZED (SELECT doc_id, pos, k AS g FROM {rel}),
+    dup AS MATERIALIZED (
+        SELECT g FROM grams GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS MATERIALIZED (
+        SELECT grams.doc_id, grams.pos, grams.g,
+               (dup.g IS NOT NULL) AS hit
+        FROM grams LEFT JOIN dup ON grams.g = dup.g
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_dup,
+               COUNT(DISTINCT CASE WHEN hit THEN g END) AS n_dist
+        FROM hits GROUP BY doc_id
+    ),
+    islands AS (
+        SELECT doc_id, grp, COUNT(*) AS run_len
+        FROM (SELECT doc_id, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM hits WHERE hit)
+        GROUP BY doc_id, grp
+    ),
+    runs AS (SELECT doc_id, MAX(run_len) AS max_run
+             FROM islands GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(a.n_dist, 0) AS BIGINT) AS n_distinct_dup_grams,
+           CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_dup_run
+    FROM seq s
+    LEFT JOIN agg a ON s.doc_id = a.doc_id
+    LEFT JOIN runs r ON s.doc_id = r.doc_id
+    ORDER BY s.doc_id
     """
 
 
@@ -2698,6 +2798,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _bloom_member_sql(),
         "minhash_dedup_pairs": _minhash_pairs_sql(),
         "dsir_importance": _dsir_sql(),
+        "token_dup_ngrams": _token_dup_ngrams_sql(),
         "hll_register_histogram": _hll_registers_sql(),
         "minhash_source_similarity": _bottomk_similarity_sql(),
         # exact weighted Jaccard between per-source token multisets:

@@ -125,6 +125,27 @@ def kgram_reduce(flat: np.ndarray, lengths: np.ndarray, k: int) -> np.ndarray:
     return acc[valid]
 
 
+def token_kgram_hashes(batch: pa.Table, column: str, k: int,
+                       ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Token-id k-gram hashes of a ``list<int>`` column with row
+    attribution: ``(gram_hashes uint64, gram_rowid int64, n_rows)`` —
+    the tokens-domain sibling of :func:`word_kgram_hashes` (same
+    chained-WangHash window hash as :func:`kgram_reduce`, plus the
+    rowid stream the per-document dup-gram statistics need)."""
+    flat, lengths = list_column_values(batch, column)
+    flat = flat.astype(U64, copy=False)
+    n, nrows = len(flat), len(lengths)
+    if n < k:
+        return (np.empty(0, dtype=U64), np.empty(0, dtype=np.int64), nrows)
+    win = np.lib.stride_tricks.sliding_window_view(flat, k)
+    acc = wanghash(win[:, 0])
+    for j in range(1, k):
+        acc = wanghash(acc ^ win[:, j])
+    rowid = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
+    valid = rowid[: n - k + 1] == rowid[k - 1:]
+    return acc[valid], rowid[: n - k + 1][valid], nrows
+
+
 def word_kgram_hashes(arr: "pa.ChunkedArray | pa.Array", k: int,
                       lowercase: bool = True, seed: int = 137,
                       ) -> tuple[np.ndarray, np.ndarray, int]:

@@ -739,9 +739,21 @@ def dup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
 # cross-document repeated n-grams (exact-substring dedup lite)
 
 
+def _gram_fn(text_col, tokens_col, k, lowercase, seed):
+    """Per-batch gram extractor: word k-grams of a string column, or
+    token-id k-grams of a ``list<int>`` column (``tokens_col`` wins)."""
+    from ocm_ray.engine.tokens import token_kgram_hashes, word_kgram_hashes
+
+    if tokens_col is not None:
+        return lambda batch: token_kgram_hashes(batch, tokens_col, k)
+    return lambda batch: word_kgram_hashes(batch.column(text_col), k,
+                                           lowercase, seed)
+
+
 def dup_gram_table(ds: Dataset, k: int = 5, min_docs: int = 2,
                    text_col: str = "text", lowercase: bool = True,
-                   seed: int = 137, n_shards: int = 64) -> Dataset:
+                   seed: int = 137, n_shards: int = 64,
+                   tokens_col: str = None) -> Dataset:
     """Word k-grams appearing in >= ``min_docs`` DISTINCT documents.
 
     The gram-hash discovery step of exact-substring dedup (Lee et al.
@@ -756,12 +768,12 @@ def dup_gram_table(ds: Dataset, k: int = 5, min_docs: int = 2,
     summing with one sort + ``np.add.reduceat``. Output: Dataset
     ``(gram int64-view, n_docs int64)``, bounded by the duplicated-gram
     vocabulary."""
-    from ocm_ray.engine.tokens import word_kgram_hashes
     from ocm_ray.ops.pairs import _shard_bits, shard_scan
 
+    grams_of = _gram_fn(text_col, tokens_col, k, lowercase, seed)
+
     def gram_doc_partials(batch: pa.Table) -> pa.Table:
-        g, rowid, _ = word_kgram_hashes(batch.column(text_col), k,
-                                        lowercase, seed)
+        g, rowid, _ = grams_of(batch)
         if not len(g):
             return pa.table({"key": pa.array([], pa.int64()),
                              "nd": pa.array([], pa.int64())})
@@ -806,7 +818,8 @@ def dup_ngram_stats(ds: Dataset, k: int = 5, min_docs: int = 2,
                     id_col: str = "doc_id", text_col: str = "text",
                     lowercase: bool = True, seed: int = 137,
                     n_shards: int = 64,
-                    max_broadcast: int = 50_000_000) -> Dataset:
+                    max_broadcast: int = 50_000_000,
+                    tokens_col: str = None) -> Dataset:
     """Per-document cross-corpus repeated-k-gram statistics: for each doc
     ``(id, n_grams, n_dup_grams, n_distinct_dup_grams, max_dup_run)``
     where a *dup gram* occurs in >= ``min_docs`` distinct documents and
@@ -825,11 +838,11 @@ def dup_ngram_stats(ds: Dataset, k: int = 5, min_docs: int = 2,
     cap); corpora whose dup vocabulary exceeds it should raise ``k``
     (longer grams -> geometrically fewer cross-doc repeats) or fall
     back to suffix-array sharding, per Lee et al."""
-    from ocm_ray.engine.tokens import word_kgram_hashes
     from ocm_ray.ops.retrieval import _sorted_member
 
+    grams_of = _gram_fn(text_col, tokens_col, k, lowercase, seed)
     dup_ds = dup_gram_table(ds, k, min_docs, text_col, lowercase, seed,
-                            n_shards)
+                            n_shards, tokens_col=tokens_col)
     parts = [b.column("gram").to_numpy(zero_copy_only=False)
              for b in dup_ds.iter_batches(batch_format="pyarrow")
              if b.num_rows]
@@ -843,8 +856,7 @@ def dup_ngram_stats(ds: Dataset, k: int = 5, min_docs: int = 2,
 
     def mark(batch: pa.Table) -> pa.Table:
         dup_arr = ray.get(ref)   # zero-copy from the shared object store
-        g, rowid, nrows = word_kgram_hashes(batch.column(text_col), k,
-                                            lowercase, seed)
+        g, rowid, nrows = grams_of(batch)
         hit = _sorted_member(dup_arr, g)
         n_grams = np.bincount(rowid, minlength=nrows).astype(np.int64)
         n_dup = np.bincount(rowid, weights=hit,

@@ -1125,3 +1125,48 @@ def test_char_entropy_by_hand():
         assert abs(r.char_entropy - round(ent(s), 4)) < 1e-9
     assert math.isclose(out.loc[1, "char_entropy"], 0.0)   # "aaaa"
     assert math.isclose(out.loc[3, "char_entropy"], 1.0)   # "ab"
+
+
+def test_dup_ngram_stats_tokens_domain():
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import dup_ngram_stats
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 50, size=12).tolist()
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(5)],
+        "tokens": [
+            base + [99, 98, 97],
+            [77] + base,                       # shares the base window
+            rng.integers(100, 200, size=10).tolist(),
+            [1, 2],                            # shorter than k
+            [],
+        ],
+    })
+    k = 4
+    out = (dup_ngram_stats(rd.from_pandas(docs).repartition(2), k=k,
+                           tokens_col="tokens", id_col="doc_id")
+           .to_pandas().set_index("doc_id"))
+
+    gram_docs: dict = {}
+    doc_grams = {}
+    for _, r in docs.iterrows():
+        t = list(r.tokens)
+        grams = [tuple(t[i:i + k]) for i in range(len(t) - k + 1)]
+        doc_grams[r.doc_id] = grams
+        for g in grams:
+            gram_docs.setdefault(g, set()).add(r.doc_id)
+    dup = {g for g, s in gram_docs.items() if len(s) >= 2}
+    for did, grams in doc_grams.items():
+        hits = [g in dup for g in grams]
+        run = best = 0
+        for h in hits:
+            run = run + 1 if h else 0
+            best = max(best, run)
+        r = out.loc[did]
+        assert r.n_grams == len(grams)
+        assert r.n_dup_grams == sum(hits)
+        assert r.max_dup_run == best
+    assert out.loc["d2"].n_dup_grams == 0
+    assert out.loc["d0"].n_dup_grams == len(base) - k + 1
