@@ -1333,6 +1333,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("doc_id").reset_index(drop=True)
     q["token_dup_ngrams"] = token_dup_ngrams
 
+    def dedup_exact_sequences(sf_dir):
+        """Exact SEQUENCE-level dedup over the north-rule tokens table:
+        identity is the stable byte hash of the raw int32 token buffer
+        (no text). Duplicates are planted (every doc_id ending '00'
+        re-appears under a '-dup' id), grouped through the shard_scan
+        exchange; the oracle GROUPs BY the token LIST itself — equal
+        absent 64-bit collisions."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from ocm_ray.ops.dedup import exact_dedup_groups
+
+        seq = _seq_dir_for(sf_dir)
+        ds = rd.read_parquet(seq, columns=["doc_id", "tokens"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            m = pc.ends_with(batch.column("doc_id"), pattern="00")
+            dup = batch.filter(m)
+            dup = dup.set_column(
+                dup.schema.get_field_index("doc_id"), "doc_id",
+                pc.binary_join_element_wise(dup.column("doc_id"), "-dup", ""))
+            return pa.concat_tables([batch, dup])
+
+        out = exact_dedup_groups(ds.map_batches(plant, batch_format="pyarrow"),
+                                 tokens_col="tokens").to_pandas()
+        out = out[["doc_id", "n_copies"]].sort_values("doc_id") \
+            .reset_index(drop=True)
+        return out
+    q["dedup_exact_sequences"] = dedup_exact_sequences
+
     def bm25_top20(sf_dir):
         """Distributed BM25 (Lucene k1/b variant) over the documents
         corpus for a fixed bag-of-words query; two stateless passes
@@ -2799,6 +2830,21 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_pairs": _minhash_pairs_sql(),
         "dsir_importance": _dsir_sql(),
         "token_dup_ngrams": _token_dup_ngrams_sql(),
+        # sequence identity: GROUP BY the token LIST itself == the
+        # engine's raw-int32-buffer hash absent 64-bit collisions
+        "dedup_exact_sequences": f"""
+            WITH aug AS (
+                SELECT doc_id, tokens
+                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
+                UNION ALL
+                SELECT doc_id || '-dup', tokens
+                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
+                WHERE doc_id LIKE '%00'
+            )
+            SELECT MIN(doc_id) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM aug GROUP BY tokens ORDER BY doc_id
+        """,
         "hll_register_histogram": _hll_registers_sql(),
         "minhash_source_similarity": _bottomk_similarity_sql(),
         # exact weighted Jaccard between per-source token multisets:

@@ -591,13 +591,29 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
 
 
 def add_content_hash(ds: Dataset, id_col: str = "doc_id",
-                     text_col: str = "text") -> Dataset:
+                     text_col: str = "text",
+                     tokens_col: str = None) -> Dataset:
     """(id, content_hash) — the 64-bit stable content key the exact-dedup
-    shuffle groups on (the raw text never moves)."""
+    shuffle groups on (the raw content never moves). ``tokens_col``
+    switches to sequence identity: the stable byte hash of the row's
+    raw ``int32`` token buffer (two token lists collide iff their id
+    sequences are identical, absent 64-bit collisions) — exact
+    SEQUENCE-level dedup for the pre-tokenized north-rule table."""
     def hash_col(batch: pa.Table) -> pa.Table:
-        from ocm_ray.engine.tokens import hash_string_array
+        if tokens_col is not None:
+            from ocm_ray.core.hashing import stable_hash_bytes
+            from ocm_ray.engine.tokens import list_column_values
 
-        h = hash_string_array(batch.column(text_col)).astype(np.int64)
+            flat, lengths = list_column_values(batch, tokens_col)
+            flat = np.ascontiguousarray(flat.astype(np.int32, copy=False))
+            byte_off = np.concatenate(
+                [[0], np.cumsum(lengths.astype(np.int64) * 4)])
+            h = stable_hash_bytes(flat.view(np.uint8), byte_off,
+                                  137).astype(np.int64)
+        else:
+            from ocm_ray.engine.tokens import hash_string_array
+
+            h = hash_string_array(batch.column(text_col)).astype(np.int64)
         return pa.table({id_col: batch.column(id_col),
                          "content_hash": pa.array(h)})
 
@@ -606,7 +622,8 @@ def add_content_hash(ds: Dataset, id_col: str = "doc_id",
 
 def exact_dedup_groups(ds: Dataset, id_col: str = "doc_id",
                        text_col: str = "text",
-                       n_shards: int = 64) -> Dataset:
+                       n_shards: int = 64,
+                       tokens_col: str = None) -> Dataset:
     """(content_hash, id, n_copies) per distinct content.
 
     Content hashes are NEAR-UNIQUE keys, so any native Ray groupby form
@@ -645,7 +662,7 @@ def exact_dedup_groups(ds: Dataset, id_col: str = "doc_id",
                          id_col: rep.column(id_col),
                          "n_copies": pa.array(lens.astype(np.int64))})
 
-    return shard_scan(add_content_hash(ds, id_col, text_col),
+    return shard_scan(add_content_hash(ds, id_col, text_col, tokens_col),
                       shard_of, scan, n_shards)
 
 

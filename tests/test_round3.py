@@ -1170,3 +1170,20 @@ def test_dup_ngram_stats_tokens_domain():
         assert r.max_dup_run == best
     assert out.loc["d2"].n_dup_grams == 0
     assert out.loc["d0"].n_dup_grams == len(base) - k + 1
+
+
+def test_exact_dedup_tokens_identity():
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import exact_dedup_groups
+
+    docs = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d", "e"],
+        "tokens": [[1, 2, 3], [1, 2, 3], [1, 2], [3, 2, 1], []],
+    })
+    out = (exact_dedup_groups(rd.from_pandas(docs).repartition(2),
+                              tokens_col="tokens")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out.doc_id, out.n_copies))
+    # [1,2,3] twice (keeper 'a'); prefix / permuted / empty all distinct
+    assert got == {"a": 2, "c": 1, "d": 1, "e": 1}
