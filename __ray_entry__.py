@@ -238,6 +238,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(df, {"sum_value": 2})
     q["events_value_bands"] = events_value_bands
 
+    def events_value_bands_sharded(sf_dir):
+        """The SAME range join executed on the large x large scale
+        path: range-bucketed two-sided shard exchange for bounded
+        bands, broadcast for the unbounded ones, results unioned —
+        must hash-match the identical inequality-join oracle as the
+        broadcast variant."""
+        import ray.data as rd
+        from ocm_ray.ops.agg import grouped_sum
+        from ocm_ray.ops.relational import interval_join_sharded
+
+        bands = pd.DataFrame({
+            "band": ["neg", "low", "mid", "high", "wide"],
+            "lo": [-1e9, 0.0, 10.0, 100.0, 0.0],
+            "hi": [0.0, 10.0, 100.0, 1e9, 1e9],
+        })
+        import pyarrow as pa
+
+        joined = interval_join_sharded(
+            _read(sf_dir, "events", columns=["value"]),
+            rd.from_pandas(bands), "value", right_cols=["band"],
+            bucket_width=10.0, n_shards=16)
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"band": t.column("band"),
+                             "n": pa.array(np.ones(t.num_rows, np.int64)),
+                             "sum_value": t.column("value")})
+
+        df = grouped_sum(joined.map_batches(prep, batch_format="pyarrow"),
+                         ["band"], ["n", "sum_value"]).to_pandas()
+        return _round_cols(df, {"sum_value": 2})
+    q["events_value_bands_sharded"] = events_value_bands_sharded
+
     def orders_by_segment(sf_dir):
         import pyarrow.parquet as pq
 
@@ -2832,6 +2864,16 @@ def oracle_sql() -> dict[str, str]:
         "token_dup_ngrams": _token_dup_ngrams_sql(),
         # sequence identity: GROUP BY the token LIST itself == the
         # engine's raw-int32-buffer hash absent 64-bit collisions
+        "events_value_bands_sharded": """
+            SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(e.value), 2) AS sum_value
+            FROM events e
+            JOIN (VALUES ('neg', -1e9, 0.0), ('low', 0.0, 10.0),
+                         ('mid', 10.0, 100.0), ('high', 100.0, 1e9),
+                         ('wide', 0.0, 1e9)) AS b(band, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band ORDER BY b.band
+        """,
         "dedup_exact_sequences": f"""
             WITH aug AS (
                 SELECT doc_id, tokens

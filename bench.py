@@ -185,6 +185,22 @@ def run_bench() -> dict:
     queries["unigram_logprob"], _ = _timed(lambda: unigram_logprob(
         docs_ds()).count())
 
+    # 17-18. round-3-session ops: cross-doc repeated n-gram stats
+    # (shard_scan discovery + broadcast probe) and DSIR importance
+    # scoring (two stateless passes + one 512 KB broadcast)
+    from ocm_ray.ops.dedup import dup_ngram_stats
+    from ocm_ray.ops.sampling import dsir_scores
+
+    queries["dup_ngram_stats"], _ = _timed(lambda: dup_ngram_stats(
+        docs_ds(), k=5).count())
+
+    def docs_src_ds():
+        return rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "source", "text"])
+
+    queries["dsir_scores"], _ = _timed(lambda: dsir_scores(
+        docs_src_ds(), target_values=["src0", "src1"]).count())
+
     ray.shutdown()
 
     total = sum(queries.values())

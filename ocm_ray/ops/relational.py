@@ -885,3 +885,139 @@ def grouped_quantiles(ds: Dataset, key: str, value_col: str,
 
     return shard_scan(ds.map_batches(project, batch_format="pyarrow"),
                       shard_of, scan, n_shards)
+
+
+def interval_join_sharded(left: Dataset, right: Dataset, value_col: str,
+                          lo_col: str = "lo", hi_col: str = "hi",
+                          right_cols: Optional[List[str]] = None,
+                          bucket_width: Optional[float] = None,
+                          n_shards: int = 32,
+                          max_buckets: int = 64) -> Dataset:
+    """Large x large RANGE join (``lo <= value < hi``, overlapping
+    intervals emit per match) — the scale path past
+    :func:`interval_join_broadcast`'s broadcastable-right assumption.
+
+    Range bucketing: values land in bucket ``floor(v / width)``; each
+    interval explodes to the buckets it covers; both sides co-shard by
+    hashed bucket through the two-sided raw-task exchange
+    (:func:`ocm_ray.ops.pairs.shard_scan2`), so every (value, interval)
+    match meets in exactly one task — a left row matches an interval
+    only in the row's OWN bucket, so overlapped exploded copies cannot
+    double-emit. Intervals covering more than ``max_buckets`` buckets
+    (unbounded bands, sentinels) would explode combinatorially; they
+    are split off (driver-held, bounded by the LONG-interval count —
+    the documented assumption) and joined via the broadcast path, and
+    the two result Datasets union. ``bucket_width`` defaults to the
+    median interval length of a deterministic head sample."""
+    import pyarrow.compute as _pc
+
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan2
+    from ocm_ray.core.hashing import wanghash
+
+    rcols_tbl = right.select_columns(
+        [lo_col, hi_col] + [c for c in (right_cols or []) if c]) \
+        if right_cols else right
+    head = rcols_tbl.limit(10_000).to_pandas()
+    right_cols = right_cols or [c for c in head.columns
+                                if c not in (lo_col, hi_col)]
+    if bucket_width is None:
+        lens = (head[hi_col] - head[lo_col]).to_numpy(dtype=np.float64)
+        finite = lens[np.isfinite(lens) & (lens > 0)]
+        bucket_width = float(np.median(finite)) if len(finite) else 1.0
+    W = float(bucket_width)
+    bits = _shard_bits(n_shards)
+    U64_ = np.uint64
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.floor(np.asarray(v, np.float64) / W).astype(np.int64)
+
+    def shard_of_bucket(b: np.ndarray) -> np.ndarray:
+        h = wanghash(b.view(U64_))
+        return (h >> U64_(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(b), np.int32)
+
+    # split right into short (exploded, sharded) and long (broadcast)
+    def is_long(batch: pa.Table) -> pa.Table:
+        lo = batch.column(lo_col).to_numpy(zero_copy_only=False)
+        hi = batch.column(hi_col).to_numpy(zero_copy_only=False)
+        n_b = bucket_of(np.nextafter(hi, -np.inf)) - bucket_of(lo) + 1
+        return batch.append_column(
+            "__long", pa.array(~(np.isfinite(n_b) & (n_b <= max_buckets))))
+
+    flagged = right.map_batches(is_long, batch_format="pyarrow")
+    long_df = flagged.map_batches(
+        lambda t: t.filter(t.column("__long")),
+        batch_format="pyarrow").to_pandas().drop(columns="__long")
+
+    def explode_short(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(_pc.invert(batch.column("__long"))) \
+            .drop_columns(["__long"])
+        lo = batch.column(lo_col).to_numpy(zero_copy_only=False)
+        hi = batch.column(hi_col).to_numpy(zero_copy_only=False)
+        b0 = bucket_of(lo)
+        b1 = bucket_of(np.nextafter(hi, -np.inf))
+        cnt = (b1 - b0 + 1).astype(np.int64)
+        rows = np.repeat(np.arange(len(lo), dtype=np.int64), cnt)
+        off = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        bkt = np.arange(int(cnt.sum()), dtype=np.int64) - off[rows] + b0[rows]
+        out = batch.take(pa.array(rows))
+        return out.append_column("__bucket", pa.array(bkt))
+
+    short_exploded = flagged.map_batches(explode_short,
+                                         batch_format="pyarrow")
+
+    def add_left_bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        return batch.append_column("__bucket", pa.array(bucket_of(v)))
+
+    left_b = left.map_batches(add_left_bucket, batch_format="pyarrow")
+
+    def shard_fn(tbl: pa.Table) -> np.ndarray:
+        return shard_of_bucket(
+            tbl.column("__bucket").to_numpy(zero_copy_only=False))
+
+    def scan(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lcols = [c for c in lt.column_names if c != "__bucket"]
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            empty = lt.select(lcols).slice(0, 0)
+            for c in right_cols:
+                col = rt.column(c)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                empty = empty.append_column(c, col.slice(0, 0))
+            return empty
+        lb = lt.column("__bucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(lb, kind="stable")
+        lt_s = lt.take(pa.array(order))
+        lb_s = lb[order]
+        v = lt_s.column(value_col).to_numpy(zero_copy_only=False)
+        rb = rt.column("__bucket").to_numpy(zero_copy_only=False)
+        rlo = rt.column(lo_col).to_numpy(zero_copy_only=False)
+        rhi = rt.column(hi_col).to_numpy(zero_copy_only=False)
+        li_out, ri_out = [], []
+        for i in range(rt.num_rows):        # loop over INTERVAL rows only
+            s = np.searchsorted(lb_s, rb[i], side="left")
+            e = np.searchsorted(lb_s, rb[i], side="right")
+            if s == e:
+                continue
+            m = np.flatnonzero((v[s:e] >= rlo[i]) & (v[s:e] < rhi[i])) + s
+            li_out.append(m)
+            ri_out.append(np.full(len(m), i, dtype=np.int64))
+        if not li_out:
+            return scan(lt.slice(0, 0), rt)
+        li = np.concatenate(li_out)
+        ri = np.concatenate(ri_out)
+        out = lt_s.select(lcols).take(pa.array(li))
+        for c in right_cols:
+            col = rt.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out = out.append_column(c, col.take(pa.array(ri)))
+        return out
+
+    sharded = shard_scan2(left_b, short_exploded, shard_fn, shard_fn,
+                          scan, n_shards)
+    if len(long_df):
+        return sharded.union(interval_join_broadcast(
+            left, long_df, value_col, lo_col, hi_col, right_cols))
+    return sharded

@@ -1187,3 +1187,32 @@ def test_exact_dedup_tokens_identity():
     got = dict(zip(out.doc_id, out.n_copies))
     # [1,2,3] twice (keeper 'a'); prefix / permuted / empty all distinct
     assert got == {"a": 2, "c": 1, "d": 1, "e": 1}
+
+
+def test_interval_join_sharded_matches_bruteforce():
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import interval_join_sharded
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"eid": np.arange(3000),
+                         "value": rng.normal(50, 40, 3000)})
+    lo = rng.uniform(-50, 150, 200)
+    right = pd.DataFrame({"band_id": np.arange(200), "lo": lo,
+                         "hi": lo + rng.exponential(5, 200)})
+    # unbounded / sentinel intervals exercise the broadcast long path
+    right.loc[196:, "lo"] = [-1e9, 0.0, -1e9, 40.0]
+    right.loc[196:, "hi"] = [1e9, 1e9, 0.0, 45.0]
+
+    out = interval_join_sharded(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        "value", right_cols=["band_id"], n_shards=8).to_pandas()
+
+    mrg = left.merge(right, how="cross")
+    exp = mrg[(mrg.value >= mrg.lo) & (mrg.value < mrg.hi)]
+    a = out[["eid", "band_id"]].sort_values(["eid", "band_id"]) \
+        .reset_index(drop=True)
+    b = exp[["eid", "band_id"]].sort_values(["eid", "band_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
