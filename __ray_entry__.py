@@ -270,6 +270,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(df, {"sum_value": 2})
     q["events_value_bands_sharded"] = events_value_bands_sharded
 
+    def join_size_sketch(sf_dir):
+        """Sketch-based join-size / second-moment estimation (the AMS /
+        Cormode-Muthukrishnan inner-product application): CM sketches
+        of each side's join-key frequencies estimate the equi-join
+        cardinality; a 4-wise CountSketch estimates the self-join size
+        (F2). Returns the EXACT integers (SQL-oracled); in-query
+        asserts the CM estimate one-sided within eps*Na*Nb and the
+        CS4W dot within 5x its published std bound."""
+        import pyarrow as pa
+
+        from ocm_ray.engine.build import build_sketch
+        from ocm_ray.ops.agg import grouped_sum
+        from ocm_ray.sketches import CountMin, CountSketch4W
+
+        NP, NH = 16, 5
+        ev = _read(sf_dir, "events", columns=["user_id"])
+        # exact per-user counts (tree agg) -> F2 = sum cnt^2
+        def one(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t.column("user_id"),
+                             "n": pa.array(np.ones(t.num_rows, np.int64))})
+        uc = grouped_sum(ev.map_batches(one, batch_format="pyarrow"),
+                         ["user_id"], ["n"]).to_pandas()
+        f2_exact = int((uc["n"].to_numpy() ** 2).sum())
+        n_events = int(uc["n"].sum())
+
+        cm_e = build_sketch(ev, lambda: CountMin(NP, NH, conservative=False),
+                            column="user_id", parallelism=4)
+        est_cm = cm_e.inner_product(cm_e)
+        eps = np.e / (1 << NP)
+        assert f2_exact <= est_cm <= f2_exact + eps * n_events * n_events, \
+            (f2_exact, est_cm)
+
+        cs = build_sketch(ev, lambda: CountSketch4W(NP, NH),
+                          column="user_id", parallelism=4)
+        est_cs = cs.dot_product(cs)
+        sd = np.sqrt(2.0 / (1 << NP)) * n_events * n_events
+        assert abs(est_cs - f2_exact) <= 5 * sd, (f2_exact, est_cs, sd)
+
+        # equi-join size orders x lineitem on the order key
+        ok = _read(sf_dir, "orders", columns=["o_orderkey"])
+        lk = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+        cm_o = build_sketch(ok, lambda: CountMin(NP, NH, conservative=False),
+                            column="o_orderkey", parallelism=4)
+        cm_l = build_sketch(lk, lambda: CountMin(NP, NH, conservative=False),
+                            column="l_orderkey", parallelism=4)
+        est_join = cm_o.inner_product(cm_l)
+        from ocm_ray.ops.relational import semi_join_filter
+
+        okeys = ok.to_pandas()["o_orderkey"].to_numpy()
+        join_exact = int(semi_join_filter(lk, okeys, "l_orderkey").count())
+        n_o, n_l = len(okeys), int(lk.count())
+        assert join_exact <= est_join <= join_exact + eps * n_o * n_l, \
+            (join_exact, est_join)
+
+        return pd.DataFrame({
+            "case": ["events_selfjoin_f2", "orders_lineitem_join"],
+            "exact_size": [f2_exact, join_exact],
+        })
+    q["join_size_sketch"] = join_size_sketch
+
     def orders_by_segment(sf_dir):
         import pyarrow.parquet as pq
 
@@ -2864,6 +2924,18 @@ def oracle_sql() -> dict[str, str]:
         "token_dup_ngrams": _token_dup_ngrams_sql(),
         # sequence identity: GROUP BY the token LIST itself == the
         # engine's raw-int32-buffer hash absent 64-bit collisions
+        # exact second moment / join cardinality (the sketch estimates
+        # are float/one-sided and asserted in-query instead)
+        "join_size_sketch": """
+            SELECT 'events_selfjoin_f2' AS "case",
+                   CAST(SUM(n * n) AS BIGINT) AS exact_size
+            FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id)
+            UNION ALL
+            SELECT 'orders_lineitem_join',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ORDER BY "case"
+        """,
         "events_value_bands_sharded": """
             SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(SUM(e.value), 2) AS sum_value

@@ -175,6 +175,20 @@ class CountMin(_CMGeometry):
         self.n_items[0] = min(int(self.n_items[0]), int(other.n_items[0]))
         return self
 
+    def inner_product(self, other: "CountMin") -> int:
+        """AMS/CM inner-product estimate (Cormode-Muthukrishnan §4.2):
+        ``min over rows j of  core_a[j] · core_b[j]`` — estimates
+        ``Σ_x f_a(x)·f_b(x)`` (e.g. an equi-join size when each sketch
+        counts one side's join keys). ONE-SIDED: always ≥ the true
+        inner product, within ``ε·N_a·N_b`` with prob 1−δ (ε=e/w,
+        δ=e^−nh). Not in the vendored ccm.h (which stops at the
+        cell-wise-min intersect); standard published estimator."""
+        assert (self.np_bits, self.nh, self.seedseed) == \
+               (other.np_bits, other.nh, other.seedseed), "geometry mismatch"
+        a = self.core.reshape(self.nh, -1).astype(np.float64)
+        b = other.core.reshape(self.nh, -1).astype(np.float64)
+        return int((a * b).sum(axis=1).min())
+
     # ---- merge / io --------------------------------------------------------
     def merge(self, other: "CountMin") -> "CountMin":
         assert (self.np_bits, self.nh, self.seedseed) == \

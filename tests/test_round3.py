@@ -1216,3 +1216,29 @@ def test_interval_join_sharded_matches_bruteforce():
     b = exp[["eid", "band_id"]].sort_values(["eid", "band_id"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cm_inner_product_join_size():
+    from ocm_ray.sketches import CountMin
+
+    rng = np.random.default_rng(13)
+    a = rng.zipf(1.5, 20000).astype(np.uint64) % 5000
+    b = rng.zipf(1.5, 30000).astype(np.uint64) % 5000
+    ca = np.bincount(a.astype(int), minlength=5000)
+    cb = np.bincount(b.astype(int), minlength=5000)
+    true_ip = int((ca.astype(np.int64) * cb).sum())
+
+    NP, NH = 14, 5
+    sa, sb = CountMin(NP, NH, conservative=False), \
+        CountMin(NP, NH, conservative=False)
+    sa.update(a)
+    sb.update(b)
+    est = sa.inner_product(sb)
+    eps = np.e / (1 << NP)
+    # one-sided (>= exact), within the published eps*Na*Nb bound
+    assert true_ip <= est <= true_ip + eps * len(a) * len(b)
+
+    # inner product with itself dominates F2 and respects the bound too
+    f2 = int((ca.astype(np.int64) ** 2).sum())
+    est2 = sa.inner_product(sa)
+    assert f2 <= est2 <= f2 + eps * len(a) * len(a)
