@@ -1174,6 +1174,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows)
     q["setsketch_source_stats"] = setsketch_source_stats
 
+    def modvac_distinct_by_source(sf_dir):
+        """ModSketch (mod.h mod-sampling) + VACSketch (vac.h level
+        stack) per source: the sampled-quotient count and the exact
+        per-level subsample populations are pure functions of the
+        wang hash, so every returned integer is SQL-recomputable;
+        the VAC(HLL) level estimates are 5-sigma-asserted in-query
+        against those exact populations."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocm_ray.engine.build import grouped_sketches
+        from ocm_ray.engine.tokens import list_column_values
+        from ocm_ray.ops.agg import grouped_sum
+        from ocm_ray.core.hashing import wanghash
+        from ocm_ray.sketches import ModSketch, VACSketch
+        from ocm_ray.sketches.modvac import _VAC_SALT, vac_levels
+
+        LOG2_MOD, NLVL = 8, 4
+        seq = _seq_dir_for(sf_dir)
+        ds = rd.read_parquet(seq, columns=["tokens", "source"])
+
+        # distributed sketches per source
+        per_mod = grouped_sketches(ds, "source",
+                                   lambda: ModSketch(LOG2_MOD))
+        per_vac = grouped_sketches(
+            ds, "source", lambda: VACSketch(NLVL, "hll", {"p": 14}))
+
+        # exact distinct (source, token) table (vocab-bounded driver
+        # table, the bigram_logprob contract) -> exact level populations
+        def pairs(batch: pa.Table) -> pa.Table:
+            flat, lens = list_column_values(batch, "tokens")
+            src = batch.column("source").to_numpy(zero_copy_only=False)
+            rowid = np.repeat(np.arange(len(lens)), lens)
+            out_s, out_t = [], []
+            for s in np.unique(src):
+                toks = np.unique(flat[src[rowid] == s])
+                out_s.append(np.full(len(toks), s))
+                out_t.append(toks.astype(np.int64))
+            return pa.table({"source": pa.array(np.concatenate(out_s)),
+                             "token": pa.array(np.concatenate(out_t)),
+                             "one": pa.array(
+                                 np.ones(sum(map(len, out_t)), np.int64))})
+
+        pdf = grouped_sum(ds.map_batches(pairs, batch_format="pyarrow"),
+                          ["source", "token"], ["one"]).to_pandas()
+        rows = []
+        for s, grp in pdf.groupby("source"):
+            toks = grp["token"].to_numpy().astype(np.uint64)
+            n_distinct = len(toks)
+            lvl = vac_levels(toks, NLVL)
+            n_l = [int((lvl > i).sum()) for i in range(NLVL)]
+            msk = per_mod[s]
+            assert msk.n_sampled() == len(np.unique(
+                (wanghash(toks ^ np.uint64(137))
+                 [(wanghash(toks ^ np.uint64(137))
+                   & np.uint64((1 << LOG2_MOD) - 1)) == 0])
+                >> np.uint64(LOG2_MOD)))
+            for i, est in enumerate(per_vac[s].level_estimates()):
+                exact_i = n_l[i] * (1 << i)
+                sd = 1.04 / np.sqrt(1 << 14) * max(exact_i, 1) + (1 << i)
+                assert abs(est - exact_i) <= 5 * sd + 0.05 * exact_i, \
+                    (s, i, est, exact_i)
+            rows.append({"source": s, "n_distinct": n_distinct,
+                         "mod_sampled": msk.n_sampled(),
+                         "mod_est": msk.n_sampled() << LOG2_MOD,
+                         "n_l1": n_l[0], "n_l2": n_l[1],
+                         "n_l3": n_l[2], "n_l4": n_l[3]})
+        return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    q["modvac_distinct_by_source"] = modvac_distinct_by_source
+
     def minhash_source_similarity(sf_dir):
         import ray.data as rd
 
@@ -1887,6 +1957,52 @@ def _token_dup_ngrams_sql(k: int = 4) -> str:
     LEFT JOIN agg a ON s.doc_id = a.doc_id
     LEFT JOIN runs r ON s.doc_id = r.doc_id
     ORDER BY s.doc_id
+    """
+
+
+def _modvac_sql(log2_mod: int = 8, n_levels: int = 4,
+                seedseed: int = 137) -> str:
+    """DuckDB oracle for ``modvac_distinct_by_source``: mod-sample
+    membership and VAC level populations are pure functions of the wang
+    hash — two chains (mod seed, vac salt), divisibility tests, and
+    COUNT(DISTINCT) per source recompute every returned integer."""
+    from ocm_ray.sketches.modvac import _VAC_SALT
+
+    vac_xor = int(_VAC_SALT ^ np.uint64(seedseed))
+    m = 1 << log2_mod
+    mchain, mrel = _sql_wang_chain("mm", "mx", "source, tok", "xk")
+    vchain, vrel = _sql_wang_chain("vv", "vx", "source, tok", "xk")
+    lvl_cols = ", ".join(
+        f"COUNT(DISTINCT CASE WHEN vk % {1 << i} = 0 THEN tok END)"
+        f" AS n_l{i + 1}" for i in range(n_levels))
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT DISTINCT source, tok
+        FROM (SELECT source, unnest(tokens) AS tok
+              FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+    ),
+    mx AS (SELECT source, tok,
+                  {_sql_to_huge(f"xor(CAST(tok AS BIGINT), {seedseed})")}
+                      AS xk FROM toks),
+    {mchain},
+    vx AS (SELECT source, tok,
+                  {_sql_to_huge(f"xor(CAST(tok AS BIGINT), "
+                                f"{_sql_signed(vac_xor)})")} AS xk
+           FROM toks),
+    {vchain},
+    mk AS MATERIALIZED (SELECT source, tok, k AS mk FROM {mrel}),
+    vk AS MATERIALIZED (SELECT source, tok, k AS vk FROM {vrel}),
+    j AS (SELECT mk.source, mk.tok, mk.mk, vk.vk
+          FROM mk JOIN vk ON mk.source = vk.source AND mk.tok = vk.tok)
+    SELECT source,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT CASE WHEN mk % {m} = 0 THEN mk // {m} END)
+                AS BIGINT) AS mod_sampled,
+           CAST({m} * COUNT(DISTINCT CASE WHEN mk % {m} = 0
+                                          THEN mk // {m} END)
+                AS BIGINT) AS mod_est,
+           {lvl_cols}
+    FROM j GROUP BY source ORDER BY source
     """
 
 
@@ -2961,6 +3077,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_register_histogram": _hll_registers_sql(),
         "minhash_source_similarity": _bottomk_similarity_sql(),
+        "modvac_distinct_by_source": _modvac_sql(),
         # exact weighted Jaccard between per-source token multisets:
         # sum_min via the inner join on token, sum_max = tot_a + tot_b
         # - sum_min; integer arithmetic end to end (the CWS estimator

@@ -17,6 +17,7 @@ from ocm_ray.sketches.bloom import BloomFilter, CountingBloomFilter, FilterHLL
 from ocm_ray.sketches.countmin import CountMin, OfflineCountMin
 from ocm_ray.sketches.countsketch import CountSketch, CountSketch4W, TopK
 from ocm_ray.sketches.cws import WeightedMinHash
+from ocm_ray.sketches.modvac import ModSketch, VACSketch
 from ocm_ray.sketches.ddsketch import DDSketch
 from ocm_ray.sketches.heavykeeper import HeavyKeeper, HeavyKeeperTopK
 from ocm_ray.sketches.hll import HyperLogLog
@@ -35,4 +36,5 @@ __all__ = [
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
     "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
     "HyperMinHash", "BBitMinHash", "SetSketch", "WeightedMinHash",
+    "ModSketch", "VACSketch",
 ]

@@ -1242,3 +1242,50 @@ def test_cm_inner_product_join_size():
     f2 = int((ca.astype(np.int64) ** 2).sum())
     est2 = sa.inner_product(sa)
     assert f2 <= est2 <= f2 + eps * len(a) * len(a)
+
+
+def test_modsketch_and_vacsketch_laws():
+    from ocm_ray.sketches.modvac import ModSketch, VACSketch, vac_levels
+
+    rng = np.random.default_rng(17)
+    items = rng.integers(0, 1 << 40, 200000).astype(np.uint64)
+    distinct = len(np.unique(items))
+
+    m = ModSketch(log2_mod=8)
+    m.update(items)
+    est = m.cardinality_estimate()
+    assert abs(est - distinct) / distinct < 0.2   # 1/sqrt(~780) sampling
+
+    # split-merge bit-exact; reduce(f) == direct build at coarser mod
+    m1, m2 = ModSketch(8), ModSketch(8)
+    m1.update(items[:100000])
+    m2.update(items[100000:])
+    assert np.array_equal(m1.merge(m2).quots, m.quots)
+    direct = ModSketch(10)
+    direct.update(items)
+    assert np.array_equal(m.reduce(2).quots, direct.quots)
+
+    # Jaccard estimator on overlapping sets
+    a = ModSketch(6)
+    b = ModSketch(6)
+    a.update(np.arange(0, 150000, dtype=np.uint64))
+    b.update(np.arange(50000, 200000, dtype=np.uint64))
+    assert abs(a.jaccard(b) - 1.0 / 2.0) < 0.1    # |inter|/|union| = 1/2
+
+    # VAC: deterministic geometric levels, bit-exact merge, roundtrip
+    lv = vac_levels(np.unique(items), 5)
+    for i in range(1, 4):
+        frac = (lv > i).mean()
+        assert abs(frac - 2.0 ** -i) < 0.01
+    v = VACSketch(4, "hll", {"p": 12})
+    v.update(items)
+    for i, e in enumerate(v.level_estimates()):
+        assert abs(e - distinct) / distinct < 0.15, (i, e)
+    v1, v2 = VACSketch(4, "hll", {"p": 12}), VACSketch(4, "hll", {"p": 12})
+    v1.update(items[:100000])
+    v2.update(items[100000:])
+    v1.merge(v2)
+    rt = VACSketch.from_bytes(v.to_bytes())
+    for a2, b2, c2 in zip(v.bases, v1.bases, rt.bases):
+        assert np.array_equal(a2.registers, b2.registers)
+        assert np.array_equal(a2.registers, c2.registers)
