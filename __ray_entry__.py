@@ -1244,6 +1244,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
     q["modvac_distinct_by_source"] = modvac_distinct_by_source
 
+    def cs_compressed_top_tokens(sf_dir):
+        """rnla.h cs_compress applied as a pipeline op: each source's
+        exact token-count VECTOR is compressed 12x into an (ns, newdim)
+        CountSketch, and the heavy entries recovered from the compressed
+        form must be exactly the true top-10 (asserted in-query); the
+        returned top-10 rows are SQL-oracled."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocm_ray.engine.tokens import list_column_values
+        from ocm_ray.ops.agg import grouped_sum
+        from ocm_ray.sketches.rnla import (cs_compress,
+                                           top_indices_from_compressed)
+
+        seq = _seq_dir_for(sf_dir)
+        ds = rd.read_parquet(seq, columns=["tokens", "source"])
+
+        def cnts(batch: pa.Table) -> pa.Table:
+            flat, lens = list_column_values(batch, "tokens")
+            src = batch.column("source").to_numpy(zero_copy_only=False)
+            rowid = np.repeat(np.arange(len(lens)), lens)
+            out_s, out_t, out_c = [], [], []
+            for s in np.unique(src):
+                bc = np.bincount(flat[src[rowid] == s].astype(np.int64))
+                nz = np.flatnonzero(bc)
+                out_s.append(np.full(len(nz), s))
+                out_t.append(nz.astype(np.int64))
+                out_c.append(bc[nz].astype(np.int64))
+            return pa.table({"source": pa.array(np.concatenate(out_s)),
+                             "token": pa.array(np.concatenate(out_t)),
+                             "c": pa.array(np.concatenate(out_c))})
+
+        pdf = grouped_sum(ds.map_batches(cnts, batch_format="pyarrow"),
+                          ["source", "token"], ["c"]).to_pandas()
+        d = int(pdf["token"].max()) + 1
+        rows = []
+        for s, grp in pdf.groupby("source"):
+            vec = np.zeros(d)
+            vec[grp["token"].to_numpy()] = grp["c"].to_numpy()
+            sk = cs_compress(vec, newdim=4096, ns=5)
+            rec = set(top_indices_from_compressed(sk, d, 10).tolist())
+            top = grp.sort_values(["c", "token"],
+                                  ascending=[False, True]).head(10)
+            assert rec == set(top["token"].tolist()), (s, rec)
+            for _, r in top.iterrows():
+                rows.append({"source": s, "token": int(r.token),
+                             "cnt": int(r.c)})
+        return pd.DataFrame(rows).sort_values(
+            ["source", "cnt", "token"],
+            ascending=[True, False, True]).reset_index(drop=True)
+    q["cs_compressed_top_tokens"] = cs_compressed_top_tokens
+
     def minhash_source_similarity(sf_dir):
         import ray.data as rd
 
@@ -3078,6 +3130,26 @@ def oracle_sql() -> dict[str, str]:
         "hll_register_histogram": _hll_registers_sql(),
         "minhash_source_similarity": _bottomk_similarity_sql(),
         "modvac_distinct_by_source": _modvac_sql(),
+        # exact per-source top-10 token counts (the compressed-recovery
+        # equality is asserted in-query; floats never leave the engine)
+        "cs_compressed_top_tokens": f"""
+            WITH cnt AS (
+                SELECT source, tok AS token,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT source, unnest(tokens) AS tok
+                      FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+                GROUP BY source, tok
+            ),
+            ranked AS (
+                SELECT source, token, cnt,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY cnt DESC, token ASC)
+                           AS rn
+                FROM cnt
+            )
+            SELECT source, token, cnt FROM ranked WHERE rn <= 10
+            ORDER BY source, cnt DESC, token
+        """,
         # exact weighted Jaccard between per-source token multisets:
         # sum_min via the inner join on token, sum_max = tot_a + tot_b
         # - sum_min; integer arithmetic end to end (the CWS estimator

@@ -1,0 +1,73 @@
+"""CountSketch vector compression — the ``rnla.h`` core transform.
+
+Behavioral contract from ``rnla.h:54-105`` (``cs_compress``): a length-d
+vector is compressed into ``ns`` tables of ``newdim`` buckets; entry
+``i`` contributes ``v[i] * sign`` to bucket ``(h(i, j) >> 1) mod
+newdim`` of table ``j`` with ``sign = +1 if h(i, j) & 1 else -1``.
+Decompression (``cs_decompress`` / ``top_indices_from_compressed``,
+``rnla.h:229-264``) estimates entry ``i`` as the MEDIAN over tables of
+the signed bucket values — the classic CountSketch recovery, unbiased,
+heavy entries recoverable to ±||v||₂/√newdim per table.
+
+The transform is LINEAR: ``compress(a + b) == compress(a) +
+compress(b)`` exactly, so compressed per-partition vectors merge by
+addition (the mergeable-UDAF shape). Deviation: the reference's
+``KWiseHasherSet<4>`` polynomial hashes are replaced by the engine's
+WangHash chain over ``(index ^ table-seed)`` — same independence role,
+one hash codec everywhere (CLAUDE.md rule 8). wz_compress /
+PStableSketcher (Lp sampling, ``rnla.h:107-154,341-440``) remain out of
+scope — documented in SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocm_ray.core.hashing import derive_seeds, wanghash
+
+U64 = np.uint64
+
+
+def _bucket_sign(d: int, ns: int, seedseed: int):
+    """(bucket[ns, d], sign[ns, d]) for every (table, index)."""
+    seeds = derive_seeds(ns if ns % 2 else ns + 1, seedseed)[:ns]
+    idx = np.arange(d, dtype=U64)
+    h = wanghash(idx[None, :] ^ seeds[:, None])
+    sign = np.where((h & U64(1)) == U64(1), 1.0, -1.0)
+    return h, sign
+
+
+def cs_compress(vec: np.ndarray, newdim: int, ns: int = 5,
+                seedseed: int = 137) -> np.ndarray:
+    """Compress a length-d vector to an ``(ns, newdim)`` CountSketch
+    (``rnla.h:54-73`` semantics: bucket = (h >> 1) mod newdim, sign =
+    low hash bit). Linear in ``vec``."""
+    vec = np.asarray(vec, dtype=np.float64)
+    d = len(vec)
+    h, sign = _bucket_sign(d, ns, seedseed)
+    bucket = ((h >> U64(1)) % U64(newdim)).astype(np.int64)
+    out = np.zeros((ns, newdim), dtype=np.float64)
+    for j in range(ns):                      # loop over TABLES only
+        np.add.at(out[j], bucket[j], vec * sign[j])
+    return out
+
+
+def cs_decompress(sk: np.ndarray, d: int, seedseed: int = 137) -> np.ndarray:
+    """Median-of-tables estimate of every original entry
+    (``rnla.h`` cs_decompress shape)."""
+    ns, newdim = sk.shape
+    h, sign = _bucket_sign(d, ns, seedseed)
+    bucket = ((h >> U64(1)) % U64(newdim)).astype(np.int64)
+    ests = np.empty((ns, d), dtype=np.float64)
+    for j in range(ns):
+        ests[j] = sk[j, bucket[j]] * sign[j]
+    return np.median(ests, axis=0)
+
+
+def top_indices_from_compressed(sk: np.ndarray, d: int, k: int,
+                                seedseed: int = 137) -> np.ndarray:
+    """Indices of the k largest estimated |entries|
+    (``rnla.h:229-264``), deterministic tie-break by index."""
+    est = np.abs(cs_decompress(sk, d, seedseed))
+    order = np.lexsort((np.arange(d), -est))
+    return np.sort(order[:k])

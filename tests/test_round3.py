@@ -1289,3 +1289,31 @@ def test_modsketch_and_vacsketch_laws():
     for a2, b2, c2 in zip(v.bases, v1.bases, rt.bases):
         assert np.array_equal(a2.registers, b2.registers)
         assert np.array_equal(a2.registers, c2.registers)
+
+
+def test_rnla_cs_compress_recovery():
+    from ocm_ray.sketches.rnla import (cs_compress, cs_decompress,
+                                       top_indices_from_compressed)
+
+    rng = np.random.default_rng(23)
+    d = 50000
+    v = rng.normal(0, 1, d)
+    heavy = rng.choice(d, 20, replace=False)
+    v[heavy] += rng.choice([-1, 1], 20) * 300.0
+
+    sk = cs_compress(v, 4096, ns=5)
+    est = cs_decompress(sk, d)
+    # per-table error bound ~ ||v||2/sqrt(newdim); median-of-5 within 5x
+    assert np.median(np.abs(est - v)) < 5 * np.linalg.norm(v) / np.sqrt(4096)
+    top = top_indices_from_compressed(sk, d, 20)
+    assert set(top) == set(heavy)
+
+    # linearity: EXACT for integer-valued vectors (sums of exact floats),
+    # allclose for general floats (summation order only)
+    ia = rng.integers(-100, 100, d).astype(np.float64)
+    ib = rng.integers(-100, 100, d).astype(np.float64)
+    assert np.array_equal(cs_compress(ia + ib, 1024, 3),
+                          cs_compress(ia, 1024, 3) + cs_compress(ib, 1024, 3))
+    fa, fb = rng.normal(size=d), rng.normal(size=d)
+    assert np.allclose(cs_compress(fa + fb, 1024, 3),
+                       cs_compress(fa, 1024, 3) + cs_compress(fb, 1024, 3))
