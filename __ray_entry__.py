@@ -1904,9 +1904,9 @@ def _dsir_sql(feat_bits: int = 16, targets=("src0", "src1")) -> str:
     grams AS (SELECT doc_id, CAST(gk // {div} AS BIGINT) AS b
               FROM (SELECT doc_id, k AS gk FROM {gb_rel})),
     tgt AS (SELECT doc_id, (source IN ({tlist})) AS is_t FROM documents),
-    occ AS (SELECT grams.doc_id, b, is_t
+    occ AS MATERIALIZED (SELECT grams.doc_id, b, is_t
             FROM grams JOIN tgt ON grams.doc_id = tgt.doc_id),
-    cnt AS (SELECT b,
+    cnt AS MATERIALIZED (SELECT b,
                    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
                        AS t,
                    CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT)

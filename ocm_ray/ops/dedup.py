@@ -835,7 +835,7 @@ def dup_ngram_stats(ds: Dataset, k: int = 5, min_docs: int = 2,
                     id_col: str = "doc_id", text_col: str = "text",
                     lowercase: bool = True, seed: int = 137,
                     n_shards: int = 64,
-                    max_broadcast: int = 50_000_000,
+                    max_broadcast: int = 8_000_000,
                     tokens_col: str = None) -> Dataset:
     """Per-document cross-corpus repeated-k-gram statistics: for each doc
     ``(id, n_grams, n_dup_grams, n_distinct_dup_grams, max_dup_run)``
@@ -951,15 +951,19 @@ def semantic_dedup_pairs(ds: Dataset, threshold: float = 0.95,
             .astype(np.int32)
 
     def scan(tbl: pa.Table) -> pa.Table:
-        ids_arr = tbl.column(id_col) if tbl.num_rows else None
+        id_type = tbl.schema.field(id_col).type
         if tbl.num_rows < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
+            # id-typed empty columns: a hardcoded int64 here would give
+            # empty shards a schema that conflicts with string-id cells
+            return pa.table({"a": pa.array([], id_type),
+                             "b": pa.array([], id_type),
                              "sim": pa.array([], pa.float64())})
         m = _normalize(_embedding_matrix(tbl, emb_col))
-        ids = ids_arr.to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         n = len(m)
-        chunk = max(1, (1 << 22) // max(n, 1))   # ~4 MB sim rows (r4)
+        # ~4 MB float64 sim rows per chunk (cache-sized, CLAUDE.md r4):
+        # chunk * n * 8 B ≈ 2^22
+        chunk = max(1, (1 << 19) // max(n, 1))
         outs_a, outs_b, outs_s = [], [], []
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)

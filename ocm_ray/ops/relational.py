@@ -928,8 +928,13 @@ def interval_join_sharded(left: Dataset, right: Dataset, value_col: str,
     bits = _shard_bits(n_shards)
     U64_ = np.uint64
 
+    def bucket_of_f(v: np.ndarray) -> np.ndarray:
+        """Float-domain bucket index — stays inf-aware so unbounded
+        interval ends cannot wrap through an int cast."""
+        return np.floor(np.asarray(v, np.float64) / W)
+
     def bucket_of(v: np.ndarray) -> np.ndarray:
-        return np.floor(np.asarray(v, np.float64) / W).astype(np.int64)
+        return bucket_of_f(v).astype(np.int64)
 
     def shard_of_bucket(b: np.ndarray) -> np.ndarray:
         h = wanghash(b.view(U64_))
@@ -940,9 +945,13 @@ def interval_join_sharded(left: Dataset, right: Dataset, value_col: str,
     def is_long(batch: pa.Table) -> pa.Table:
         lo = batch.column(lo_col).to_numpy(zero_copy_only=False)
         hi = batch.column(hi_col).to_numpy(zero_copy_only=False)
-        n_b = bucket_of(np.nextafter(hi, -np.inf)) - bucket_of(lo) + 1
-        return batch.append_column(
-            "__long", pa.array(~(np.isfinite(n_b) & (n_b <= max_buckets))))
+        # FLOAT bucket arithmetic: ±inf / |bound| >= 2^63·W ends must
+        # classify as long BEFORE any int64 cast can wrap them short
+        n_b = bucket_of_f(np.nextafter(hi, -np.inf)) - bucket_of_f(lo) + 1
+        safe = np.isfinite(n_b) & (n_b <= max_buckets) & (n_b >= 1) \
+            & (np.abs(bucket_of_f(lo)) < 2**62) \
+            & (np.abs(bucket_of_f(np.nextafter(hi, -np.inf))) < 2**62)
+        return batch.append_column("__long", pa.array(~safe))
 
     flagged = right.map_batches(is_long, batch_format="pyarrow")
     long_df = flagged.map_batches(

@@ -189,8 +189,12 @@ def dsir_scores(ds: Dataset, target_values, group_col: str = "source",
         return pa.table({"bucket": pa.array(nz),
                          "t": pa.array(t[nz]), "r": pa.array(r[nz])})
 
-    agg = (ds.map_batches(bucket_partials, batch_format="pyarrow")
-           .to_pandas().groupby("bucket", as_index=False).sum())
+    # fold partials worker-side on the grouped_sum tree: the driver sees
+    # one <= 2^feat_bits-row table, not O(n_batches) partial tables
+    from ocm_ray.ops.agg import grouped_sum
+
+    agg = grouped_sum(ds.map_batches(bucket_partials, batch_format="pyarrow"),
+                      ["bucket"], ["t", "r"]).to_pandas()
     t_vec = np.zeros(B, np.int64)
     r_vec = np.zeros(B, np.int64)
     t_vec[agg["bucket"].to_numpy()] = agg["t"].to_numpy()

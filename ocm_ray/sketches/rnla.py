@@ -28,10 +28,13 @@ from ocm_ray.core.hashing import derive_seeds, wanghash
 U64 = np.uint64
 
 
-def _bucket_sign(d: int, ns: int, seedseed: int):
-    """(bucket[ns, d], sign[ns, d]) for every (table, index)."""
-    seeds = derive_seeds(ns if ns % 2 else ns + 1, seedseed)[:ns]
-    idx = np.arange(d, dtype=U64)
+_CHUNK = 1 << 19  # hash-matrix cells per chunk (~4 MB; CLAUDE.md rule 4)
+
+
+def _bucket_sign_chunk(lo: int, hi: int, seeds: np.ndarray):
+    """(bucket-hash[ns, hi-lo], sign[ns, hi-lo]) for index range
+    [lo, hi) — chunked so the wang kernel stays cache-resident."""
+    idx = np.arange(lo, hi, dtype=U64)
     h = wanghash(idx[None, :] ^ seeds[:, None])
     sign = np.where((h & U64(1)) == U64(1), 1.0, -1.0)
     return h, sign
@@ -44,11 +47,16 @@ def cs_compress(vec: np.ndarray, newdim: int, ns: int = 5,
     low hash bit). Linear in ``vec``."""
     vec = np.asarray(vec, dtype=np.float64)
     d = len(vec)
-    h, sign = _bucket_sign(d, ns, seedseed)
-    bucket = ((h >> U64(1)) % U64(newdim)).astype(np.int64)
+    seeds = derive_seeds(ns, seedseed)
     out = np.zeros((ns, newdim), dtype=np.float64)
-    for j in range(ns):                      # loop over TABLES only
-        np.add.at(out[j], bucket[j], vec * sign[j])
+    step = max(1, _CHUNK // max(ns, 1))
+    for lo in range(0, d, step):
+        hi = min(lo + step, d)
+        h, sign = _bucket_sign_chunk(lo, hi, seeds)
+        bucket = ((h >> U64(1)) % U64(newdim)).astype(np.int64)
+        seg = vec[lo:hi]
+        for j in range(ns):                  # loop over TABLES only
+            np.add.at(out[j], bucket[j], seg * sign[j])
     return out
 
 
@@ -56,12 +64,18 @@ def cs_decompress(sk: np.ndarray, d: int, seedseed: int = 137) -> np.ndarray:
     """Median-of-tables estimate of every original entry
     (``rnla.h`` cs_decompress shape)."""
     ns, newdim = sk.shape
-    h, sign = _bucket_sign(d, ns, seedseed)
-    bucket = ((h >> U64(1)) % U64(newdim)).astype(np.int64)
-    ests = np.empty((ns, d), dtype=np.float64)
-    for j in range(ns):
-        ests[j] = sk[j, bucket[j]] * sign[j]
-    return np.median(ests, axis=0)
+    seeds = derive_seeds(ns, seedseed)
+    est = np.empty(d, dtype=np.float64)
+    step = max(1, _CHUNK // max(ns, 1))
+    ests = np.empty((ns, step), dtype=np.float64)
+    for lo in range(0, d, step):
+        hi = min(lo + step, d)
+        h, sign = _bucket_sign_chunk(lo, hi, seeds)
+        bucket = ((h >> U64(1)) % U64(newdim)).astype(np.int64)
+        for j in range(ns):
+            ests[j, :hi - lo] = sk[j, bucket[j]] * sign[j]
+        est[lo:hi] = np.median(ests[:, :hi - lo], axis=0)
+    return est
 
 
 def top_indices_from_compressed(sk: np.ndarray, d: int, k: int,

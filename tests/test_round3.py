@@ -1200,9 +1200,10 @@ def test_interval_join_sharded_matches_bruteforce():
     lo = rng.uniform(-50, 150, 200)
     right = pd.DataFrame({"band_id": np.arange(200), "lo": lo,
                          "hi": lo + rng.exponential(5, 200)})
-    # unbounded / sentinel intervals exercise the broadcast long path
-    right.loc[196:, "lo"] = [-1e9, 0.0, -1e9, 40.0]
-    right.loc[196:, "hi"] = [1e9, 1e9, 0.0, 45.0]
+    # unbounded / sentinel intervals exercise the broadcast long path —
+    # including literal +-inf ends, which must never reach the int cast
+    right.loc[196:, "lo"] = [-np.inf, 0.0, -1e9, 40.0]
+    right.loc[196:, "hi"] = [np.inf, 1e9, 0.0, 45.0]
 
     out = interval_join_sharded(
         rd.from_pandas(left).repartition(4),
