@@ -1001,15 +1001,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["corpus_mix_split"] = corpus_mix_split
 
     def media_decode_stats(sf_dir):
-        """Multimodal stage driver: REAL pure-numpy PPM decode + stdlib
-        PCM-WAV feature extraction over the deterministic synthetic
-        media table (no media in the testdata tables; payloads are
-        genuine PPM/WAV bytes, so this exercises the real codecs, not
-        the fake mode)."""
+        """Multimodal stage driver: REAL pure-numpy PPM decode, stdlib
+        PCM-WAV feature extraction AND Y4M raw-video frame sampling
+        over the deterministic synthetic media table (no media in the
+        testdata tables; payloads are genuine PPM/WAV/Y4M bytes, so
+        this exercises the real codecs, not the fake mode)."""
         import ray.data as rd
 
         from ocm_ray.ops.multimodal import (ExtractAudioFeatures,
-                                            decode_images, synth_media_table)
+                                            decode_images,
+                                            sample_video_frames,
+                                            synth_media_table)
 
         t = synth_media_table(64)
         ppm = rd.from_arrow(t).filter(
@@ -1019,16 +1021,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         wav = t.filter(_pa.compute.equal(t.column("mime"), "audio/wav"))
         feats = ExtractAudioFeatures(fake=False)(wav).to_pandas()
+        y4m = t.filter(_pa.compute.equal(t.column("mime"),
+                                         "video/x-yuv4mpeg"))
+        vid = sample_video_frames(y4m, every_ms=1000,
+                                  fake=False).to_pandas()
+        vid_stat = vid.groupby("media_id")["mean_luma"].mean().round(4)
         out = pd.DataFrame({
-            "media_id": imgs["media_id"].tolist() + feats["media_id"].tolist(),
-            "kind": ["image"] * len(imgs) + ["audio"] * len(feats),
+            "media_id": imgs["media_id"].tolist() + feats["media_id"].tolist()
+                        + vid_stat.index.tolist(),
+            "kind": ["image"] * len(imgs) + ["audio"] * len(feats)
+                    + ["video"] * len(vid_stat),
             "stat": [round(v, 4) for v in imgs["mean_luma"]]
                     + [round(float(np.asarray(f)[-2]), 4)
-                       for f in feats["features"]],  # total RMS
+                       for f in feats["features"]]  # total RMS
+                    + vid_stat.tolist(),
         })
         assert (out.loc[out["kind"] == "audio", "stat"]
                 .between(0.30, 0.40).all())  # 0.5-amp sine RMS ≈ 0.354
-        return out.sort_values("media_id").reset_index(drop=True)
+        # Y4M frame lumas are the known synthetic gradient: mid-range
+        assert (out.loc[out["kind"] == "video", "stat"]
+                .between(60, 200).all())
+        assert len(vid) > 0
+        return out.sort_values(["media_id", "kind"]).reset_index(drop=True)
     q["media_decode_stats"] = media_decode_stats
 
     def text_embed_ann(sf_dir):

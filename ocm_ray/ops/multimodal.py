@@ -6,14 +6,15 @@ actor-pool decode stages, batch sizing for large binaries, output layout
 — is real and tested. Codec support is tiered honestly:
 
 * **REAL decode, no external deps**: PPM (P6) images (pure-numpy header
-  parse + luma + nearest-neighbor resize) and PCM WAV audio (stdlib
-  ``wave``). ``synth_media_table`` emits genuine PPM/WAV payloads for
-  these, so the real paths are exercised end-to-end in tests.
+  parse + luma + nearest-neighbor resize), PCM WAV audio (stdlib
+  ``wave``), and YUV4MPEG2 (Y4M) raw video (pure-numpy plane parsing +
+  frame sampling). ``synth_media_table`` emits genuine PPM/WAV/Y4M
+  payloads, so the real paths are exercised end-to-end in tests.
 * **Delegated**: JPEG/PNG decode uses PIL when importable.
-* **STUBBED**: JPEG/PNG without PIL, and MP4 frame decode (no ffmpeg in
-  this container) raise ``NotImplementedError``; ``fake=True`` swaps in
-  a deterministic payload-seeded synthetic decode so downstream stages
-  still run.
+* **STUBBED**: JPEG/PNG without PIL, and COMPRESSED video (MP4) frame
+  decode (no ffmpeg in this container) raise ``NotImplementedError``;
+  ``fake=True`` swaps in a deterministic payload-seeded synthetic decode
+  so downstream stages still run.
 
 Batch-size guidance encoded in the defaults: with ~1 MB payloads, a
 batch of 32 rows ≈ 32 MB ≈ a sane per-actor working set; callers with
@@ -82,7 +83,8 @@ def synth_media_table(n: int = 64, seed: int = 42,
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in ("media_id", "payload", "mime", "width", "height",
                             "duration_ms")}
-    mimes = ["image/x-portable-pixmap", "image/jpeg", "audio/wav", "video/mp4"]
+    mimes = ["image/x-portable-pixmap", "image/jpeg", "audio/wav",
+             "video/mp4", "video/x-yuv4mpeg"]
     for i in range(n):
         mime = mimes[i % len(mimes)]
         w, h = (int(rng.integers(32, 128)), int(rng.integers(32, 128))) \
@@ -92,6 +94,13 @@ def synth_media_table(n: int = 64, seed: int = 42,
             payload = make_ppm(w, h, rng)
         elif mime == "audio/wav":
             payload = make_wav(dur, rng)
+        elif mime == "video/x-yuv4mpeg":
+            # REAL raw video: short clip, even dims, 25 fps; duration
+            # follows the actual frame count
+            w, h = (w + w % 2), (h + h % 2)
+            n_frames = int(rng.integers(8, 40))
+            dur = n_frames * 1000 // 25
+            payload = make_y4m(w, h, n_frames)
         else:
             body = rng.integers(0, 256, payload_bytes - 16,
                                 dtype=np.uint8).tobytes()
@@ -103,6 +112,67 @@ def synth_media_table(n: int = 64, seed: int = 42,
         rows["height"].append(h)
         rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def make_y4m(w: int, h: int, n_frames: int, fps: int = 25) -> bytes:
+    """A genuine YUV4MPEG2 (Y4M) video: uncompressed 4:2:0 planar
+    frames behind the standard ASCII header — the raw-video format
+    ffmpeg-less pipelines exchange. Deterministic content: frame f's
+    luma is ``(x + 2y + 7f) mod 256`` (so per-frame stats differ and
+    decode can be verified exactly)."""
+    assert w % 2 == 0 and h % 2 == 0, "4:2:0 needs even dims"
+    parts = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420jpeg\n" % (w, h, fps)]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    uv = np.full(((h // 2) * (w // 2)), 128, dtype=np.uint8).tobytes()
+    for f in range(n_frames):
+        luma = ((x + 2 * y + 7 * f) % 256).astype(np.uint8)
+        parts.append(b"FRAME\n" + luma.tobytes() + uv + uv)
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes):
+    """Parse a YUV4MPEG2 stream into ``(luma_frames (n, h, w) uint8,
+    fps float)`` — pure numpy/bytes, no ffmpeg. Handles the standard
+    header tags (W/H/F required, others ignored) and per-FRAME
+    parameter tails; chroma planes are skipped (4:2:0 / 4:2:2 / 4:4:4
+    by the C tag, mono via Cmono)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    assert header[0] == b"YUV4MPEG2", "not a Y4M stream"
+    w = h = None
+    fps = 25.0
+    chroma = b"420jpeg"
+    for tag in header[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"F":
+            num, den = tag[1:].split(b":")
+            fps = int(num) / max(int(den), 1)
+        elif tag[:1] == b"C":
+            chroma = tag[1:]
+    assert w and h, "Y4M header missing W/H"
+    if chroma.startswith(b"420"):
+        chroma_bytes = (w // 2) * (h // 2) * 2
+    elif chroma.startswith(b"422"):
+        chroma_bytes = (w // 2) * h * 2
+    elif chroma.startswith(b"444"):
+        chroma_bytes = w * h * 2
+    else:  # mono
+        chroma_bytes = 0
+    frames = []
+    pos = nl + 1
+    ysz = w * h
+    while pos < len(payload):
+        assert payload[pos:pos + 5] == b"FRAME", "corrupt FRAME marker"
+        pos = payload.index(b"\n", pos) + 1
+        frames.append(np.frombuffer(payload, np.uint8, count=ysz,
+                                    offset=pos).reshape(h, w))
+        pos += ysz + chroma_bytes
+    return (np.stack(frames) if frames
+            else np.empty((0, h, w), np.uint8)), fps
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -254,21 +324,44 @@ class ExtractAudioFeatures:
 def sample_video_frames(batch: pa.Table, every_ms: int = 1000,
                         fake: bool = True) -> pa.Table:
     """Frame-sampling stage (flat_map-shaped: one output row per sampled
-    frame). Stub emits (media_id, frame_idx, ts_ms) rows from the
-    declared duration — the real decoder would attach pixel tensors."""
-    if not fake:
-        raise NotImplementedError("video decode needs ffmpeg (absent)")
+    frame) emitting ``(media_id, frame_idx, ts_ms, mean_luma)``.
+
+    ``fake=False`` REALLY decodes YUV4MPEG2 payloads (``decode_y4m`` —
+    uncompressed raw video, no ffmpeg needed): frames are picked at
+    ``every_ms`` intervals from the actual stream timing and carry
+    their true mean luma. Compressed formats (video/mp4) still raise
+    without ffmpeg — the honest stub. ``fake=True`` keeps the
+    declared-duration synthetic schedule with ``mean_luma = -1``."""
     ids = batch.column("media_id").to_numpy(zero_copy_only=False)
     dur = batch.column("duration_ms").to_numpy(zero_copy_only=False)
-    out_id, out_fi, out_ts = [], [], []
-    for i, d in zip(ids, dur):
-        n = max(0, int(d) // every_ms)
-        out_id.extend([int(i)] * n)
-        out_fi.extend(range(n))
-        out_ts.extend(range(0, n * every_ms, every_ms))
+    out_id, out_fi, out_ts, out_ml = [], [], [], []
+    if fake:
+        for i, d in zip(ids, dur):
+            n = max(0, int(d) // every_ms)
+            out_id.extend([int(i)] * n)
+            out_fi.extend(range(n))
+            out_ts.extend(range(0, n * every_ms, every_ms))
+            out_ml.extend([-1.0] * n)
+    else:
+        payloads = batch.column("payload").to_pylist()
+        mimes = batch.column("mime").to_pylist() \
+            if "mime" in batch.schema.names else [""] * len(payloads)
+        for i, p, m in zip(ids, payloads, mimes):
+            if not (m == "video/x-yuv4mpeg" or p[:9] == b"YUV4MPEG2"):
+                raise NotImplementedError(
+                    f"decoding {m} needs ffmpeg (absent); Y4M decodes "
+                    "natively, or use fake=True")
+            frames, fps = decode_y4m(p)
+            step = max(1, int(round(fps * every_ms / 1000.0)))
+            for fi in range(0, len(frames), step):
+                out_id.append(int(i))
+                out_fi.append(fi)
+                out_ts.append(int(fi * 1000.0 / fps))
+                out_ml.append(float(frames[fi].mean()))
     return pa.table({"media_id": pa.array(out_id, pa.int64()),
                      "frame_idx": pa.array(out_fi, pa.int32()),
-                     "ts_ms": pa.array(out_ts, pa.int32())})
+                     "ts_ms": pa.array(out_ts, pa.int32()),
+                     "mean_luma": pa.array(out_ml, pa.float64())})
 
 
 def decode_images(ds: Dataset, fake: bool = False, target_size: int = 64,

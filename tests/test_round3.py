@@ -1318,3 +1318,38 @@ def test_rnla_cs_compress_recovery():
     fa, fb = rng.normal(size=d), rng.normal(size=d)
     assert np.allclose(cs_compress(fa + fb, 1024, 3),
                        cs_compress(fa, 1024, 3) + cs_compress(fb, 1024, 3))
+
+
+def test_y4m_video_decode_real():
+    import pyarrow as pa_
+
+    from ocm_ray.ops.multimodal import (decode_y4m, make_y4m,
+                                        sample_video_frames,
+                                        synth_media_table)
+
+    # exact round trip of the known synthetic gradient
+    p = make_y4m(32, 24, 10)
+    frames, fps = decode_y4m(p)
+    assert frames.shape == (10, 24, 32) and fps == 25.0
+    x = np.arange(32)[None, :]
+    y = np.arange(24)[:, None]
+    for f in range(10):
+        assert np.array_equal(frames[f],
+                              ((x + 2 * y + 7 * f) % 256).astype(np.uint8))
+
+    # real sampling: frame cadence follows the stream fps; lumas real
+    t = synth_media_table(20)
+    vids = t.filter(pa_.compute.equal(t.column("mime"), "video/x-yuv4mpeg"))
+    out = sample_video_frames(vids, every_ms=200, fake=False)
+    assert out.num_rows > 0
+    ml = np.asarray(out.column("mean_luma").to_pylist())
+    assert ((ml >= 0) & (ml <= 255)).all() and len(np.unique(ml)) > 1
+    # every 200 ms at 25 fps = every 5th frame
+    fi = np.asarray(out.column("frame_idx").to_pylist())
+    assert (fi % 5 == 0).all()
+
+    # compressed video stays an honest stub
+    mp4 = t.filter(pa_.compute.equal(t.column("mime"), "video/mp4"))
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        sample_video_frames(mp4, fake=False)
