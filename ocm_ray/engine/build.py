@@ -175,9 +175,12 @@ def build_sketch_sharded(files: List[str], factory: SketchFactory,
     # but each holds a multi-MB partial sketch, and concurrent big-sketch
     # scatters are memory-bandwidth-bound: ncpus/2 shards beats ncpus by
     # ~25% on the flagship CM build (166M vs 133M tok/s at 32 CPUs, 28 MB
-    # partials). Default to half the CPUs per node, same rationale as
-    # _default_parallelism; callers with tiny sketches can pass shards=n.
-    p = max(1, min(shards or max(2, n // 2), len(files)))
+    # partials). Halve ONLY past 8 CPUs: at narrow widths the idle cores
+    # cost more than the bandwidth relief (a blanket n//2 at 8 CPUs ran 4
+    # tasks on 8 cores and halved the measured scaling efficiency).
+    # Callers with tiny sketches can pass shards=n.
+    default = n if n <= 8 else max(8, n // 2)
+    p = max(1, min(shards or default, len(files)))
     groups = [files[i::p] for i in range(p)]
     if metrics_dir:
         import os
