@@ -454,15 +454,20 @@ def test_occm_paper_collision_pass_is_noop(seq_dir):
     schedule runs a separate collision sweep before every fused pass
     (2n−1 passes, main.cpp:68-86), but those marks are already written by
     the previous round's fused pass — byte-identical final sketches."""
-    import ray.data as rd
+    import glob as _glob
+    import os as _os
 
     from ocm_ray.engine.rounds import build_ocm
 
-    factory = lambda: rd.read_parquet(seq_dir, columns=["tokens"])  # noqa: E731
-    eff = build_ocm(factory, np_bits=13, nh=3, rounds=3, conservative=True,
-                    parallelism=2)
-    paper = build_ocm(factory, np_bits=13, nh=3, rounds=3, conservative=True,
-                      parallelism=2, paper_collision_pass=True)
+    # files path: deterministic per-shard count tables, so the two
+    # builds see IDENTICAL streams (streaming_split may assign blocks
+    # differently across executions, and OCCM is order-dependent — the
+    # byte-identity claim needs a deterministic substrate)
+    files = sorted(_glob.glob(_os.path.join(seq_dir, "*.parquet")))
+    eff = build_ocm(np_bits=13, nh=3, rounds=3, conservative=True,
+                    files=files)
+    paper = build_ocm(np_bits=13, nh=3, rounds=3, conservative=True,
+                      files=files, paper_collision_pass=True)
     assert np.array_equal(eff.core, paper.core)
     assert np.array_equal(eff.collision, paper.collision)
     assert eff.n_items == paper.n_items

@@ -182,7 +182,11 @@ def test_multimodal_decode_stub():
     ds = rd.from_arrow(t).filter(lambda r: r["mime"].startswith("image"))
     out = decode_images(ds, fake=True, target_size=16, batch_size=8,
                         concurrency=2).to_pandas()
-    assert len(out) == 16
+    import pyarrow.compute as _pc
+
+    n_images = int(_pc.sum(_pc.starts_with(t.column("mime"),
+                                           "image")).as_py())
+    assert len(out) == n_images
     assert all(len(p) == 256 for p in out["pixels"])
     # deterministic: same payload → same pixels
     out2 = decode_images(rd.from_arrow(t).filter(
@@ -559,7 +563,9 @@ def test_multimodal_real_paths_through_ray():
     ppm = rd.from_arrow(t).filter(
         lambda r: r["mime"] == "image/x-portable-pixmap")
     out = decode_images(ppm, fake=False, target_size=16).to_pandas()
-    assert len(out) == 8
+    n_ppm = int(pa.compute.sum(pa.compute.equal(
+        t.column("mime"), "image/x-portable-pixmap")).as_py())
+    assert len(out) == n_ppm > 0
     assert out["mean_luma"].between(1, 254).all()
     wav = t.filter(pa.compute.equal(t.column("mime"), "audio/wav"))
     feats = ExtractAudioFeatures(fake=False)(wav)
