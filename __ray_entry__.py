@@ -1495,6 +1495,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("source").reset_index(drop=True)
     q["jsonl_source_stats"] = jsonl_source_stats
 
+    def csv_source_stats(sf_dir):
+        """CSV source/sink round trip (sibling of jsonl_source_stats):
+        documents exported once to CSV (atomic rename; Arrow-quoted
+        strings), read back with ``ray.data.read_csv``, aggregated per
+        source, hash-matched against the parquet view."""
+        import glob as _glob
+        import shutil
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocm_ray.ops.agg import grouped_sum
+
+        base = os.path.basename(sf_dir.rstrip("/"))
+        out_dir = f"/tmp/ocm_ray_csv/{base}"
+        if not _glob.glob(os.path.join(out_dir, "*")):
+            tmp = out_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            _read(sf_dir, "documents",
+                  columns=["doc_id", "source", "text"]).write_csv(tmp)
+            os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.rename(tmp, out_dir)
+        ds = rd.read_csv(out_dir)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            words = pc.list_value_length(
+                pc.split_pattern(batch.column("text"), " "))
+            return pa.table({
+                "source": batch.column("source"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_words": pa.array(words.to_numpy(zero_copy_only=False)
+                                    .astype(np.int64)),
+            })
+
+        out = grouped_sum(ds.map_batches(stats, batch_format="pyarrow"),
+                          ["source"], ["n_docs", "n_words"]).to_pandas()
+        return out.sort_values("source").reset_index(drop=True)
+    q["csv_source_stats"] = csv_source_stats
+
     def char_entropy_stats(sf_dir):
         """Per-document character-distribution Shannon entropy (the
         gibberish/boilerplate filter signal) — one stateless map pass
@@ -2917,6 +2959,12 @@ def oracle_sql() -> dict[str, str]:
         # format-independent truth: the parquet view must equal what the
         # engine read back from its own JSONL export
         "jsonl_source_stats": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_words
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "csv_source_stats": """
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
                        AS n_words
