@@ -930,8 +930,10 @@ def interval_join_sharded(left: Dataset, right: Dataset, value_col: str,
 
     def bucket_of_f(v: np.ndarray) -> np.ndarray:
         """Float-domain bucket index — stays inf-aware so unbounded
-        interval ends cannot wrap through an int cast."""
-        return np.floor(np.asarray(v, np.float64) / W)
+        interval ends cannot wrap through an int cast (huge/W may
+        overflow to inf, which is exactly the long classification)."""
+        with np.errstate(over="ignore"):
+            return np.floor(np.asarray(v, np.float64) / W)
 
     def bucket_of(v: np.ndarray) -> np.ndarray:
         return bucket_of_f(v).astype(np.int64)

@@ -1,0 +1,138 @@
+"""Driver-RSS census of the round-3 exchange operators.
+
+Companion to ``dedup_scale_proof.py`` (which proves the MinHash-LSH
+path at 1M docs): generates corpus-scale synthetic inputs WORKER-SIDE
+(the driver never holds them), pushes them through the new exchanges —
+
+* ``dup_gram_table``  — corpus-sized gram keyspace through shard_scan;
+* ``interval_join_sharded`` — two-sided range-bucket exchange;
+* ``semantic_dedup_pairs``  — k-means cells + per-cell matmul;
+
+— and asserts the driver's peak RSS stays bounded by the OUTPUT sizes
+(CLAUDE.md rule 9), not the corpus. Run:
+
+    python scripts/exchange_rss_proof.py        # ~1-2 min at 32 CPUs
+"""
+
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import ray
+import ray.data as rd
+
+N_DOCS = 200_000          # ~24M words of text, built worker-side
+N_EVENTS = 5_000_000
+N_BANDS = 20_000
+N_VECS = 100_000
+RSS_BOUND_MB = 900
+
+
+def synth_docs(n_docs: int) -> rd.Dataset:
+    """Worker-side text synthesis: ~120 words/doc, Zipf-ish vocab, with
+    planted shared spans so dup grams exist."""
+    def gen(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 1)
+        vocab = np.array([f"w{i}" for i in range(30_000)])
+        texts = []
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        for i in ids:
+            words = vocab[rng.integers(0, len(vocab), 120)]
+            t = " ".join(words)
+            if i % 50 == 0:
+                t = shared + " " + t
+            texts.append(t)
+        return pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return rd.range(n_docs).map_batches(gen, batch_size=4096,
+                                        batch_format="pandas")
+
+
+def main() -> int:
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ocm_ray.ops.dedup import dup_gram_table, semantic_dedup_pairs
+    from ocm_ray.ops.relational import interval_join_sharded
+
+    results = {}
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+    # 1. dup_gram_table over ~24M grams
+    t0 = time.time()
+    dup = dup_gram_table(synth_docs(N_DOCS), k=5, min_docs=2)
+    n_dup = sum(b.num_rows for b in dup.iter_batches(batch_format="pyarrow"))
+    results["dup_gram"] = {"n_dup_grams": int(n_dup),
+                           "wall": round(time.time() - t0, 1)}
+    assert n_dup >= 4, "planted shared spans must produce dup grams"
+
+    # 2. interval_join_sharded: 5M values x 20k bands (output-bounded
+    # by narrow bands; a couple of unbounded sentinels ride broadcast)
+    def gen_events(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 7)
+        return pd.DataFrame({"eid": ids,
+                             "value": rng.normal(500, 300, len(ids))})
+
+    left = rd.range(N_EVENTS).map_batches(gen_events, batch_size=65536,
+                                          batch_format="pandas")
+    rng = np.random.default_rng(3)
+    import pandas as pd
+
+    lo = rng.uniform(-200, 1200, N_BANDS)
+    bands = pd.DataFrame({"band_id": np.arange(N_BANDS), "lo": lo,
+                          "hi": lo + rng.exponential(0.05, N_BANDS)})
+    bands.loc[N_BANDS - 2:, "lo"] = [-np.inf, 900.0]
+    bands.loc[N_BANDS - 2:, "hi"] = [-100.0, np.inf]
+    t0 = time.time()
+    joined = interval_join_sharded(left, rd.from_pandas(bands), "value",
+                                   right_cols=["band_id"], n_shards=32)
+    n_join = sum(b.num_rows for b in joined.select_columns(["band_id"])
+                 .iter_batches(batch_format="pyarrow"))
+    results["interval_join"] = {"rows": int(n_join),
+                                "wall": round(time.time() - t0, 1)}
+
+    # 3. semantic dedup over 100k vectors (worker-side embeddings)
+    def gen_vecs(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 11)
+        base = rng.normal(size=(len(ids), 32)).astype(np.float32)
+        return pd.DataFrame({"vec_id": ids, "embedding": list(base)})
+
+    vecs = rd.range(N_VECS).map_batches(gen_vecs, batch_size=8192,
+                                        batch_format="pandas")
+    t0 = time.time()
+    pairs = semantic_dedup_pairs(vecs, threshold=0.95, n_clusters=64,
+                                 iters=2)
+    n_pairs = sum(b.num_rows for b in pairs.iter_batches(
+        batch_format="pyarrow"))
+    results["semantic"] = {"pairs": int(n_pairs),
+                           "wall": round(time.time() - t0, 1)}
+
+    peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    ok = peak < RSS_BOUND_MB
+    import json
+
+    print(json.dumps({"results": results,
+                      "driver_rss_before_mb": round(rss0),
+                      "driver_peak_rss_mb": round(peak),
+                      "rss_bound_mb": RSS_BOUND_MB, "ok": ok}))
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
