@@ -23,6 +23,48 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 
+# Noise sentinel (VERDICT r3 #1): the sandbox shares a hypervisor with
+# co-tenants that can steal 50-80% of CPU for minutes at a time, which
+# once put a 19x artifact on the driver record for code that was
+# actually FASTER. A fixed single-core kernel is timed before/after
+# every query; when it drifts past SENTINEL_MAX x the best-ever
+# observation, the window is flagged and the query re-run (bounded).
+# The sentinel series is emitted in the JSON so a degraded artifact is
+# self-describing instead of silently wrong.
+SENTINEL_MAX = float(os.environ.get("SENTINEL_MAX", "1.6"))
+SENTINEL_TRIES = int(os.environ.get("SENTINEL_TRIES", "3"))
+
+_SENT_STATE = {"base": None, "ratios": {}}
+
+
+def _sentinel_time() -> float:
+    """~60 ms of pure single-core integer work (cache-resident; no
+    allocator, no RAM-bandwidth dependence). Best-of-3 inner runs."""
+    import numpy as np
+
+    a = np.arange(1 << 20, dtype=np.uint64)
+    best = float("inf")
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    sh = np.uint64(13)
+    for _ in range(3):
+        x = a.copy()
+        t0 = time.perf_counter()
+        for _ in range(12):
+            x *= mul
+            x ^= x >> sh
+        if int(x[0]) < 0:  # defeat dead-code elimination paranoia
+            raise AssertionError
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _sentinel_ratio() -> float:
+    t = _sentinel_time()
+    base = _SENT_STATE["base"]
+    if base is None or t < base:
+        _SENT_STATE["base"] = base = t
+    return t / base
+
 
 def _timed(fn, repeats=None):
     """Best-of-N wall time (the sandbox has noisy co-tenants; a single
@@ -32,6 +74,26 @@ def _timed(fn, repeats=None):
         t0 = time.perf_counter()
         out = fn()
         best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def _timed_guarded(name, fn, repeats=None):
+    """_timed plus the co-tenant sentinel: after each best-of-N block,
+    re-time the reference kernel; if it runs > SENTINEL_MAX x its
+    best-ever time the window is degraded — retry the whole block (up
+    to SENTINEL_TRIES) and keep the best. The per-query minimum
+    sentinel ratio is recorded for the JSON artifact: a query whose
+    ratio stayed high was NEVER observed in a clean window and its
+    number must be read accordingly."""
+    best, out = float("inf"), None
+    for attempt in range(max(1, SENTINEL_TRIES)):
+        t, out = _timed(fn, repeats)
+        best = min(best, t)
+        r = _sentinel_ratio()
+        prev = _SENT_STATE["ratios"].get(name, float("inf"))
+        _SENT_STATE["ratios"][name] = round(min(prev, r), 2)
+        if r <= SENTINEL_MAX:
+            break
     return best, out
 
 
@@ -65,6 +127,11 @@ def run_bench() -> dict:
 
     P = max(2, NUM_CPUS // 2)  # consumers get half the CPUs; reads the rest
     queries = {}
+    _sentinel_ratio()  # establish the sentinel baseline before any timing
+
+    def timed_q(name, fn, repeats=None):
+        queries[name], out = _timed_guarded(name, fn, repeats)
+        return out
 
     def seq_ds():
         return rd.read_parquet(seq_dir, columns=["tokens"])
@@ -85,60 +152,60 @@ def run_bench() -> dict:
     # not be able to flip the number of record (the r2 bench regression
     # was exactly that — VERDICT r2 §Performance).
     BUILD_REPEATS = max(REPEATS, 4)
-    queries["cm_build"], cm = _timed(lambda: build_sketch_sharded(
+    cm = timed_q("cm_build", lambda: build_sketch_sharded(
         seq_files, lambda: CountMin(20, 7, conservative=True,
                                     counter_dtype="int32")),
         repeats=BUILD_REPEATS)
 
     # 2. flagship: 4-round OCCM (reference script.sh flagship config)
-    queries["occm_build"], occm = _timed(lambda: build_ocm(
+    occm = timed_q("occm_build", lambda: build_ocm(
         np_bits=20, nh=7, rounds=4, conservative=True,
         files=seq_files, partial_counter_dtype="int32"),
         repeats=BUILD_REPEATS)
 
     # 3. point-query throughput: 100k hot tokens against the occm sketch
     qtok = np.arange(100_000, dtype=np.uint64)
-    queries["point_query"], _ = _timed(lambda: occm.estimate(qtok))
+    timed_q("point_query", lambda: occm.estimate(qtok))
 
     # 4. HLL distinct over the corpus
-    queries["hll_distinct"], hll = _timed(lambda: build_sketch_sharded(
+    hll = timed_q("hll_distinct", lambda: build_sketch_sharded(
         seq_files, lambda: HyperLogLog(14)))
 
     # 5. KLL quantiles over doc lengths (sharded path)
-    queries["kll_quantiles"], _ = _timed(lambda: build_sketch_sharded(
+    timed_q("kll_quantiles", lambda: build_sketch_sharded(
         seq_files, lambda: KLL(200), column="n_tok").quantile([0.5, 0.99]))
 
     # 6. exact token counts (the shuffle-bearing oracle path)
-    queries["exact_token_counts"], _ = _timed(lambda: exact_token_counts(
+    timed_q("exact_token_counts", lambda: exact_token_counts(
         seq_ds()).count())
 
     # 7. relational: pricing summary over lineitem
-    queries["pricing_summary"], _ = _timed(lambda: lineitem_pricing_summary(
+    timed_q("pricing_summary", lambda: lineitem_pricing_summary(
         rd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"))).to_pandas())
 
     # 8. text: exact top-100 tokens over documents
-    queries["top_tokens"], _ = _timed(lambda: top_k_tokens(
+    timed_q("top_tokens", lambda: top_k_tokens(
         rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
                         columns=["text"]), k=100).to_pandas())
 
     # 9. dedup: MinHash-LSH near-dup pairs over documents
     from ocm_ray.ops.dedup import minhash_lsh_pairs
 
-    queries["minhash_dedup"], _ = _timed(lambda: minhash_lsh_pairs(
+    timed_q("minhash_dedup", lambda: minhash_lsh_pairs(
         rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
                         columns=["doc_id", "text"]), threshold=0.5))
 
     # 10. text analysis over documents
     from ocm_ray.ops.text import add_text_stats
 
-    queries["text_stats"], _ = _timed(lambda: add_text_stats(
+    timed_q("text_stats", lambda: add_text_stats(
         rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
         concurrency=max(2, NUM_CPUS // 4)).count())
 
     # 11. heavy hitters: HeavyKeeper top-k over the token stream
     from ocm_ray.sketches import HeavyKeeperTopK
 
-    queries["heavykeeper_topk"], _ = _timed(lambda: build_sketch_sharded(
+    timed_q("heavykeeper_topk", lambda: build_sketch_sharded(
         seq_files, lambda: HeavyKeeperTopK(capacity=256, p=16, nh=4)))
 
     # 12. end-to-end curation (stats → quality filter → exact + near
@@ -157,7 +224,7 @@ def run_bench() -> dict:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
-    queries["curation"], _ = _timed(run_curate)
+    timed_q("curation", run_curate)
 
     # 13. similarity: brute-force cosine top-10 for 16 queries
     import pyarrow.parquet as pq
@@ -165,7 +232,7 @@ def run_bench() -> dict:
     empb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
                          columns=["embedding"]).column("embedding")
     qm = np.array([empb[i].as_py() for i in range(16)], dtype=np.float64)
-    queries["ann_topk"], _ = _timed(lambda: brute_force_topk(
+    timed_q("ann_topk", lambda: brute_force_topk(
         rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")), qm, k=10))
 
     # 14-16. round-3 text-curation ops (winnowing fingerprints, Gopher
@@ -178,11 +245,11 @@ def run_bench() -> dict:
         return rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
                                columns=["doc_id", "text"])
 
-    queries["winnow_fp"], _ = _timed(lambda: winnow_fingerprints(
+    timed_q("winnow_fp", lambda: winnow_fingerprints(
         docs_ds(), k=3, window=4).count())
-    queries["gopher_quality"], _ = _timed(lambda: gopher_quality_flags(
+    timed_q("gopher_quality", lambda: gopher_quality_flags(
         docs_ds()).count())
-    queries["unigram_logprob"], _ = _timed(lambda: unigram_logprob(
+    timed_q("unigram_logprob", lambda: unigram_logprob(
         docs_ds()).count())
 
     # 17-18. round-3-session ops: cross-doc repeated n-gram stats
@@ -191,14 +258,14 @@ def run_bench() -> dict:
     from ocm_ray.ops.dedup import dup_ngram_stats
     from ocm_ray.ops.sampling import dsir_scores
 
-    queries["dup_ngram_stats"], _ = _timed(lambda: dup_ngram_stats(
+    timed_q("dup_ngram_stats", lambda: dup_ngram_stats(
         docs_ds(), k=5).count())
 
     def docs_src_ds():
         return rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
                                columns=["doc_id", "source", "text"])
 
-    queries["dsir_scores"], _ = _timed(lambda: dsir_scores(
+    timed_q("dsir_scores", lambda: dsir_scores(
         docs_src_ds(), target_values=["src0", "src1"]).count())
 
     ray.shutdown()
@@ -217,6 +284,15 @@ def run_bench() -> dict:
         "occm_tokens_per_sec_per_pass": round(
             n_tokens * 4 / queries["occm_build"]),
         "hll_tokens_per_sec": round(n_tokens / queries["hll_distinct"]),
+        # co-tenant noise sentinel (see _timed_guarded): per-query MIN
+        # ratio of the fixed single-core kernel vs its best-ever time.
+        # ~1.0 = the query's best-of-N overlapped a clean window;
+        # > SENTINEL_MAX = never observed clean, number is an upper bound
+        "sentinel": {
+            "base_sec": round(_SENT_STATE["base"], 4),
+            "max_clean": SENTINEL_MAX,
+            "ratios": dict(_SENT_STATE["ratios"]),
+        },
     }
 
 
@@ -243,10 +319,11 @@ def run_cm_only() -> dict:
     seq_dir = ensure_sequences(docs, seed=42, n_files=64)
     seq_files = sorted(_glob.glob(os.path.join(seq_dir, "*.parquet")))
     build_sketch_sharded(seq_files, lambda: HyperLogLog(8))  # warmup
+    _sentinel_ratio()  # establish sentinel baseline
     best = float("inf")
     n_tokens = 0
     for _ in range(3):  # best-of-3: the sandbox has noisy co-tenants
-        dt, sk = _timed(lambda: build_sketch_sharded(
+        dt, sk = _timed_guarded("cm_probe", lambda: build_sketch_sharded(
             seq_files, lambda: CountMin(20, 7, conservative=True,
                                         counter_dtype="int32")))
         best = min(best, dt)
@@ -254,7 +331,8 @@ def run_cm_only() -> dict:
     ray.shutdown()
     return {"metric": "cm_build_seconds", "value": round(best, 3),
             "unit": "sec", "num_cpus": NUM_CPUS, "n_tokens": n_tokens,
-            "cm_tokens_per_sec": round(n_tokens / best)}
+            "cm_tokens_per_sec": round(n_tokens / best),
+            "sentinel_ratio": _SENT_STATE["ratios"].get("cm_probe")}
 
 
 def run_scaling() -> dict:
@@ -300,6 +378,8 @@ def run_scaling() -> dict:
                 "tokens_per_sec_hi": thr_hi,
                 "sec_lo": r_lo["value"],
                 "sec_hi": r_hi["value"],
+                "sentinel_lo": r_lo.get("sentinel_ratio"),
+                "sentinel_hi": r_hi.get("sentinel_ratio"),
             }
         if eff >= 0.9:
             break

@@ -92,10 +92,15 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     # (duplicated hashes + their keeper ids + near-dup drops) once via
     # ray.put; each batch recomputes its content hashes and drops rows
     # that are (a) non-keeper exact copies or (b) near-dup b-sides.
-    order = np.argsort(dup_map["content_hash"].to_numpy()) if len(dup_map) \
-        else np.empty(0, dtype=np.int64)
-    dup_hashes = dup_map["content_hash"].to_numpy()[order]
-    dup_keep_id = dup_map["doc_id"].to_numpy()[order]
+    if len(dup_map) and "content_hash" in dup_map.columns:
+        order = np.argsort(dup_map["content_hash"].to_numpy())
+        dup_hashes = dup_map["content_hash"].to_numpy()[order]
+        dup_keep_id = dup_map["doc_id"].to_numpy()[order]
+    else:
+        # no exact duplicates at all: an empty Ray->pandas result can
+        # drop its column schema entirely, so don't index into it
+        dup_hashes = np.empty(0, dtype=np.int64)
+        dup_keep_id = np.empty(0, dtype=np.int64)
     import ray as _ray
 
     drop_ref = _ray.put((dup_hashes, dup_keep_id, np.sort(drop_near)))
