@@ -836,7 +836,8 @@ def dup_ngram_stats(ds: Dataset, k: int = 5, min_docs: int = 2,
                     lowercase: bool = True, seed: int = 137,
                     n_shards: int = 64,
                     max_broadcast: int = 8_000_000,
-                    tokens_col: str = None) -> Dataset:
+                    tokens_col: str = None,
+                    distributed: bool = None) -> Dataset:
     """Per-document cross-corpus repeated-k-gram statistics: for each doc
     ``(id, n_grams, n_dup_grams, n_distinct_dup_grams, max_dup_run)``
     where a *dup gram* occurs in >= ``min_docs`` distinct documents and
@@ -847,28 +848,47 @@ def dup_ngram_stats(ds: Dataset, k: int = 5, min_docs: int = 2,
     documented contract).
 
     Scale shape: discovery via :func:`dup_gram_table` (shard_scan
-    exchange); the dup-gram set then travels ONCE via ``ray.put`` and
-    the corpus side is a single stateless vectorized map pass — run
-    lengths need doc-local gram order, which only the broadcast probe
-    preserves without a second positional exchange. The broadcast is
-    bounded by the duplicated-gram vocabulary (~64 MB at the default
-    cap); corpora whose dup vocabulary exceeds it should raise ``k``
-    (longer grams -> geometrically fewer cross-doc repeats) or fall
-    back to suffix-array sharding, per Lee et al."""
-    from ocm_ray.ops.retrieval import _sorted_member
+    exchange). The PROBE then auto-dispatches on the duplicated-gram
+    vocabulary size (``dup_ds.count()`` — block-count sum, nothing
+    pulled to the driver):
 
+    * ``<= max_broadcast`` (~64 MB): the dup-gram set travels ONCE via
+      ``ray.put`` and the corpus side is a single stateless vectorized
+      map pass (fastest — run lengths read doc-local gram order in
+      place).
+    * above the cap (100 TB web text — the dup vocabulary is unbounded):
+      NO driver materialization and NO broadcast. The corpus is
+      re-walked once into ``(gram, doc_key, pos)`` triples plus one
+      ``(doc_key, id, n_grams)`` meta row per doc; a gram-sharded
+      :func:`ocm_ray.ops.pairs.shard_scan2` marks membership against
+      the co-sharded dup-gram table worker-side (only HIT triples
+      survive), and a second doc-sharded exchange regroups hits with
+      the meta rows to rebuild doc-local order and run lengths. Driver
+      holds ObjectRefs only; every task sees one gram- or doc-shard.
+
+    ``distributed`` forces the path (None = auto). Both paths produce
+    identical values (parity-tested); only row order differs."""
     grams_of = _gram_fn(text_col, tokens_col, k, lowercase, seed)
     dup_ds = dup_gram_table(ds, k, min_docs, text_col, lowercase, seed,
                             n_shards, tokens_col=tokens_col)
+    if distributed is None:
+        distributed = dup_ds.count() > max_broadcast
+    if distributed:
+        return _dup_stats_exchange(ds, dup_ds, grams_of, id_col, n_shards)
+    return _dup_stats_broadcast(ds, dup_ds, grams_of, id_col)
+
+
+def _dup_stats_broadcast(ds: Dataset, dup_ds: Dataset, grams_of,
+                         id_col: str) -> Dataset:
+    """Small-dup-vocabulary probe: one ``ray.put`` of the sorted dup-gram
+    array, one stateless vectorized map pass over the corpus."""
+    from ocm_ray.ops.retrieval import _sorted_member
+
     parts = [b.column("gram").to_numpy(zero_copy_only=False)
              for b in dup_ds.iter_batches(batch_format="pyarrow")
              if b.num_rows]
     dup = np.sort(np.concatenate(parts).view(U64)) if parts \
         else np.empty(0, U64)
-    if len(dup) > max_broadcast:
-        raise ValueError(
-            f"dup_ngram_stats: {len(dup)} duplicated {k}-grams exceed the "
-            f"broadcast cap {max_broadcast}; raise k or the cap")
     ref = ray.put(dup)
 
     def mark(batch: pa.Table) -> pa.Table:
@@ -907,6 +927,143 @@ def dup_ngram_stats(ds: Dataset, k: int = 5, min_docs: int = 2,
         })
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def _dup_stats_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
+                        id_col: str, n_shards: int) -> Dataset:
+    """Unbounded-dup-vocabulary probe: positional two-exchange plan (see
+    :func:`dup_ngram_stats`). Doc identity travels as a stable 64-bit
+    hash of the id (the engine-wide 64-bit hash-domain contract — same
+    collision caveat as the gram hashes themselves)."""
+    import pyarrow.compute as pc
+
+    from ocm_ray.engine.tokens import hash_string_array
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan2
+    from ocm_ray.ops.retrieval import _sorted_member
+
+    bits = _shard_bits(n_shards)
+
+    def top_bits(vals_u64: np.ndarray) -> np.ndarray:
+        return (vals_u64 >> U64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(vals_u64), np.int32)
+
+    def doc_keys(batch: pa.Table) -> np.ndarray:
+        col = batch.column(id_col)
+        if not pa.types.is_string(col.type) and \
+                not pa.types.is_large_string(col.type) and \
+                not pa.types.is_binary(col.type) and \
+                not pa.types.is_large_binary(col.type):
+            col = pc.cast(col, pa.string())
+        return hash_string_array(col)
+
+    # pass: triples (gram, dkey, pos) + one meta row (pos = -1, gram
+    # slot reused for n_grams) per doc, in ONE extraction, materialized
+    # so the two consumers below don't re-run it
+    def emit_combined(batch: pa.Table) -> pa.Table:
+        g, rowid, nrows = grams_of(batch)
+        dk = doc_keys(batch)
+        n_grams = np.bincount(rowid, minlength=nrows).astype(np.int64)
+        # within-doc positional index (rowid is grouped, in text order)
+        if len(g):
+            row_change = np.concatenate([[True], rowid[1:] != rowid[:-1]])
+            starts = np.flatnonzero(row_change)
+            lens = np.diff(np.concatenate([starts, [len(g)]]))
+            pos = np.arange(len(g), dtype=np.int64) - np.repeat(starts, lens)
+        else:
+            pos = np.empty(0, np.int64)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        meta_ids = ids
+        tri_ids = pa.nulls(len(g), type=ids.type)
+        return pa.table({
+            "gram": pa.array(np.concatenate(
+                [g.view(np.int64), n_grams])),
+            "dkey": pa.array(np.concatenate(
+                [dk[rowid].view(np.int64) if len(g) else
+                 np.empty(0, np.int64), dk.view(np.int64)])),
+            "pos": pa.array(np.concatenate(
+                [pos, np.full(nrows, -1, np.int64)])),
+            id_col: pa.concat_arrays([tri_ids, meta_ids]),
+        })
+
+    combined = ds.map_batches(emit_combined,
+                              batch_format="pyarrow").materialize()
+    triples = combined.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("pos"),
+                                            pa.scalar(0)))
+                   .select(["gram", "dkey", "pos"]),
+        batch_format="pyarrow")
+    def meta_of(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.less(t.column("pos"), pa.scalar(0)))
+        return pa.table({"dkey": m.column("dkey"),
+                         "n_grams": m.column("gram"),
+                         id_col: m.column(id_col)})
+
+    meta = combined.map_batches(meta_of, batch_format="pyarrow")
+
+    # exchange 1: mark — co-shard dup grams and triples by gram top bits
+    def shard_by_gram(tbl: pa.Table) -> np.ndarray:
+        return top_bits(tbl.column("gram")
+                        .to_numpy(zero_copy_only=False).view(U64))
+
+    def scan_mark(dup_tbl: pa.Table, tri_tbl: pa.Table) -> pa.Table:
+        dup = np.sort(dup_tbl.column("gram")
+                      .to_numpy(zero_copy_only=False).view(U64))
+        g = tri_tbl.column("gram").to_numpy(zero_copy_only=False).view(U64)
+        return tri_tbl.filter(pa.array(_sorted_member(dup, g)))
+
+    hits = shard_scan2(dup_ds, triples, shard_by_gram, shard_by_gram,
+                       scan_mark, n_shards)
+
+    # exchange 2: regroup hits with meta by doc-key top bits
+    def shard_by_dkey(tbl: pa.Table) -> np.ndarray:
+        return top_bits(tbl.column("dkey")
+                        .to_numpy(zero_copy_only=False).view(U64))
+
+    def scan_doc(hit_tbl: pa.Table, meta_tbl: pa.Table) -> pa.Table:
+        nrows = meta_tbl.num_rows
+        n_grams = meta_tbl.column("n_grams")\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dup = np.zeros(nrows, np.int64)
+        n_distinct = np.zeros(nrows, np.int64)
+        max_run = np.zeros(nrows, np.int64)
+        if hit_tbl.num_rows and nrows:
+            mdk = meta_tbl.column("dkey")\
+                .to_numpy(zero_copy_only=False).view(U64)
+            morder = np.argsort(mdk, kind="stable")
+            msorted = mdk[morder]
+            dk = hit_tbl.column("dkey")\
+                .to_numpy(zero_copy_only=False).view(U64)
+            pos = hit_tbl.column("pos").to_numpy(zero_copy_only=False)
+            g = hit_tbl.column("gram")\
+                .to_numpy(zero_copy_only=False).view(U64)
+            mi = np.minimum(np.searchsorted(msorted, dk), nrows - 1)
+            row = morder[mi]           # meta row per hit (co-sharded,
+            n_dup = np.bincount(row,   # so every hit's doc is present)
+                                minlength=nrows).astype(np.int64)
+            o2 = np.lexsort((g, row))
+            rs, gs = row[o2], g[o2]
+            first = np.concatenate([[True], (rs[1:] != rs[:-1])
+                                    | (gs[1:] != gs[:-1])])
+            n_distinct = np.bincount(rs[first],
+                                     minlength=nrows).astype(np.int64)
+            o3 = np.lexsort((pos, row))
+            rr, pp = row[o3], pos[o3]
+            new_run = np.concatenate(
+                [[True], (rr[1:] != rr[:-1]) | (pp[1:] != pp[:-1] + 1)])
+            run_lens = np.bincount(np.cumsum(new_run) - 1)
+            np.maximum.at(max_run, rr[new_run], run_lens)
+        return pa.table({
+            id_col: meta_tbl.column(id_col),
+            "n_grams": pa.array(n_grams),
+            "n_dup_grams": pa.array(n_dup),
+            "n_distinct_dup_grams": pa.array(n_distinct),
+            "max_dup_run": pa.array(max_run),
+        })
+
+    return shard_scan2(hits, meta, shard_by_dkey, shard_by_dkey,
+                       scan_doc, n_shards)
 
 
 # ---------------------------------------------------------------------------

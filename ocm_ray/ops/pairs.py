@@ -121,12 +121,13 @@ def shard_scan(ds: Dataset, shard_fn, scan_fn, n_shards: int) -> Dataset:
     import ray
     import ray.data as rd
 
-    def split_block(tbl: pa.Table):
+    def split_block(tbl):
         # ray.put each sub-table (ALWAYS the shared object store): plain
         # num_returns returns under ~100 KB land in the DRIVER-owned
         # in-process store, which would re-centralize the whole shuffle
         # into driver RSS — the failure mode this function exists to
         # avoid. Returned list of refs is tiny.
+        tbl = _as_arrow(tbl)
         return [ray.put(part)
                 for part in _split_by_shard(tbl, shard_fn(tbl), n_shards)]
 
@@ -140,22 +141,47 @@ def shard_scan(ds: Dataset, shard_fn, scan_fn, n_shards: int) -> Dataset:
 
     scan_task = ray.remote(scan_shard)
 
-    block_refs = ds.to_arrow_refs()
+    # wave-scheduled split (VERDICT r3 #5): consume the upstream as a
+    # STREAM of block refs and launch each block's split task the moment
+    # the block exists, so the exchange's split wave overlaps the
+    # upstream map instead of barriering behind a full to_arrow_refs()
+    # materialization. The driver still holds only refs.
+    block_refs, split_refs = _streamed_splits(ds, split_task)
     if not block_refs:
         sch = ds.schema()
         arrow_sch = getattr(sch, "base_schema", sch)
         return rd.from_arrow(scan_fn(arrow_sch.empty_table()))
     if n_shards == 1:
         def scan_all(*blocks):
-            nonempty = [b for b in blocks if b.num_rows]
+            nonempty = [b for b in map(_as_arrow, blocks) if b.num_rows]
             return scan_fn(pa.concat_tables(nonempty) if nonempty
-                           else blocks[0])
+                           else _as_arrow(blocks[0]))
         return rd.from_arrow_refs([ray.remote(scan_all).remote(*block_refs)])
-    per_block = ray.get([split_task.remote(r) for r in block_refs])
+    per_block = ray.get(split_refs)
     out = [scan_task.remote([per_block[b][s]
                              for b in range(len(per_block))])
            for s in range(n_shards)]
     return rd.from_arrow_refs(out)
+
+
+def _as_arrow(block) -> pa.Table:
+    """Blocks from the streaming iterator may be pandas (upstream block
+    format is the producer's choice); normalize worker-side."""
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
+def _streamed_splits(ds: Dataset, split_task):
+    """Iterate ``ds``'s internal ref bundles (streaming — bundles appear
+    as the executor produces them) and launch one split task per block
+    immediately. Returns (block_refs, split_result_refs)."""
+    block_refs, split_refs = [], []
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            block_refs.append(bref)
+            split_refs.append(split_task.remote(bref))
+    return block_refs, split_refs
 
 
 def collision_pairs(band_ds: Dataset, n_shards: int = 64,
@@ -240,7 +266,8 @@ def shard_scan2(ds_a: Dataset, ds_b: Dataset, shard_fn_a, shard_fn_b,
     import ray.data as rd
 
     def make_split(shard_fn):
-        def split_block(tbl: pa.Table):
+        def split_block(tbl):
+            tbl = _as_arrow(tbl)
             return [ray.put(part)
                     for part in _split_by_shard(tbl, shard_fn(tbl), n_shards)]
         return ray.remote(split_block)
@@ -253,16 +280,19 @@ def shard_scan2(ds_a: Dataset, ds_b: Dataset, shard_fn_a, shard_fn_b,
         return scan_fn(a_tbl, b_tbl)
 
     scan_task = ray.remote(scan_shard)
-    refs_a, refs_b = ds_a.to_arrow_refs(), ds_b.to_arrow_refs()
+    split_a, split_b = make_split(shard_fn_a), make_split(shard_fn_b)
+    # wave-scheduled (see shard_scan): splits launch as upstream blocks
+    # stream out of each side's executor
+    refs_a, splits_a = _streamed_splits(ds_a, split_a)
+    refs_b, splits_b = _streamed_splits(ds_b, split_b)
     if not refs_a or not refs_b:
         sa = ds_a.schema()
         sb = ds_b.schema()
         return rd.from_arrow(scan_fn(
             getattr(sa, "base_schema", sa).empty_table(),
             getattr(sb, "base_schema", sb).empty_table()))
-    split_a, split_b = make_split(shard_fn_a), make_split(shard_fn_b)
-    per_a = ray.get([split_a.remote(r) for r in refs_a])
-    per_b = ray.get([split_b.remote(r) for r in refs_b])
+    per_a = ray.get(splits_a)
+    per_b = ray.get(splits_b)
     out = [scan_task.remote([per_a[i][s] for i in range(len(per_a))],
                             [per_b[i][s] for i in range(len(per_b))])
            for s in range(n_shards)]

@@ -29,6 +29,7 @@ N_DOCS = 200_000          # ~24M words of text, built worker-side
 N_EVENTS = 5_000_000
 N_BANDS = 20_000
 N_VECS = 100_000
+N_DNG_DOCS = 240_000      # identical-twin pairs → ~13.9M dup grams (> cap)
 RSS_BOUND_MB = 900
 
 
@@ -121,6 +122,48 @@ def main() -> int:
         batch_format="pyarrow"))
     results["semantic"] = {"pairs": int(n_pairs),
                            "wall": round(time.time() - t0, 1)}
+
+    # 4. dup_ngram_stats with a dup-gram vocabulary ABOVE the broadcast
+    # cap (round 4: the positional-exchange path replaces the old
+    # ValueError). 240k docs in identical-twin pairs — every 5-gram is
+    # duplicated, ~13.9M distinct dup grams >> max_broadcast=8M, so the
+    # auto-dispatch MUST take the exchange plan; the driver never holds
+    # the dup-gram set or the hit triples.
+    from ocm_ray.ops.dedup import dup_ngram_stats
+
+    def gen_twins(batch):
+        import pandas as pd
+
+        from ocm_ray.core.hashing import wanghash
+
+        ids = batch["id"].to_numpy()
+        p = (ids // 2).astype(np.uint64)       # twin pairs share a text
+        L = 120
+        key = (p[:, None] * np.uint64(1000003)
+               + np.arange(L, dtype=np.uint64)[None, :])
+        w = (wanghash(key) % np.uint64(30_000)).astype(np.int64)
+        vocab = np.array([f"w{i}" for i in range(30_000)])
+        texts = [" ".join(row) for row in vocab[w]]
+        return pd.DataFrame({"doc_id": ids, "text": texts})
+
+    twins = rd.range(N_DNG_DOCS).map_batches(gen_twins, batch_size=4096,
+                                             batch_format="pandas")
+    t0 = time.time()
+    stats = dup_ngram_stats(twins, k=5)        # auto: must pick exchange
+    n_rows = 0
+    n_all_dup = 0
+    for b in stats.iter_batches(batch_format="pyarrow"):
+        n_rows += b.num_rows
+        nd = b.column("n_dup_grams").to_numpy(zero_copy_only=False)
+        ng = b.column("n_grams").to_numpy(zero_copy_only=False)
+        n_all_dup += int((nd == ng).sum())
+    results["dup_ngram_exchange"] = {"docs": int(n_rows),
+                                     "all_dup_docs": int(n_all_dup),
+                                     "wall": round(time.time() - t0, 1)}
+    assert n_rows == N_DNG_DOCS
+    # twins share their entire text: every gram of every doc is a dup
+    assert n_all_dup == N_DNG_DOCS, \
+        f"expected every doc fully duplicated, got {n_all_dup}/{n_rows}"
 
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     ok = peak < RSS_BOUND_MB
