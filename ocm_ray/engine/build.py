@@ -238,16 +238,33 @@ def grouped_sketches(ds: Dataset, key: str, factory: SketchFactory,
     rule 3b). Every key lands wholly in one shard, so the scan output is
     exactly one row per key; the driver folds only that keys-sized
     table."""
+    def _key_runs(keys_np: np.ndarray):
+        """One stable sort → (order, run starts, run lengths): every
+        distinct key becomes one contiguous slice. Linear in rows +
+        sort, independent of key cardinality (the per-key
+        ``Table.filter`` this replaces re-scanned the whole batch per
+        distinct key — quadratic-ish at 10k+ keys, VERDICT r3 #6)."""
+        order = np.argsort(keys_np, kind="stable")
+        ks = keys_np[order]
+        run = np.concatenate([[True], ks[1:] != ks[:-1]]) if len(ks) \
+            else np.empty(0, bool)
+        starts = np.flatnonzero(run)
+        lens = np.diff(np.concatenate([starts, [len(ks)]]))
+        return order, ks, starts, lens
+
     def partials(batch: pa.Table):
         out_keys, out_states = [], []
-        keys = batch.column(key).to_numpy(zero_copy_only=False)
-        for kv in np.unique(keys):
-            sub = batch.filter(pa.compute.equal(batch.column(key), kv))
+        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+        order, ks, starts, lens = _key_runs(keys_np)
+        sorted_tbl = batch.take(pa.array(order))
+        for s, n in zip(starts, lens):
             sk = factory()
-            sk.update(items_from_batch(sub, column, kgram))
-            out_keys.append(kv)
+            sk.update(items_from_batch(sorted_tbl.slice(int(s), int(n)),
+                                       column, kgram))
+            out_keys.append(ks[s])
             out_states.append(sk.to_bytes())
-        return pa.table({key: out_keys,
+        return pa.table({key: pa.array(out_keys,
+                                       type=batch.schema.field(key).type),
                          "state": pa.array(out_states, type=pa.binary())})
 
     from ocm_ray.ops.pairs import shard_scan
@@ -268,13 +285,14 @@ def grouped_sketches(ds: Dataset, key: str, factory: SketchFactory,
     def merge_shard(tbl: pa.Table) -> pa.Table:
         keys_np = tbl.column(key).to_numpy(zero_copy_only=False)
         states = tbl.column("state").to_pylist()
+        order, ks, starts, lens = _key_runs(keys_np)
         out_k, out_s = [], []
-        for kv in np.unique(keys_np):
-            idx = np.flatnonzero(keys_np == kv)
+        for s, n in zip(starts, lens):
+            idx = order[s:s + n]
             acc = MergeableSketch.from_bytes(states[idx[0]]).ensure_writable()
             for i in idx[1:]:
                 acc.merge(MergeableSketch.from_bytes(states[i]))
-            out_k.append(kv)
+            out_k.append(ks[s])
             out_s.append(acc.to_bytes())
         return pa.table({key: pa.array(out_k,
                                        type=tbl.schema.field(key).type),

@@ -161,6 +161,19 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
     and reuses it for every pass — only for corpora that fit the store
     (2n-1x fewer reads/decodes); leave False at full scale, where the
     offline algorithm's re-scans stream from Parquet.
+
+    NOTE on ``collapse_threshold`` (ADVICE r3 #3): the bounded-vocab
+    collapse changes the GROUPING the conservative/OCCM update sees —
+    one global multiset vs per-shard count tables — and grouped
+    conservative updates are grouping-dependent, so the same corpus can
+    yield different (both valid) sketch bytes on either side of the
+    threshold. Every variant keeps the one-sided sandwich
+    ``true <= est <= vanilla-CM est`` (pinned by
+    ``tests/test_round4.py::test_occm_collapse_vs_sharded_sandwich``);
+    non-conservative OCM passes are pure multiset functions and stay
+    bit-exact across the two paths. The gate is the SUM of per-shard
+    table lengths (a cheap upper bound of the global distinct count):
+    crossing it only ever switches between these two valid groupings.
     """
     from ocm_ray.engine.build import _cap_consumers
 

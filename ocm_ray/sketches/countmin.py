@@ -185,9 +185,21 @@ class CountMin(_CMGeometry):
         cell-wise-min intersect); standard published estimator."""
         assert (self.np_bits, self.nh, self.seedseed) == \
                (other.np_bits, other.nh, other.seedseed), "geometry mismatch"
-        a = self.core.reshape(self.nh, -1).astype(np.float64)
-        b = other.core.reshape(self.nh, -1).astype(np.float64)
-        return int((a * b).sum(axis=1).min())
+        # exact integer accumulation (ADVICE r3 #4): a float64 dot can
+        # round DOWN past 2^53 and break the documented one-sided
+        # (always >= true) guarantee. Fast path: int64 products when an
+        # upper bound proves no overflow; else arbitrary-precision
+        # Python ints (object dtype) — exact at any N.
+        a = self.core.reshape(self.nh, -1)
+        b = other.core.reshape(self.nh, -1)
+        amax, bmax = int(a.max()), int(b.max())
+        if amax * bmax * a.shape[1] < 2 ** 62:
+            a64 = a.astype(np.int64, copy=False)
+            b64 = b.astype(np.int64, copy=False)
+            return int((a64 * b64).sum(axis=1).min())
+        dots = [int(np.multiply(ra.astype(object), rb.astype(object)).sum())
+                for ra, rb in zip(a, b)]
+        return min(dots)
 
     # ---- merge / io --------------------------------------------------------
     def merge(self, other: "CountMin") -> "CountMin":

@@ -12,6 +12,15 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def seq_dir():
+    from ocm_ray.data.sequences import ensure_sequences
+
+    return ensure_sequences(500, seed=42, n_files=8)
+
 
 def _mixed_corpus(n=400, seed=7):
     rng = np.random.default_rng(seed)
@@ -72,3 +81,107 @@ def test_dup_ngram_stats_exchange_tokens_domain_and_int_ids():
                          n_shards=8)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_occm_collapse_vs_sharded_sandwich(seq_dir):
+    """ADVICE r3 #3: the bounded-vocab collapse regroups what the
+    conservative update sees, so collapsed and sharded OCCM may differ
+    in bytes — but BOTH must stay inside the documented sandwich
+    ``true <= est <= vanilla-CM est`` for every token, and the
+    non-conservative OCM build must stay BIT-EXACT across the paths
+    (its passes are multiset functions)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from ocm_ray.engine.rounds import build_ocm
+    from ocm_ray.sketches import CountMin
+
+    files = sorted(_glob.glob(_os.path.join(seq_dir, "*.parquet")))
+    kw = dict(np_bits=10, nh=3, rounds=3, files=files)
+    occ_coll = build_ocm(conservative=True, collapse_threshold=1 << 30, **kw)
+    occ_shard = build_ocm(conservative=True, collapse_threshold=0, **kw)
+    ocm_coll = build_ocm(conservative=False, collapse_threshold=1 << 30, **kw)
+    ocm_shard = build_ocm(conservative=False, collapse_threshold=0, **kw)
+    assert np.array_equal(ocm_coll.core, ocm_shard.core)
+    assert np.array_equal(ocm_coll.collision, ocm_shard.collision)
+
+    # exact truth + a vanilla CM upper bound over the same stream
+    toks = np.concatenate([np.concatenate(
+        pq.read_table(f, columns=["tokens"]).column("tokens").to_pylist())
+        for f in files]).astype(np.uint64)
+    uniq, cnt = np.unique(toks, return_counts=True)
+    vans = CountMin(10, 3, conservative=False)
+    vans.update(toks)
+    van_est = vans.estimate(uniq)
+    for occ in (occ_coll, occ_shard):
+        est = occ.estimate(uniq)
+        assert (est >= cnt).all(), "one-sided guarantee broken"
+        assert (est <= van_est).all(), "conservative above vanilla"
+
+
+def test_grouped_sketches_many_keys_linear():
+    """VERDICT r3 #6: per-batch grouped partials are one sort + slice
+    pass — 10k distinct keys in one batch must stay tractable (the old
+    per-key Table.filter re-scanned the batch per key) and correct."""
+    import time
+
+    import ray.data as rd
+
+    from ocm_ray.engine.build import grouped_sketches
+    from ocm_ray.sketches import HyperLogLog
+
+    n_keys, reps = 10_000, 3
+    keys = np.repeat(np.arange(n_keys), reps)
+    toks = np.arange(len(keys), dtype=np.int64)
+    df = pd.DataFrame({"src": keys,
+                       "tokens": [[int(t)] for t in toks]})
+    ds = rd.from_pandas(df).repartition(2)
+    t0 = time.perf_counter()
+    out = grouped_sketches(ds, "src", lambda: HyperLogLog(6),
+                           column="tokens", n_shards=8)
+    wall = time.perf_counter() - t0
+    assert len(out) == n_keys
+    # every key saw exactly `reps` distinct tokens; HLL(6) at n=3 is exact
+    # in expectation-range — assert the estimate is plausibly around 3
+    some = [out[k].estimate() for k in range(0, n_keys, 997)]
+    assert all(0 < e < 12 for e in some)
+    assert wall < 120, f"grouped partials took {wall:.0f}s for 10k keys"
+
+
+def test_broadcast_join_arrow_native():
+    """VERDICT r3 #7: broadcast_join is pa.Table.join per batch (no
+    pandas conversion); values and row multiplicity match a pandas
+    merge."""
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import broadcast_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 3000),
+                         "v": rng.normal(size=3000)})
+    small = pd.DataFrame({"k": np.arange(0, 40),
+                          "name": [f"n{i}" for i in range(40)]})
+    got = (broadcast_join(rd.from_pandas(left).repartition(4), small, "k")
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    want = (left.merge(small, on="k", how="inner")
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
+
+
+def test_inner_product_exact_past_float53():
+    """ADVICE r3 #4: inner_product must not round down through float64
+    — construct counters whose row dot exceeds 2^53 and check exactness
+    against arbitrary-precision arithmetic."""
+    from ocm_ray.sketches import CountMin
+
+    a = CountMin(4, 3, conservative=False, counter_dtype="int64")
+    b = CountMin(4, 3, conservative=False, counter_dtype="int64")
+    big = 3_037_000_499  # ~2^31.5: big*big > 2^62 per cell
+    a.core[:] = big
+    b.core[:] = big
+    w = 1 << 4
+    exact = big * big * w          # per-row dot (> int64 max: the sum
+    assert a.inner_product(b) == exact  # must go arbitrary-precision)
