@@ -13,6 +13,7 @@ from ocm_ray.sketches.base import (
     sketch_class,
 )
 from ocm_ray.sketches.bbmh import BBitMinHash
+from ocm_ray.sketches.pmh import ProbMinHash
 from ocm_ray.sketches.bloom import BloomFilter, CountingBloomFilter, FilterHLL
 from ocm_ray.sketches.countmin import CountMin, OfflineCountMin
 from ocm_ray.sketches.countsketch import CountSketch, CountSketch4W, TopK
@@ -36,5 +37,6 @@ __all__ = [
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
     "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
     "HyperMinHash", "BBitMinHash", "SetSketch", "WeightedMinHash",
+    "ProbMinHash",
     "ModSketch", "VACSketch",
 ]

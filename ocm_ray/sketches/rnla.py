@@ -14,9 +14,21 @@ compress(b)`` exactly, so compressed per-partition vectors merge by
 addition (the mergeable-UDAF shape). Deviation: the reference's
 ``KWiseHasherSet<4>`` polynomial hashes are replaced by the engine's
 WangHash chain over ``(index ^ table-seed)`` — same independence role,
-one hash codec everywhere (CLAUDE.md rule 8). wz_compress /
-PStableSketcher (Lp sampling, ``rnla.h:107-154,341-440``) remain out of
-scope — documented in SURVEY §2.3.
+one hash codec everywhere (CLAUDE.md rule 8).
+
+``wz_compress`` / ``wz_decompress`` (``rnla.h:109-194``, the
+Woodruff-Zhang-style exponentially-scaled CountSketch): identical
+bucket/sign layout, but each ``(i, j)`` contribution is additionally
+multiplied by a deterministic ``Exp(p)`` draw keyed by the same hash;
+decompression divides the draw back out before the median. The scaling
+implements Lp-sampling-style heavy-coordinate recovery (the reference
+seeds a per-(i,j) RNG from the hash quotient, ``rnla.h:122-125``; here
+the draw is ``-log(U(WangHash(h)))/p`` — same distribution, engine
+codec). Still LINEAR in the input vector, so partial compressions
+merge by addition.
+
+PStableSketcher (``rnla.h:341-440``) remains out of scope — documented
+in SURVEY §2.3.
 """
 
 from __future__ import annotations
@@ -74,6 +86,58 @@ def cs_decompress(sk: np.ndarray, d: int, seedseed: int = 137) -> np.ndarray:
         bucket = ((h >> U64(1)) % U64(newdim)).astype(np.int64)
         for j in range(ns):
             ests[j, :hi - lo] = sk[j, bucket[j]] * sign[j]
+        est[lo:hi] = np.median(ests[:, :hi - lo], axis=0)
+    return est
+
+
+def _exp_draws(h: np.ndarray, p: float) -> np.ndarray:
+    """Deterministic per-(index, table) Exp(p) draws keyed by the
+    bucket hash — the reference's ``RNG rng(dm.quot >> 1);
+    exponential_distribution gen(p)`` (``rnla.h:122-125``), engine
+    codec."""
+    u = (wanghash(h).astype(np.float64) + 1.0) * 2.0 ** -64   # (0, 1]
+    return -np.log(u) / p
+
+
+def wz_compress(vec: np.ndarray, newdim: int, ns: int = 5, p: float = 1.0,
+                seedseed: int = 137) -> np.ndarray:
+    """Woodruff-Zhang-style compression (``rnla.h:109-130``): CountSketch
+    layout with each contribution scaled by a deterministic Exp(p) draw.
+    Linear in ``vec`` — partial compressions merge by addition."""
+    vec = np.asarray(vec, dtype=np.float64)
+    d = len(vec)
+    seeds = derive_seeds(ns, seedseed)
+    out = np.zeros((ns, newdim), dtype=np.float64)
+    step = max(1, _CHUNK // max(ns, 1))
+    for lo in range(0, d, step):
+        hi = min(lo + step, d)
+        h, sign = _bucket_sign_chunk(lo, hi, seeds)
+        bucket = ((h >> U64(1)) % U64(newdim)).astype(np.int64)
+        mult = _exp_draws(h, p) * sign
+        seg = vec[lo:hi]
+        for j in range(ns):                  # loop over TABLES only
+            np.add.at(out[j], bucket[j], seg * mult[j])
+    return out
+
+
+def wz_decompress(sk: np.ndarray, d: int, p: float = 1.0,
+                  seedseed: int = 137) -> np.ndarray:
+    """Median-of-tables recovery with the Exp(p) draw divided back out
+    (``rnla.h:165-186``): entry i's own contribution cancels exactly;
+    colliding entries are damped/amplified by their draw ratios, which
+    the median suppresses."""
+    ns, newdim = sk.shape
+    seeds = derive_seeds(ns, seedseed)
+    est = np.empty(d, dtype=np.float64)
+    step = max(1, _CHUNK // max(ns, 1))
+    ests = np.empty((ns, step), dtype=np.float64)
+    for lo in range(0, d, step):
+        hi = min(lo + step, d)
+        h, sign = _bucket_sign_chunk(lo, hi, seeds)
+        bucket = ((h >> U64(1)) % U64(newdim)).astype(np.int64)
+        mult = _exp_draws(h, p) * sign
+        for j in range(ns):
+            ests[j, :hi - lo] = sk[j, bucket[j]] / mult[j]
         est[lo:hi] = np.median(ests[:, :hi - lo], axis=0)
     return est
 

@@ -185,3 +185,162 @@ def test_inner_product_exact_past_float53():
     w = 1 << 4
     exact = big * big * w          # per-row dot (> int64 max: the sum
     assert a.inner_product(b) == exact  # must go arbitrary-precision)
+
+
+# ---------------------------------------------------------------------------
+# ProbMinHash (pmh.h — VERDICT r3 #4, last undispositioned vendored sketch)
+
+
+def test_probminhash_merge_law_and_partition_invariance():
+    from ocm_ray.sketches import MergeableSketch, ProbMinHash
+
+    rng = np.random.default_rng(11)
+    n = 600
+    idx = rng.permutation(20_000)[:n].astype(np.int64)
+    w = rng.exponential(2.0, n) + 0.05
+
+    whole = ProbMinHash(256)
+    whole.update(idx, w)
+
+    # exact mergeability: any partitioning of the nonzeros min-merges to
+    # the identical registers (draws are a pure function of weight bits)
+    parts = []
+    for lo in range(0, n, 97):
+        p = ProbMinHash(256)
+        p.update(idx[lo:lo + 97], w[lo:lo + 97])
+        parts.append(p)
+    rng.shuffle(parts)
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+    assert np.array_equal(acc.minval, whole.minval)
+    assert np.array_equal(acc.argmin, whole.argmin)
+
+    # associativity on three independent pieces
+    a, b, c = (ProbMinHash(64) for _ in range(3))
+    a.update(idx[:200], w[:200])
+    b.update(idx[200:400], w[200:400])
+    c.update(idx[400:], w[400:])
+    left = ProbMinHash.from_bytes(a.to_bytes()).ensure_writable()
+    left.merge(b).merge(c)
+    right = ProbMinHash.from_bytes(b.to_bytes()).ensure_writable()
+    right.merge(c)
+    right2 = ProbMinHash.from_bytes(a.to_bytes()).ensure_writable()
+    right2.merge(right)
+    assert np.array_equal(left.argmin, right2.argmin)
+    assert np.array_equal(left.minval, right2.minval)
+
+    # serialization round trip through the registry
+    back = MergeableSketch.from_bytes(whole.to_bytes())
+    assert isinstance(back, ProbMinHash)
+    assert np.array_equal(back.argmin, whole.argmin)
+
+
+def test_probminhash_selection_proportional_to_weight():
+    """argmin over Exp(w_i) draws picks i with probability w_i/Σw: with
+    few elements and many registers the empirical selection frequencies
+    must track the weights."""
+    from ocm_ray.sketches import ProbMinHash
+
+    idx = np.array([1, 2, 3, 4], dtype=np.int64)
+    w = np.array([8.0, 4.0, 2.0, 1.0])
+    sk = ProbMinHash(n_regs=4096)
+    sk.update(idx, w)
+    sel = sk.sample()
+    freq = np.array([(sel == i).mean() for i in idx])
+    expect = w / w.sum()
+    # binomial 5-sigma at n=4096
+    sigma = np.sqrt(expect * (1 - expect) / 4096)
+    assert (np.abs(freq - expect) < 5 * sigma + 1e-9).all(), (freq, expect)
+
+
+def test_probminhash_similarity_matches_weighted_jaccard():
+    """With intersection weights agreeing (the consistent-sampling
+    regime), P[register match] == weighted Jaccard; check the estimate
+    against the exact value within binomial 5 sigma."""
+    from ocm_ray.sketches import ProbMinHash
+
+    rng = np.random.default_rng(23)
+    n_all = 3000
+    weights = rng.exponential(1.0, n_all) + 0.01
+    in_a = rng.random(n_all) < 0.75
+    in_b = rng.random(n_all) < 0.75
+    wa = np.where(in_a, weights, 0.0)
+    wb = np.where(in_b, weights, 0.0)
+    exact = np.minimum(wa, wb).sum() / np.maximum(wa, wb).sum()
+
+    m = 2048
+    a, b = ProbMinHash(m), ProbMinHash(m)
+    a.update(np.flatnonzero(in_a), wa[in_a])
+    b.update(np.flatnonzero(in_b), wb[in_b])
+    est = a.similarity(b)
+    sigma = np.sqrt(exact * (1 - exact) / m)
+    assert abs(est - exact) < 5 * sigma, (est, exact, sigma)
+
+
+def test_wz_compress_linear_and_recovers_heavy():
+    """rnla.h wz transform (VERDICT r3 #8): linearity (mergeable by
+    addition) and heavy-coordinate recovery after dividing the Exp
+    draws back out."""
+    from ocm_ray.sketches.rnla import wz_compress, wz_decompress
+
+    rng = np.random.default_rng(4)
+    d, newdim, ns = 4096, 512, 7
+    v = rng.normal(0, 1, d)
+    heavy = rng.permutation(d)[:8]
+    v[heavy] += np.sign(v[heavy] + 0.1) * 60.0
+
+    a, b = np.zeros(d), np.zeros(d)
+    a[: d // 2] = v[: d // 2]
+    b[d // 2:] = v[d // 2:]
+    ca = wz_compress(a, newdim, ns)
+    cb = wz_compress(b, newdim, ns)
+    cv = wz_compress(v, newdim, ns)
+    assert np.allclose(ca + cb, cv, rtol=1e-12, atol=1e-9)  # linear
+
+    est = wz_decompress(cv, d)
+    # the 8 planted heavies must dominate the top estimates
+    top = np.argsort(-np.abs(est))[:16]
+    assert set(heavy).issubset(set(top.tolist()))
+    # own contribution cancels exactly: a 1-sparse vector round-trips
+    one = np.zeros(d)
+    one[123] = 5.0
+    assert abs(wz_decompress(wz_compress(one, newdim, ns), d)[123] - 5.0) \
+        < 1e-9
+
+
+def test_text_embedder_custom_encode_fn():
+    """VERDICT r3 #9: the embedding stage accepts a user-supplied
+    encoder; the placeholder projection is demonstrably swappable (the
+    callable must be picklable — module-level def)."""
+    import ray.data as rd
+
+    from ocm_ray.ops.text import embed_texts
+
+    def len_encoder(texts):
+        """Deterministic stand-in 'model': 4 length-derived features.
+        A closure — cloudpickle ships it by VALUE (a module-level def in
+        a test module is pickled by reference, which workers cannot
+        import)."""
+        import numpy as _np
+
+        out = _np.zeros((len(texts), 4), dtype=_np.float32)
+        for i, t in enumerate(texts):
+            out[i] = [len(t), t.count(" "), len(t.split()), 1.0]
+        return out
+
+    docs = pd.DataFrame({"doc_id": ["a", "b", "c"],
+                         "text": ["one two", "three", "four five six"]})
+    out = embed_texts(rd.from_pandas(docs), dim=4,
+                      encode_fn=len_encoder).to_pandas()
+    emb = np.stack(out.sort_values("doc_id")["embedding"].to_numpy())
+    want = np.stack([len_encoder([t])[0] for t in
+                     docs.sort_values("doc_id")["text"]])
+    assert np.allclose(emb, want)
+    # wrong width must fail loudly, not silently reshape (direct call:
+    # raising inside a Ray actor pool stalls on actor restarts)
+    from ocm_ray.ops.text import TextEmbedder
+
+    bad = TextEmbedder(dim=7, encode_fn=len_encoder)
+    with pytest.raises(AssertionError):
+        bad(pa.table({"text": ["x y"]}))
