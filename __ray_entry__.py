@@ -132,14 +132,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
             .map_batches(count_tokens, batch_format="pyarrow")
-    q["doc_token_counts"] = doc_token_counts
 
     def events_hourly(sf_dir):
         from ocm_ray.ops.relational import windowed_event_agg
 
         df = windowed_event_agg(_read(sf_dir, "events"), window="1h").to_pandas()
         return _round_cols(df, {"sum_value": 2})
-    q["events_hourly"] = events_hourly
 
     def events_hourly_distinct(sf_dir):
         """Tumbling-window exact COUNT(DISTINCT user) per event type —
@@ -150,7 +148,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return windowed_distinct(
             _read(sf_dir, "events", columns=["event_type", "ts", "user_id"]),
             window="1h").to_pandas()
-    q["events_hourly_distinct"] = events_hourly_distinct
+
+    def events_hourly_full(sf_dir):
+        """Tumbling-window counts/sums JOINED with the exact windowed
+        COUNT(DISTINCT) — one driver query verifying both windowed
+        aggregation paths (merged r4 to fit the driver's query budget)."""
+        a = events_hourly(sf_dir)
+        b = events_hourly_distinct(sf_dir)
+        out = a.merge(b, on=["event_type", "window_start"], how="inner")
+        assert len(out) == len(a) == len(b)
+        return out
+    q["events_hourly"] = events_hourly_full
 
     def events_hopping(sf_dir):
         from ocm_ray.ops.relational import hopping_event_agg
@@ -180,7 +188,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["hourly_sum"] = out["hourly_sum"].astype(float).round(2)
         return out.sort_values(["user_id", "ts", "event_type"]) \
             .reset_index(drop=True)
-    q["events_asof_hourly"] = events_asof_hourly
 
     def events_asof_sharded(sf_dir):
         """Same as-of semantics through the LARGE x LARGE co-sharded
@@ -206,7 +213,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["user_id", "ts", "event_type", "avail_ts", "hourly_sum"]]
         return out.sort_values(["user_id", "ts", "event_type"]) \
             .reset_index(drop=True)
-    q["events_asof_sharded"] = events_asof_sharded
+
+    def events_asof_both(sf_dir):
+        """AS-OF join, broadcast AND large x large co-sharded paths:
+        both run, must be frame-identical, one result verifies against
+        the single DuckDB ASOF JOIN oracle (merged r4)."""
+        out = events_asof_hourly(sf_dir)
+        out2 = events_asof_sharded(sf_dir)
+        pd.testing.assert_frame_equal(out, out2[out.columns],
+                                      check_dtype=False)
+        return out
+    q["events_asof_hourly"] = events_asof_both
 
     def events_value_bands(sf_dir):
         """RANGE join: events classified into (overlapping-capable)
@@ -235,8 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         df = grouped_sum(joined.map_batches(prep, batch_format="pyarrow"),
                          ["band"], ["n", "sum_value"]).to_pandas()
-        return _round_cols(df, {"sum_value": 2})
-    q["events_value_bands"] = events_value_bands
+        return _round_cols(df, {"sum_value": 2}) \
+            .sort_values("band").reset_index(drop=True)
 
     def events_value_bands_sharded(sf_dir):
         """The SAME range join executed on the large x large scale
@@ -267,8 +284,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         df = grouped_sum(joined.map_batches(prep, batch_format="pyarrow"),
                          ["band"], ["n", "sum_value"]).to_pandas()
-        return _round_cols(df, {"sum_value": 2})
-    q["events_value_bands_sharded"] = events_value_bands_sharded
+        return _round_cols(df, {"sum_value": 2}) \
+            .sort_values("band").reset_index(drop=True)
+
+    def events_value_bands_both(sf_dir):
+        """RANGE join, broadcast AND range-bucketed sharded paths: both
+        run, must be frame-identical, one result verifies against the
+        single inequality-join oracle (merged r4)."""
+        a = events_value_bands(sf_dir)
+        b = events_value_bands_sharded(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        return a
+    q["events_value_bands"] = events_value_bands_both
 
     def join_size_sketch(sf_dir):
         """Sketch-based join-size / second-moment estimation (the AMS /
@@ -340,7 +367,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = _obs(_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
                   cust).to_pandas()
         return _round_cols(df, {"total_price": 2})
-    q["orders_by_segment"] = orders_by_segment
 
     def order_priority_revenue(sf_dir):
         """Large × large shuffle hash join (orders ⋈ lineitem on the
@@ -370,14 +396,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          ["o_orderpriority"], ["n_items", "revenue"]) \
             .to_pandas()
         return _round_cols(df, {"revenue": 2})
-    q["order_priority_revenue"] = order_priority_revenue
 
     def distinct_users(sf_dir):
         from ocm_ray.ops.relational import distinct_count
 
         n = distinct_count(_read(sf_dir, "events", columns=["user_id"]), "user_id")
         return pd.DataFrame({"distinct_users": [n]})
-    q["distinct_users"] = distinct_users
 
     def dedup_exact(sf_dir):
         """Exact dedup via the library's hash-sharded path (raw text
@@ -387,7 +411,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
         return exact_dedup(ds)
-    q["dedup_exact"] = dedup_exact
 
     def token_counts_seq(sf_dir):
         from ocm_ray.ops.relational import exact_token_counts
@@ -395,7 +418,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         seq = _seq_dir_for(sf_dir)
         return exact_token_counts(rd.read_parquet(seq, columns=["tokens"]))
-    q["token_counts_seq"] = token_counts_seq
+
+    def token_counts_with_hk(sf_dir):
+        """Exact corpus token counts (SQL-oracled) + the HeavyKeeper
+        top-k drive whose head-accuracy and true-top-20-membership
+        assertions run against those exact counts (merged r4)."""
+        heavykeeper_topk(sf_dir)          # asserts inside
+        return token_counts_seq(sf_dir)
+    q["token_counts_seq"] = token_counts_with_hk
 
     def ann_topk(sf_dir):
         import pyarrow.parquet as pq
@@ -429,7 +459,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             truth["token"].to_numpy().astype(np.uint64))
         assert (truth["estimated_count"] >= truth["true_count"]).all()
         return truth
-    q["cm_conservative_query"] = cm_conservative_query
 
     def cm_vanilla_query(sf_dir):
         """Vanilla (non-conservative) CM point query. Unlike the
@@ -473,7 +502,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             truth["token"].to_numpy().astype(np.uint64))
         assert (truth["estimated_count"] >= truth["true_count"]).all()
         return truth
-    q["occm_query"] = occm_query
+
+    def sketch_point_queries(sf_dir):
+        """Conservative-CM and multi-round OCCM point queries against
+        the true top-1000 (merged r4; both order-dependent, hence
+        no_oracle — the one-sided invariant is asserted per variant)."""
+        a = cm_conservative_query(sf_dir).assign(variant="cm_conservative")
+        b = occm_query(sf_dir).assign(variant="occm")
+        return pd.concat([a, b], ignore_index=True)
+    q["sketch_point_queries"] = sketch_point_queries
 
     def hll_distinct_by_source(sf_dir):
         import ray.data as rd
@@ -487,7 +524,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(
             {"source": list(per), "distinct_est": [round(s.estimate()) for s in per.values()]}
         ).sort_values("source").reset_index(drop=True)
-    q["hll_distinct_by_source"] = hll_distinct_by_source
 
     def hll_register_histogram(sf_dir):
         """Per-source HLL register-value histogram. Unlike the ESTIMATE
@@ -535,7 +571,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             assert abs(est - row["distinct_tokens"]) <= \
                 max(5 * sigma * row["distinct_tokens"], 50)
         return out
-    q["distinct_tokens_by_source"] = distinct_tokens_by_source
 
     def quantiles_sketch(sf_dir):
         import ray.data as rd
@@ -559,7 +594,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tdigest": np.atleast_1d(td.quantile(qs)).round(2),
             "ddsketch": np.atleast_1d(dd.quantile(qs)).round(2),
         })
-    q["quantiles_sketch"] = quantiles_sketch
 
     def bloom_membership(sf_dir):
         from ocm_ray.engine.build import build_sketch
@@ -608,7 +642,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(_read(sf_dir, "events", columns=["user_id", "ts"]),
                           gap_sec=1800)
-    q["user_sessions"] = user_sessions
 
     def kgram3_counts(sf_dir):
         """k-gram mode (the reference's rolling-window semantics over
@@ -635,14 +668,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         h = wanghash(h ^ out["t2"].to_numpy().astype(np.uint64))
         assert (cm.estimate(h) >= out["cnt"].to_numpy()).all()  # one-sided
         return out
-    q["kgram3_counts"] = kgram3_counts
 
     def exact_value_quantiles(sf_dir):
         from ocm_ray.ops.relational import exact_value_quantiles as _evq
 
         return _evq(_read(sf_dir, "events", columns=["value"]), "value",
                     [0.1, 0.5, 0.9, 0.99])
-    q["exact_value_quantiles"] = exact_value_quantiles
+
+    def exact_value_quantiles_full(sf_dir):
+        """Exact distributed quantiles (SQL-oracled) + the KLL /
+        t-digest / DDSketch quantile sketches rank-bounded against
+        exact quantiles of THEIR stream (merged r4: each sketch value
+        must lie between the exact (q-0.05) and (q+0.05) quantiles —
+        well beyond KLL(200)'s ~1.3% rank error)."""
+        from ocm_ray.ops.relational import exact_value_quantiles as _evq
+
+        out = exact_value_quantiles(sf_dir)
+        sk = quantiles_sketch(sf_dir)
+        qs = sk["q"].tolist()
+        lo_q = [max(0.0, x - 0.05) for x in qs]
+        hi_q = [min(1.0, x + 0.05) for x in qs]
+        lo = _evq(_read(sf_dir, "lineitem", columns=["l_extendedprice"]),
+                  "l_extendedprice", lo_q)["value"].to_numpy()
+        hi = _evq(_read(sf_dir, "lineitem", columns=["l_extendedprice"]),
+                  "l_extendedprice", hi_q)["value"].to_numpy()
+        for fam in ("kll", "tdigest", "ddsketch"):
+            v = sk[fam].to_numpy()
+            assert (v >= lo * 0.999).all() and (v <= hi * 1.001).all(), \
+                (fam, v, lo, hi)
+        return out
+    q["exact_value_quantiles"] = exact_value_quantiles_full
 
     def supplier_by_region(sf_dir):
         import pyarrow.parquet as pq
@@ -703,7 +758,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         seq = _seq_dir_for(sf_dir)
         return bigram_counts(rd.read_parquet(seq, columns=["tokens"]), k=50)
-    q["bigram_top50"] = bigram_top50
 
     # ---- dedup family ----
     def embedding_dup_pairs(sf_dir):
@@ -746,7 +800,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert (want == got).all()
         out["cell"] = out["cell"].astype(np.int64)
         return out.sort_values("cell").reset_index(drop=True)
-    q["embedding_kmeans"] = embedding_kmeans
 
     def semdedup_pairs(sf_dir):
         """SemDeDup (Abbas et al. 2023): k-means cells + within-cell
@@ -778,7 +831,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.drop_duplicates(["a", "b"])
         out["sim"] = out["sim"].round(4)
         return out.sort_values(["a", "b"]).reset_index(drop=True)
-    q["semdedup_pairs"] = semdedup_pairs
+
+    def semdedup_with_kmeans(sf_dir):
+        """SemDeDup (SQL-oracled via planted duplicates) + the
+        distributed-Lloyd invariant suite (exhaustive sizes, monotone
+        inertia, brute-argmax spot check) — merged r4."""
+        embedding_kmeans(sf_dir)          # asserts inside
+        return semdedup_pairs(sf_dir)
+    q["semdedup_pairs"] = semdedup_with_kmeans
 
     def minhash_dedup_pairs(sf_dir):
         from ocm_ray.ops.dedup import minhash_lsh_pairs
@@ -792,7 +852,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ocm_ray.ops.dedup import simhash_fingerprints as _sfp
 
         return _sfp(_read(sf_dir, "documents", columns=["doc_id", "text"]))
-    q["simhash_fingerprints"] = simhash_fingerprints
 
     def winnow_fingerprints(sf_dir):
         """MOSS winnowing fingerprints (k-gram window minima) — the
@@ -810,7 +869,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return gopher_quality_flags(
             _read(sf_dir, "documents", columns=["doc_id", "text"]))
-    q["gopher_quality"] = gopher_quality
 
     def gopher_repetition(sf_dir):
         """Gopher repetition rules — top/duplicate n-gram character
@@ -819,7 +877,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return gopher_repetition_flags(
             _read(sf_dir, "documents", columns=["doc_id", "text"]))
-    q["gopher_repetition"] = gopher_repetition
 
     def unigram_logprob(sf_dir):
         """Per-doc mean log2 unigram probability (CCNet-style fluency
@@ -827,7 +884,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ocm_ray.ops.text import unigram_logprob as _ulp
 
         return _ulp(_read(sf_dir, "documents", columns=["doc_id", "text"]))
-    q["unigram_logprob"] = unigram_logprob
 
     def sliding_window_user_counts(sf_dir):
         """Trailing-window frequencies via the sliding-window CM
@@ -852,7 +908,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         keep = est > 0
         return pd.DataFrame({"user_id": users[keep],
                              "cnt": est[keep].astype(np.int64)})
-    q["sliding_window_user_counts"] = sliding_window_user_counts
 
     def text_stats(sf_dir):
         """Text-analysis stage over documents; the SQL-exact integer
@@ -867,7 +922,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert (out["stop_ratio"] * out["n_tokens"] - out["n_stop"]).abs().max() < 1e-6
         cols = ["doc_id", "n_tokens", "n_chars_text", "n_stop"]
         return out[cols].astype(np.int64)
-    q["text_stats"] = text_stats
 
     def jaccard_dup_pairs(sf_dir):
         """EXACT distributed n-gram Jaccard near-dup pairs — the verify
@@ -912,7 +966,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert not missing, f"HK top-100 missing true-top-20 tokens: {missing}"
         return pd.DataFrame({"token": keys.astype(np.int64),
                              "est_count": est})
-    q["heavykeeper_topk"] = heavykeeper_topk
 
     def cm_set_algebra(sf_dir):
         """CM intersection (ccm.h operator&=) + PowerOfTwo update
@@ -1064,7 +1117,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["vec_id", "sim"]].copy()
         out["sim"] = out["sim"].round(4)
         return out.reset_index(drop=True)
-    q["text_embed_ann"] = text_embed_ann
 
     def lsh_ann_topk(sf_dir):
         """LSH ANN through the PERSISTENT bucket-partitioned index:
@@ -1085,7 +1137,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["vec_id", "sim"]].copy()
         out["sim"] = out["sim"].round(4)
         return out.reset_index(drop=True)
-    q["lsh_ann_topk"] = lsh_ann_topk
 
     def ivf_ann_topk(sf_dir):
         """IVF ANN through the persistent cell-partitioned index
@@ -1112,7 +1163,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["vec_id", "sim"]].copy()
         out["sim"] = out["sim"].round(4)
         return out.reset_index(drop=True)
-    q["ivf_ann_topk"] = ivf_ann_topk
+
+    def ann_index_probes(sf_dir):
+        """The three index-backed ANN drives in one query (merged r4):
+        persistent LSH bucket index, persistent IVF index (recall
+        asserted vs brute force), and the TextEmbedder -> ANN
+        composition (self-match asserted). Float hyperplane/centroid
+        geometry, hence no_oracle; the exact brute-force path keeps its
+        own SQL oracle in ann_topk."""
+        lsh = lsh_ann_topk(sf_dir).assign(variant="lsh")
+        ivf = ivf_ann_topk(sf_dir).assign(variant="ivf")
+        te = text_embed_ann(sf_dir).assign(variant="text_embed")
+        out = pd.concat([lsh, ivf, te], ignore_index=True)
+        return out[["variant", "vec_id", "sim"]]
+    q["ann_index_probes"] = ann_index_probes
 
     def hll_source_overlap(sf_dir):
         """Sketch set-algebra (hll.h:1124-1160 semantics): pairwise union
@@ -1131,7 +1195,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "jaccard_est": round(per[a].jaccard_index(per[b]), 3)}
                 for i, a in enumerate(names) for b in names[i + 1:]]
         return pd.DataFrame(rows)
-    q["hll_source_overlap"] = hll_source_overlap
 
     def hmh_source_similarity(sf_dir):
         """HyperMinHash per source: ONE HLL-sized sketch per key gives
@@ -1151,7 +1214,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "jaccard": round(per[a].jaccard_index(per[b]), 3)}
                 for i, a in enumerate(names) for b in names[i + 1:]]
         return pd.DataFrame(rows)
-    q["hmh_source_similarity"] = hmh_source_similarity
 
     def setsketch_source_stats(sf_dir):
         """SetSketch (setsketch.h:537-775, Ertl's GSS) per source:
@@ -1186,7 +1248,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "union_est": round(u),
                              "jaccard": round(per[a].jaccard(per[b]), 3)})
         return pd.DataFrame(rows)
-    q["setsketch_source_stats"] = setsketch_source_stats
+
+    def sketch_source_estimates(sf_dir):
+        """Per-source-pair estimator suite from three sketch families —
+        HLL set algebra, HyperMinHash, SetSketch (merged r4, long
+        format). Register-level integer state is SQL-oracled separately
+        (hll_register_histogram, modvac_distinct_by_source); these
+        float estimates stay invariant-asserted (SetSketch vs exact
+        distincts inside its part)."""
+        rows = []
+        for name, df in [("hll", hll_source_overlap(sf_dir)),
+                         ("hmh", hmh_source_similarity(sf_dir)),
+                         ("setsketch", setsketch_source_stats(sf_dir))]:
+            for _, r in df.iterrows():
+                for c in df.columns:
+                    if c not in ("a", "b"):
+                        rows.append((name, r["a"], r["b"], c,
+                                     round(float(r[c]), 4)))
+        return pd.DataFrame(rows,
+                            columns=["sketch", "a", "b", "metric", "value"])
+    q["sketch_source_estimates"] = sketch_source_estimates
 
     def modvac_distinct_by_source(sf_dir):
         """ModSketch (mod.h mod-sampling) + VACSketch (vac.h level
@@ -1338,7 +1419,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 rows.append({"a": a, "b": b, "n_inter": ni, "n_union": nu,
                              "jaccard_milli": (1000 * ni) // max(nu, 1)})
         return pd.DataFrame(rows)
-    q["minhash_source_similarity"] = minhash_source_similarity
 
     def weighted_jaccard_by_source(sf_dir):
         """ICWS weighted MinHash (cws, mult.h:25-40 parameterization)
@@ -1424,7 +1504,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "sum_max": smax,
                              "wjaccard_milli": (1000 * smin) // max(smax, 1)})
         return pd.DataFrame(rows)
-    q["weighted_jaccard_by_source"] = weighted_jaccard_by_source
 
     def decontaminate_eval(sf_dir):
         """Eval-set k-gram decontamination (GPT-3 App. C style): docs
@@ -1493,7 +1572,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = grouped_sum(ds.map_batches(stats, batch_format="pyarrow"),
                           ["source"], ["n_docs", "n_words"]).to_pandas()
         return out.sort_values("source").reset_index(drop=True)
-    q["jsonl_source_stats"] = jsonl_source_stats
 
     def csv_source_stats(sf_dir):
         """CSV source/sink round trip (sibling of jsonl_source_stats):
@@ -1535,7 +1613,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = grouped_sum(ds.map_batches(stats, batch_format="pyarrow"),
                           ["source"], ["n_docs", "n_words"]).to_pandas()
         return out.sort_values("source").reset_index(drop=True)
-    q["csv_source_stats"] = csv_source_stats
 
     def char_entropy_stats(sf_dir):
         """Per-document character-distribution Shannon entropy (the
@@ -1547,7 +1624,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = char_entropy(
             _read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
-    q["char_entropy_stats"] = char_entropy_stats
 
     def dsir_importance(sf_dir):
         """DSIR importance scores (Xie et al. 2023): every document
@@ -1562,7 +1638,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", columns=["doc_id", "source", "text"]),
             target_values=["src0", "src1"], feat_bits=16, k=2).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
-    q["dsir_importance"] = dsir_importance
 
     def dup_ngram_spans(sf_dir):
         """Cross-document repeated 5-gram statistics (exact-substring
@@ -1576,7 +1651,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
             k=5, min_docs=2).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
-    q["dup_ngram_spans"] = dup_ngram_spans
 
     def token_dup_ngrams(sf_dir):
         """Tokens-domain repeated n-grams: the same cross-document
@@ -1601,7 +1675,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = dup_ngram_stats(ds, k=4, min_docs=2,
                               tokens_col="tokens").to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
-    q["token_dup_ngrams"] = token_dup_ngrams
 
     def dedup_exact_sequences(sf_dir):
         """Exact SEQUENCE-level dedup over the north-rule tokens table:
@@ -1632,7 +1705,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["doc_id", "n_copies"]].sort_values("doc_id") \
             .reset_index(drop=True)
         return out
-    q["dedup_exact_sequences"] = dedup_exact_sequences
 
     def bm25_top20(sf_dir):
         """Distributed BM25 (Lucene k1/b variant) over the documents
@@ -1727,7 +1799,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bigram_logprob(
             _read(sf_dir, "documents", columns=["doc_id", "text"])) \
             .to_pandas().sort_values("doc_id", ignore_index=True)
-    q["bigram_logprob"] = bigram_logprob_q
 
     def sample_per_source(sf_dir):
         """Deterministic per-key reservoir (n smallest seeded id
@@ -1752,7 +1823,242 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
             max_size=20).to_pandas()
         return out.sort_values("doc_id", ignore_index=True)
-    q["encoded_docs"] = encoded_docs
+
+    def doc_signals(sf_dir):
+        """ONE row per document joining every per-document signal
+        operator — token counts, text stats, char entropy, Gopher
+        quality + repetition rules, unigram/bigram LM scores, SimHash
+        fingerprint, DSIR importance, vocab encoding (merged r4 to fit
+        the driver's query budget; the SQL oracle composes the parts'
+        original oracles with USING(doc_id) joins). Columns that two
+        parts compute independently (n_tokens 3x, n_chars 2x) are
+        asserted identical and emitted once."""
+        def P(x):
+            return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+        tc = P(doc_token_counts(sf_dir))
+        ts = P(text_stats(sf_dir))
+        ce = P(char_entropy_stats(sf_dir))
+        gq = P(gopher_quality(sf_dir)).rename(columns={"keep": "keep_quality"})
+        gr = P(gopher_repetition(sf_dir)).rename(
+            columns={"keep": "keep_repetition"})
+        ul = P(unigram_logprob(sf_dir)).rename(
+            columns={"logprob": "unigram_logprob"})
+        bl = P(bigram_logprob_q(sf_dir)).rename(
+            columns={"logprob": "bigram_logprob"})
+        sh = P(simhash_fingerprints(sf_dir))
+        dsir = P(dsir_importance(sf_dir))
+        en = P(encoded_docs(sf_dir))
+
+        out = tc
+        for part, dup in [(ts, ["n_tokens"]), (ce, []), (gq, []),
+                          (gr, ["n_chars"]), (ul, []), (bl, []), (sh, []),
+                          (dsir, []), (en, ["n_tokens"])]:
+            m = out.merge(part, on="doc_id", how="inner",
+                          suffixes=("", "__dup"))
+            assert len(m) == len(out) == len(part), "doc_id sets differ"
+            for c in dup:
+                assert (m[c] == m[f"{c}__dup"]).all(), \
+                    f"independent recomputation of {c} disagrees"
+            out = m.drop(columns=[c for c in m.columns
+                                  if c.endswith("__dup")])
+        return out.sort_values("doc_id").reset_index(drop=True)
+    q["doc_signals"] = doc_signals
+
+    def pmi_top50(sf_dir):
+        """Collocations: top-50 adjacent pairs by PMI over the bigram
+        stream (marginals from the same stream), count >= 5."""
+        from ocm_ray.ops.text import top_pmi_pairs
+
+        return top_pmi_pairs(
+            _read(sf_dir, "documents", columns=["text"]),
+            k=50, min_count=5)
+
+
+    def source_similarity(sf_dir):
+        """Per-source-pair similarity, exact-integer-oracled: bottom-k
+        MinHash (set Jaccard numerator/denominator) JOINED with the
+        ICWS weighted-Jaccard sums (merged r4). ProbMinHash (pmh.h)
+        rides along invariant-asserted: a register-identical copy must
+        score 1.0, similarity is symmetric and in [0, 1] (the sketch is
+        deterministic given the count table, so these are exact)."""
+        import ray.data as rd
+
+        from ocm_ray.sketches import ProbMinHash
+
+        a = minhash_source_similarity(sf_dir)
+        b = weighted_jaccard_by_source(sf_dir)
+        out = a.merge(b, on=["a", "b"], how="inner")
+        assert len(out) == len(a) == len(b)
+
+        # ProbMinHash drive over the per-source token multisets: PMH
+        # draws are keyed by the FINAL weight, so the sketch is built
+        # from the exact per-(source, token) count table (grouped_sum
+        # tree — distributed); partial-count min-merge would be wrong
+        # and is deliberately NOT used here (module docstring).
+        import pyarrow as pa
+
+        from ocm_ray.engine.tokens import list_column_values
+        from ocm_ray.ops.agg import grouped_sum
+
+        seq = _seq_dir_for(sf_dir)
+        ds = rd.read_parquet(seq, columns=["tokens", "source"])
+
+        def cnts(batch: pa.Table) -> pa.Table:
+            flat, lens = list_column_values(batch, "tokens")
+            srcs = batch.column("source").to_numpy(zero_copy_only=False)
+            rowid = np.repeat(np.arange(len(lens)), lens)
+            o_s, o_t, o_c = [], [], []
+            for s in np.unique(srcs):
+                bc = np.bincount(flat[srcs[rowid] == s].astype(np.int64))
+                nz = np.flatnonzero(bc)
+                o_s.append(np.full(len(nz), s))
+                o_t.append(nz.astype(np.int64))
+                o_c.append(bc[nz].astype(np.int64))
+            if not o_s:
+                return pa.table({"source": pa.array([], pa.string()),
+                                 "token": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({"source": pa.array(np.concatenate(o_s)),
+                             "token": pa.array(np.concatenate(o_t)),
+                             "c": pa.array(np.concatenate(o_c))})
+
+        pdf = grouped_sum(ds.map_batches(cnts, batch_format="pyarrow"),
+                          ["source", "token"], ["c"]).to_pandas()
+        per = {}
+        for s, grp in pdf.groupby("source"):
+            sk = ProbMinHash(256)
+            sk.update(grp["token"].to_numpy(),
+                      grp["c"].to_numpy().astype(np.float64))
+            per[s] = sk
+        names = sorted(per)
+        for i, x in enumerate(names):
+            clone = ProbMinHash.from_bytes(per[x].to_bytes())
+            assert per[x].similarity(clone) == 1.0
+            for y in names[i + 1:]:
+                s_xy = per[x].similarity(per[y])
+                assert 0.0 <= s_xy <= 1.0
+                assert s_xy == per[y].similarity(per[x])
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+    q["source_similarity"] = source_similarity
+
+    def export_roundtrip_stats(sf_dir):
+        """JSONL AND CSV source/sink round trips (merged r4): documents
+        exported to both formats, read back, aggregated — the two
+        format paths must agree with each other exactly, and the single
+        oracle reads the PARQUET view (format independence, 3 ways)."""
+        a = jsonl_source_stats(sf_dir)
+        b = csv_source_stats(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        return a
+    q["export_roundtrip_stats"] = export_roundtrip_stats
+
+    def user_activity(sf_dir):
+        """Sessionization (order-sensitive per-key gap windows) JOINED
+        with the sliding-window-CM trailing counts per user (merged r4;
+        the window geometry keeps the sketch exact, so the join is
+        fully SQL-oracled)."""
+        us = user_sessions(sf_dir)
+        us = us if isinstance(us, pd.DataFrame) else us.to_pandas()
+        sw = sliding_window_user_counts(sf_dir)
+        out = us.merge(sw, on="user_id", how="inner")
+        assert len(out) == len(sw)
+        return out.sort_values("user_id").reset_index(drop=True)
+    q["user_sessions"] = user_activity
+
+    def orders_rollups(sf_dir):
+        """Broadcast-join rollup (orders x customer by segment) and
+        large x large shuffle-hash-join rollup (orders x lineitem by
+        priority) in one long-format result (merged r4)."""
+        a = orders_by_segment(sf_dir)
+        b = order_priority_revenue(sf_dir)
+        rows = pd.concat([
+            pd.DataFrame({"group_kind": "segment",
+                          "group_key": a["c_mktsegment"],
+                          "n": a["n_orders"].astype(np.int64),
+                          "amount": a["total_price"]}),
+            pd.DataFrame({"group_kind": "priority",
+                          "group_key": b["o_orderpriority"],
+                          "n": b["n_items"].astype(np.int64),
+                          "amount": b["revenue"]}),
+        ], ignore_index=True)
+        return rows.sort_values(["group_kind", "group_key"],
+                                ignore_index=True)
+    q["orders_rollups"] = orders_rollups
+
+    def dedup_exact_both(sf_dir):
+        """Exact dedup in BOTH identity domains (merged r4): document
+        text content hash, and the raw int32 token-buffer hash over the
+        sequences table (planted '-dup' copies)."""
+        a = dedup_exact(sf_dir)
+        a = a if isinstance(a, pd.DataFrame) else a.to_pandas()
+        a = a.assign(variant="documents")
+        a["doc_id"] = a["doc_id"].astype(str)
+        b = dedup_exact_sequences(sf_dir).assign(variant="sequences")
+        out = pd.concat([a[["variant", "doc_id", "n_copies"]],
+                         b[["variant", "doc_id", "n_copies"]]],
+                        ignore_index=True)
+        return out.sort_values(["variant", "doc_id"], ignore_index=True)
+    q["dedup_exact"] = dedup_exact_both
+
+    def dup_ngram_all(sf_dir):
+        """Cross-document repeated n-grams in BOTH domains (merged r4):
+        word 5-grams over documents and token 4-grams over the
+        sequences table — plus the round-4 positional-exchange plan
+        re-running the words side with distributed=True and asserted
+        frame-identical (the unbounded-dup-vocabulary path)."""
+        from ocm_ray.ops.dedup import dup_ngram_stats
+
+        a = dup_ngram_spans(sf_dir)
+        a2 = dup_ngram_stats(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            k=5, min_docs=2, distributed=True, n_shards=16).to_pandas()             .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, a2)
+        b = token_dup_ngrams(sf_dir)
+        a = a.assign(variant="words")
+        a["doc_id"] = a["doc_id"].astype(str)
+        b = b.assign(variant="tokens")
+        cols = ["variant", "doc_id", "n_grams", "n_dup_grams",
+                "n_distinct_dup_grams", "max_dup_run"]
+        return pd.concat([a[cols], b[cols]], ignore_index=True)             .sort_values(["variant", "doc_id"], ignore_index=True)
+    q["dup_ngram_spans"] = dup_ngram_all
+
+    def ngram_counts_seq(sf_dir):
+        """Exact n-gram count tables over the sequences tokens (merged
+        r4): top-200 trigrams (with the conservative-CM one-sided
+        assert inside) and top-50 bigrams, long format (t2 = -1 on the
+        bigram rows)."""
+        tri = kgram3_counts(sf_dir)
+        bi = bigram_top50(sf_dir)
+        bi = bi if isinstance(bi, pd.DataFrame) else bi.to_pandas()
+        rows = pd.concat([
+            pd.DataFrame({"variant": "tri",
+                          "t0": tri["t0"].astype(np.int64),
+                          "t1": tri["t1"].astype(np.int64),
+                          "t2": tri["t2"].astype(np.int64),
+                          "cnt": tri["cnt"].astype(np.int64)}),
+            pd.DataFrame({"variant": "bi",
+                          "t0": bi["a"].astype(np.int64),
+                          "t1": bi["b"].astype(np.int64),
+                          "t2": np.full(len(bi), -1, np.int64),
+                          "cnt": bi["cnt"].astype(np.int64)}),
+        ], ignore_index=True)
+        return rows.sort_values(["variant", "cnt", "t0", "t1", "t2"],
+                                ascending=[True, False, True, True, True],
+                                ignore_index=True)
+    q["ngram_counts_seq"] = ngram_counts_seq
+
+    def exact_distincts(sf_dir):
+        """Exact distinct counts, long format (merged r4): global
+        distinct event users + per-source distinct tokens (with the
+        HLL-estimate assertions inside distinct_tokens_by_source)."""
+        u = distinct_users(sf_dir)
+        t = distinct_tokens_by_source(sf_dir)
+        rows = [("events:users", int(u["distinct_users"].iloc[0]))]
+        rows += [("tokens:" + r["source"], int(r["distinct_tokens"]))
+                 for _, r in t.iterrows()]
+        return pd.DataFrame(rows, columns=["scope", "n_distinct"])             .sort_values("scope", ignore_index=True)
+    q["exact_distincts"] = exact_distincts
 
     def pmi_top50(sf_dir):
         """Collocations: top-50 adjacent pairs by PMI over the bigram
@@ -2573,7 +2879,404 @@ def _bloom_member_sql(p: int = 20, nh: int = 5, seedseed: int = 137) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # doc_signals parts (merged r4): each per-document operator keeps
+    # its ORIGINAL oracle; the composed query joins them on doc_id.
+    _tc = """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """
+    _ts = """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars_text,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains(['the','a','an','and','or','of','to',
+                                           'in','is','are','was','were','be',
+                                           'been','it','this','that','for','on',
+                                           'with','as','at','by'], x))) AS n_stop
+            FROM documents
+        """
+    _ce = """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   ROUND(COALESCE(ent, 0.0), 4) AS char_entropy
+            FROM documents
+            LEFT JOIN (
+                SELECT doc_id, entropy(ch) AS ent
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                      FROM documents)
+                GROUP BY doc_id
+            ) USING (doc_id)
+            ORDER BY doc_id
+        """
+    _gq = """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       CAST(length(text) - (len(ws) - 1) AS BIGINT) AS n_word_chars,
+                       CAST((length(text) - length(replace(text, '#', '')))
+                            + (length(text) - length(replace(text, '...', ''))) / 3
+                            AS BIGINT) AS n_symbols,
+                       CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                            AS BIGINT) AS n_alpha_words,
+                       CAST((CASE WHEN list_contains(ws, 'the')  THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'be')   THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'to')   THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'of')   THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'and')  THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_req_stop
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+                      FROM documents)
+            )
+            SELECT doc_id, n_words, n_word_chars, n_symbols, n_alpha_words,
+                   n_req_stop,
+                   (n_words BETWEEN 50 AND 100000)                    AS ok_word_count,
+                   (3 * n_words <= n_word_chars
+                    AND n_word_chars <= 10 * n_words)                 AS ok_mean_len,
+                   (10 * n_symbols <= n_words)                        AS ok_symbol,
+                   (5 * n_alpha_words >= 4 * n_words)                 AS ok_alpha,
+                   (n_req_stop >= 2)                                  AS ok_stop,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND (3 * n_words <= n_word_chars
+                         AND n_word_chars <= 10 * n_words)
+                    AND (10 * n_symbols <= n_words)
+                    AND (5 * n_alpha_words >= 4 * n_words)
+                    AND (n_req_stop >= 2))                            AS keep
+            FROM c
+        """
+    _gr = """
+            WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                              string_split(lower(text), ' ') AS ws
+                       FROM documents),
+            g2 AS (SELECT doc_id, ws[j] || ' ' || ws[j + 1] AS g
+                   FROM t, UNNEST(range(1, len(ws))) AS r(j)),
+            a2 AS (SELECT doc_id, MAX(cnt * clen) AS top2
+                   FROM (SELECT doc_id, COUNT(*) AS cnt, length(g) AS clen
+                         FROM g2 GROUP BY doc_id, g)
+                   GROUP BY doc_id),
+            g3 AS (SELECT doc_id,
+                          ws[j] || ' ' || ws[j + 1] || ' ' || ws[j + 2] AS g
+                   FROM t, UNNEST(range(1, len(ws) - 1)) AS r(j)),
+            a3 AS (SELECT doc_id, MAX(cnt * clen) AS top3,
+                          SUM(CASE WHEN cnt > 1 THEN cnt * clen ELSE 0 END) AS dup3
+                   FROM (SELECT doc_id, COUNT(*) AS cnt, length(g) AS clen
+                         FROM g3 GROUP BY doc_id, g)
+                   GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(COALESCE(top2, 0) AS BIGINT) AS top2_chars,
+                   CAST(COALESCE(top3, 0) AS BIGINT) AS top3_chars,
+                   CAST(COALESCE(dup3, 0) AS BIGINT) AS dup3_chars,
+                   (5 * COALESCE(top2, 0) <= n_chars)       AS ok_top2,
+                   (50 * COALESCE(top3, 0) <= 9 * n_chars)  AS ok_top3,
+                   (5 * COALESCE(dup3, 0) <= 3 * n_chars)   AS ok_dup3,
+                   ((5 * COALESCE(top2, 0) <= n_chars)
+                    AND (50 * COALESCE(top3, 0) <= 9 * n_chars)
+                    AND (5 * COALESCE(dup3, 0) <= 3 * n_chars)) AS keep
+            FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        """
+    _ul = """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            cnts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+            tot AS (SELECT SUM(c) AS t FROM cnts)
+            SELECT doc_id, ROUND(AVG(log2(CAST(c AS DOUBLE) / t)), 4) AS logprob
+            FROM words JOIN cnts USING (w), tot
+            GROUP BY doc_id
+        """
+    _bl = """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            bg AS (SELECT doc_id, ws[j] AS w1, ws[j + 1] AS w2
+                   FROM t, UNNEST(range(1, len(ws))) AS r(j)),
+            bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+            ctx AS (SELECT w1, COUNT(*) AS cc FROM bg GROUP BY w1)
+            SELECT doc_id,
+                   ROUND(AVG(log2(CAST(cb AS DOUBLE) / cc)), 4) AS logprob
+            FROM bg JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """
+    _sh = _simhash_sql()
+    _ds = _dsir_sql()
+    _en = """
+            WITH words AS (
+                SELECT doc_id, j - 1 AS pos, ws[j] AS w
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+                     UNNEST(range(1, len(ws) + 1)) AS t(j)
+            ),
+            cnts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+            vocab AS (SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC)
+                                 - 1 AS tid
+                      FROM cnts),
+            v AS (SELECT * FROM vocab WHERE tid < 20)
+            SELECT words.doc_id,
+                   string_agg(CAST(COALESCE(v.tid, -1) AS VARCHAR), ' '
+                              ORDER BY pos) AS ids,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM words LEFT JOIN v ON words.w = v.w
+            GROUP BY words.doc_id
+            ORDER BY words.doc_id
+        """
+    _o_minhash_source_similarity = _bottomk_similarity_sql()
+    _o_weighted_jaccard_by_source = f"""
+            WITH cnt AS (
+                SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT source, unnest(tokens) AS tok
+                      FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+                GROUP BY source, tok
+            ),
+            tot AS (SELECT source, SUM(c) AS t FROM cnt GROUP BY source),
+            inter AS (
+                SELECT x.source AS a, y.source AS b,
+                       SUM(LEAST(x.c, y.c)) AS smin
+                FROM cnt x JOIN cnt y
+                  ON x.tok = y.tok AND x.source < y.source
+                GROUP BY x.source, y.source
+            ),
+            pairs AS (
+                SELECT ta.source AS a, tb.source AS b,
+                       COALESCE(i.smin, 0) AS smin,
+                       ta.t + tb.t - COALESCE(i.smin, 0) AS smax
+                FROM tot ta JOIN tot tb ON ta.source < tb.source
+                LEFT JOIN inter i ON i.a = ta.source AND i.b = tb.source
+            )
+            SELECT a, b, CAST(smin AS BIGINT) AS sum_min,
+                   CAST(smax AS BIGINT) AS sum_max,
+                   (1000 * CAST(smin AS BIGINT))
+                       // GREATEST(CAST(smax AS BIGINT), 1)
+                       AS wjaccard_milli
+            FROM pairs ORDER BY a, b
+        """
+    _o_jsonl_source_stats = """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_words
+            FROM documents GROUP BY source ORDER BY source
+        """
+    _o_csv_source_stats = """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_words
+            FROM documents GROUP BY source ORDER BY source
+        """
+    _o_user_sessions = """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       epoch(ts) - LAG(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            )
+            GROUP BY user_id
+        """
+    _o_sliding_window_user_counts = """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT user_id FROM events ORDER BY event_id DESC
+                  LIMIT 2000)
+            GROUP BY user_id ORDER BY user_id
+        """
+    _o_orders_by_segment = """
+            SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """
+    _o_order_priority_revenue = """
+            SELECT o_orderpriority, COUNT(*) AS n_items,
+                   ROUND(SUM(l_extendedprice), 2) AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """
+    _o_dedup_exact = """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """
+    _o_dedup_exact_sequences = f"""
+            WITH aug AS (
+                SELECT doc_id, tokens
+                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
+                UNION ALL
+                SELECT doc_id || '-dup', tokens
+                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
+                WHERE doc_id LIKE '%00'
+            )
+            SELECT MIN(doc_id) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM aug GROUP BY tokens ORDER BY doc_id
+        """
+    _o_dup_ngram_spans = """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i,
+                       w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+                            || w[i + 3] || ' ' || w[i + 4] AS g
+                FROM toks, UNNEST(range(1, len(w) - 3)) AS u(i)
+            ),
+            dup AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+                SELECT grams.doc_id, grams.i, grams.g,
+                       (dup.g IS NOT NULL) AS hit
+                FROM grams LEFT JOIN dup ON grams.g = dup.g
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_grams,
+                       SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_dup,
+                       COUNT(DISTINCT CASE WHEN hit THEN g END) AS n_dist
+                FROM hits GROUP BY doc_id
+            ),
+            islands AS (
+                SELECT doc_id, grp, COUNT(*) AS run_len
+                FROM (SELECT doc_id, i,
+                             i - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                    ORDER BY i) AS grp
+                      FROM hits WHERE hit)
+                GROUP BY doc_id, grp
+            ),
+            runs AS (
+                SELECT doc_id, MAX(run_len) AS max_run
+                FROM islands GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(COALESCE(a.n_dist, 0) AS BIGINT)
+                       AS n_distinct_dup_grams,
+                   CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_dup_run
+            FROM documents d
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+            LEFT JOIN runs r ON d.doc_id = r.doc_id
+            ORDER BY d.doc_id
+        """
+    _o_token_dup_ngrams = _token_dup_ngrams_sql()
+    _o_kgram3_counts = f"""
+            SELECT t0, t1, t2, COUNT(*) AS cnt FROM (
+                SELECT CAST(tokens[i] AS INT) AS t0,
+                       CAST(tokens[i + 1] AS INT) AS t1,
+                       CAST(tokens[i + 2] AS INT) AS t2
+                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'),
+                     UNNEST(range(1, len(tokens) - 1)) AS u(i)
+            )
+            GROUP BY t0, t1, t2
+            ORDER BY cnt DESC, t0 ASC, t1 ASC, t2 ASC
+            LIMIT 200
+        """
+    _o_bigram_top50 = f"""
+            SELECT a, b, COUNT(*) AS cnt FROM (
+                SELECT CAST(tokens[i] AS INT) AS a,
+                       CAST(tokens[i + 1] AS INT) AS b
+                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'),
+                     UNNEST(range(1, len(tokens))) AS u(i)
+            )
+            GROUP BY a, b
+            ORDER BY cnt DESC, a ASC, b ASC
+            LIMIT 50
+        """
+    _o_distinct_users = """
+            SELECT COUNT(DISTINCT user_id) AS distinct_users FROM events
+        """
+    _o_distinct_tokens_by_source = f"""
+            SELECT source, COUNT(DISTINCT tok) AS distinct_tokens
+            FROM (SELECT source, unnest(tokens) AS tok
+                  FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+            GROUP BY source
+        """
+    _doc_signals = f"""
+        WITH tc AS ({_tc}), ts AS ({_ts}), ce AS ({_ce}), gq AS ({_gq}),
+             gr AS ({_gr}), ul AS ({_ul}), bl AS ({_bl}), sh AS ({_sh}),
+             ds AS ({_ds}), en AS ({_en})
+        SELECT tc.doc_id, tc.n_tokens,
+               ts.n_chars_text, ts.n_stop,
+               ce.n_chars, ce.char_entropy,
+               gq.n_words, gq.n_word_chars, gq.n_symbols,
+               gq.n_alpha_words, gq.n_req_stop, gq.ok_word_count,
+               gq.ok_mean_len, gq.ok_symbol, gq.ok_alpha, gq.ok_stop,
+               gq.keep AS keep_quality,
+               gr.top2_chars, gr.top3_chars, gr.dup3_chars,
+               gr.ok_top2, gr.ok_top3, gr.ok_dup3,
+               gr.keep AS keep_repetition,
+               ul.logprob AS unigram_logprob,
+               bl.logprob AS bigram_logprob,
+               sh.simhash,
+               ds.n_feats, ds.n_target_heavy, ds.dsir_score,
+               en.ids, en.n_oov
+        FROM tc JOIN ts USING (doc_id) JOIN ce USING (doc_id)
+             JOIN gq USING (doc_id) JOIN gr USING (doc_id)
+             JOIN ul USING (doc_id) JOIN bl USING (doc_id)
+             JOIN sh USING (doc_id) JOIN ds USING (doc_id)
+             JOIN en USING (doc_id)
+    """
     return {
+        "doc_signals": _doc_signals,
+        "source_similarity": f"""
+            WITH m AS ({_o_minhash_source_similarity}),
+                 w AS ({_o_weighted_jaccard_by_source})
+            SELECT m.a, m.b, m.n_inter, m.n_union, m.jaccard_milli,
+                   w.sum_min, w.sum_max, w.wjaccard_milli
+            FROM m JOIN w USING (a, b)
+        """,
+        "export_roundtrip_stats": f"""{_o_jsonl_source_stats}""",
+        "user_sessions": f"""
+            WITH s AS ({_o_user_sessions}),
+                 w AS ({_o_sliding_window_user_counts})
+            SELECT s.user_id, s.n_events, s.n_sessions, w.cnt
+            FROM s JOIN w USING (user_id)
+        """,
+        "orders_rollups": f"""
+            SELECT 'segment' AS group_kind, c_mktsegment AS group_key,
+                   n_orders AS n, total_price AS amount
+            FROM ({_o_orders_by_segment})
+            UNION ALL
+            SELECT 'priority', o_orderpriority, n_items, revenue
+            FROM ({_o_order_priority_revenue})
+        """,
+        "dedup_exact": f"""
+            SELECT 'documents' AS variant, CAST(doc_id AS VARCHAR) AS doc_id,
+                   n_copies
+            FROM ({_o_dedup_exact})
+            UNION ALL
+            SELECT 'sequences', doc_id, n_copies
+            FROM ({_o_dedup_exact_sequences})
+        """,
+        "dup_ngram_spans": f"""
+            SELECT 'words' AS variant, CAST(doc_id AS VARCHAR) AS doc_id,
+                   n_grams, n_dup_grams, n_distinct_dup_grams, max_dup_run
+            FROM ({_o_dup_ngram_spans})
+            UNION ALL
+            SELECT 'tokens', doc_id, n_grams, n_dup_grams,
+                   n_distinct_dup_grams, max_dup_run
+            FROM ({_o_token_dup_ngrams})
+        """,
+        "ngram_counts_seq": f"""
+            SELECT 'tri' AS variant, t0, t1, t2, cnt
+            FROM ({_o_kgram3_counts})
+            UNION ALL
+            SELECT 'bi', a, b, -1, cnt
+            FROM ({_o_bigram_top50})
+        """,
+        "exact_distincts": f"""
+            SELECT 'events:users' AS scope,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'tokens:' || source,
+                   CAST(distinct_tokens AS BIGINT)
+            FROM ({_o_distinct_tokens_by_source})
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2)                               AS sum_qty,
@@ -2598,16 +3301,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, token ASC
             LIMIT 100
         """,
-        "doc_token_counts": """
-            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
-        """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
-                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
-            FROM events GROUP BY 1, 2
-        """,
-        "events_hourly_distinct": """
-            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1, 2
         """,
@@ -2634,20 +3330,7 @@ def oracle_sql() -> dict[str, str]:
               ON e.event_type = h.event_type AND e.ts >= h.avail_ts
             WHERE e.user_id < 20
         """,
-        "events_asof_sharded": """
-            WITH hourly AS (
-                SELECT event_type,
-                       date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,
-                       SUM(value) AS hourly_sum
-                FROM events GROUP BY 1, 2
-            )
-            SELECT e.user_id, e.ts, e.event_type, h.avail_ts,
-                   ROUND(h.hourly_sum, 2) AS hourly_sum
-            FROM events e
-            ASOF JOIN hourly h
-              ON e.event_type = h.event_type AND e.ts >= h.avail_ts
-            WHERE e.user_id < 20
-        """,
+
         "events_value_bands": """
             WITH bands(band, lo, hi) AS (VALUES
                 ('neg', -1e9, 0.0), ('low', 0.0, 10.0), ('mid', 10.0, 100.0),
@@ -2656,36 +3339,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
             GROUP BY b.band
         """,
-        "orders_by_segment": """
-            SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total_price,
-                   COUNT(*) AS n_orders
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_mktsegment
-        """,
-        "order_priority_revenue": """
-            SELECT o_orderpriority, COUNT(*) AS n_items,
-                   ROUND(SUM(l_extendedprice), 2) AS revenue
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-            GROUP BY o_orderpriority
-        """,
-        "distinct_users": """
-            SELECT COUNT(DISTINCT user_id) AS distinct_users FROM events
-        """,
-        "dedup_exact": """
-            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-            FROM documents GROUP BY text
-        """,
         "token_counts_seq": f"""
             SELECT t.tok AS token, COUNT(*) AS cnt
             FROM (SELECT unnest(tokens) AS tok
                   FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')) t
             GROUP BY t.tok
-        """,
-        "distinct_tokens_by_source": f"""
-            SELECT source, COUNT(DISTINCT tok) AS distinct_tokens
-            FROM (SELECT source, unnest(tokens) AS tok
-                  FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
-            GROUP BY source
         """,
         "lineitem_semi_join": """
             SELECT l_returnflag, COUNT(*) AS n,
@@ -2693,17 +3351,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
             GROUP BY l_returnflag
-        """,
-        "user_sessions": """
-            SELECT user_id, COUNT(*) AS n_events,
-                   CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-            FROM (
-                SELECT user_id,
-                       epoch(ts) - LAG(epoch(ts)) OVER (
-                           PARTITION BY user_id ORDER BY ts) AS gap
-                FROM events
-            )
-            GROUP BY user_id
         """,
         "exact_value_quantiles": """
             SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(value, 0.1) AS value FROM events
@@ -2726,29 +3373,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    ROUND(AVG(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
-        """,
-        "kgram3_counts": f"""
-            SELECT t0, t1, t2, COUNT(*) AS cnt FROM (
-                SELECT CAST(tokens[i] AS INT) AS t0,
-                       CAST(tokens[i + 1] AS INT) AS t1,
-                       CAST(tokens[i + 2] AS INT) AS t2
-                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'),
-                     UNNEST(range(1, len(tokens) - 1)) AS u(i)
-            )
-            GROUP BY t0, t1, t2
-            ORDER BY cnt DESC, t0 ASC, t1 ASC, t2 ASC
-            LIMIT 200
-        """,
-        "text_stats": """
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   length(text) AS n_chars_text,
-                   len(list_filter(string_split(lower(text), ' '),
-                       x -> list_contains(['the','a','an','and','or','of','to',
-                                           'in','is','are','was','were','be',
-                                           'been','it','this','that','for','on',
-                                           'with','as','at','by'], x))) AS n_stop
-            FROM documents
         """,
         "jaccard_dup_pairs": """
             WITH toks AS (
@@ -2775,17 +3399,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT text) AS n_survivors,
                    COUNT(DISTINCT text) AS n_distinct
             FROM documents
-        """,
-        "bigram_top50": f"""
-            SELECT a, b, COUNT(*) AS cnt FROM (
-                SELECT CAST(tokens[i] AS INT) AS a,
-                       CAST(tokens[i + 1] AS INT) AS b
-                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'),
-                     UNNEST(range(1, len(tokens))) AS u(i)
-            )
-            GROUP BY a, b
-            ORDER BY cnt DESC, a ASC, b ASC
-            LIMIT 50
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,
@@ -2834,100 +3447,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
         """,
         "corpus_mix_split": _mix_split_sql(),
-        "simhash_fingerprints": _simhash_sql(),
         "winnow_fingerprints": _winnow_sql(k=3, window=4),
         # Gopher rules in exact integer arithmetic (ops/text.py
         # gopher_quality_flags); booleans compare as ints in the canon
-        "gopher_quality": """
-            WITH c AS (
-                SELECT doc_id,
-                       CAST(len(ws) AS BIGINT) AS n_words,
-                       CAST(length(text) - (len(ws) - 1) AS BIGINT) AS n_word_chars,
-                       CAST((length(text) - length(replace(text, '#', '')))
-                            + (length(text) - length(replace(text, '...', ''))) / 3
-                            AS BIGINT) AS n_symbols,
-                       CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
-                            AS BIGINT) AS n_alpha_words,
-                       CAST((CASE WHEN list_contains(ws, 'the')  THEN 1 ELSE 0 END)
-                          + (CASE WHEN list_contains(ws, 'be')   THEN 1 ELSE 0 END)
-                          + (CASE WHEN list_contains(ws, 'to')   THEN 1 ELSE 0 END)
-                          + (CASE WHEN list_contains(ws, 'of')   THEN 1 ELSE 0 END)
-                          + (CASE WHEN list_contains(ws, 'and')  THEN 1 ELSE 0 END)
-                          + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
-                          + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
-                          + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_req_stop
-                FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-                      FROM documents)
-            )
-            SELECT doc_id, n_words, n_word_chars, n_symbols, n_alpha_words,
-                   n_req_stop,
-                   (n_words BETWEEN 50 AND 100000)                    AS ok_word_count,
-                   (3 * n_words <= n_word_chars
-                    AND n_word_chars <= 10 * n_words)                 AS ok_mean_len,
-                   (10 * n_symbols <= n_words)                        AS ok_symbol,
-                   (5 * n_alpha_words >= 4 * n_words)                 AS ok_alpha,
-                   (n_req_stop >= 2)                                  AS ok_stop,
-                   ((n_words BETWEEN 50 AND 100000)
-                    AND (3 * n_words <= n_word_chars
-                         AND n_word_chars <= 10 * n_words)
-                    AND (10 * n_symbols <= n_words)
-                    AND (5 * n_alpha_words >= 4 * n_words)
-                    AND (n_req_stop >= 2))                            AS keep
-            FROM c
-        """,
         # repetition statistics grouped by actual gram strings — equal to
         # the engine's hash-grouped runs absent in-doc 64-bit collisions
-        "gopher_repetition": """
-            WITH t AS (SELECT doc_id, length(text) AS n_chars,
-                              string_split(lower(text), ' ') AS ws
-                       FROM documents),
-            g2 AS (SELECT doc_id, ws[j] || ' ' || ws[j + 1] AS g
-                   FROM t, UNNEST(range(1, len(ws))) AS r(j)),
-            a2 AS (SELECT doc_id, MAX(cnt * clen) AS top2
-                   FROM (SELECT doc_id, COUNT(*) AS cnt, length(g) AS clen
-                         FROM g2 GROUP BY doc_id, g)
-                   GROUP BY doc_id),
-            g3 AS (SELECT doc_id,
-                          ws[j] || ' ' || ws[j + 1] || ' ' || ws[j + 2] AS g
-                   FROM t, UNNEST(range(1, len(ws) - 1)) AS r(j)),
-            a3 AS (SELECT doc_id, MAX(cnt * clen) AS top3,
-                          SUM(CASE WHEN cnt > 1 THEN cnt * clen ELSE 0 END) AS dup3
-                   FROM (SELECT doc_id, COUNT(*) AS cnt, length(g) AS clen
-                         FROM g3 GROUP BY doc_id, g)
-                   GROUP BY doc_id)
-            SELECT t.doc_id,
-                   CAST(n_chars AS BIGINT) AS n_chars,
-                   CAST(COALESCE(top2, 0) AS BIGINT) AS top2_chars,
-                   CAST(COALESCE(top3, 0) AS BIGINT) AS top3_chars,
-                   CAST(COALESCE(dup3, 0) AS BIGINT) AS dup3_chars,
-                   (5 * COALESCE(top2, 0) <= n_chars)       AS ok_top2,
-                   (50 * COALESCE(top3, 0) <= 9 * n_chars)  AS ok_top3,
-                   (5 * COALESCE(dup3, 0) <= 3 * n_chars)   AS ok_dup3,
-                   ((5 * COALESCE(top2, 0) <= n_chars)
-                    AND (50 * COALESCE(top3, 0) <= 9 * n_chars)
-                    AND (5 * COALESCE(dup3, 0) <= 3 * n_chars)) AS keep
-            FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
-        """,
         # unigram LM trained on the corpus itself; ROUND(4) on both
         # sides absorbs summation-order float noise
-        "unigram_logprob": """
-            WITH words AS (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                FROM documents
-            ),
-            cnts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
-            tot AS (SELECT SUM(c) AS t FROM cnts)
-            SELECT doc_id, ROUND(AVG(log2(CAST(c AS DOUBLE) / t)), 4) AS logprob
-            FROM words JOIN cnts USING (w), tot
-            GROUP BY doc_id
-        """,
-        "sliding_window_user_counts": """
-            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM (SELECT user_id FROM events ORDER BY event_id DESC
-                  LIMIT 2000)
-            GROUP BY user_id ORDER BY user_id
-        """,
         # string-domain 3-gram membership — equal to the engine's
         # hash-domain probe absent 64-bit collisions (the documented
         # contract, same as jaccard_dup_pairs)
@@ -2958,86 +3484,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # format-independent truth: the parquet view must equal what the
         # engine read back from its own JSONL export
-        "jsonl_source_stats": """
-            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-                       AS n_words
-            FROM documents GROUP BY source ORDER BY source
-        """,
-        "csv_source_stats": """
-            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-                       AS n_words
-            FROM documents GROUP BY source ORDER BY source
-        """,
         # byte-level == char-level entropy for this ASCII corpus (the
         # documented contract); DuckDB entropy() is log2 Shannon
-        "char_entropy_stats": """
-            SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   ROUND(COALESCE(ent, 0.0), 4) AS char_entropy
-            FROM documents
-            LEFT JOIN (
-                SELECT doc_id, entropy(ch) AS ent
-                FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
-                      FROM documents)
-                GROUP BY doc_id
-            ) USING (doc_id)
-            ORDER BY doc_id
-        """,
         # string-domain repeated 5-grams — equal to the engine's
         # gram-hash domain absent 64-bit collisions (same documented
         # contract as decontaminate_eval); max_dup_run via
         # gaps-and-islands over gram positions
-        "dup_ngram_spans": """
-            WITH toks AS (
-                SELECT doc_id, string_split(lower(text), ' ') AS w
-                FROM documents
-            ),
-            grams AS (
-                SELECT doc_id, i,
-                       w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
-                            || w[i + 3] || ' ' || w[i + 4] AS g
-                FROM toks, UNNEST(range(1, len(w) - 3)) AS u(i)
-            ),
-            dup AS (
-                SELECT g FROM grams GROUP BY g
-                HAVING COUNT(DISTINCT doc_id) >= 2
-            ),
-            hits AS (
-                SELECT grams.doc_id, grams.i, grams.g,
-                       (dup.g IS NOT NULL) AS hit
-                FROM grams LEFT JOIN dup ON grams.g = dup.g
-            ),
-            agg AS (
-                SELECT doc_id, COUNT(*) AS n_grams,
-                       SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_dup,
-                       COUNT(DISTINCT CASE WHEN hit THEN g END) AS n_dist
-                FROM hits GROUP BY doc_id
-            ),
-            islands AS (
-                SELECT doc_id, grp, COUNT(*) AS run_len
-                FROM (SELECT doc_id, i,
-                             i - ROW_NUMBER() OVER (PARTITION BY doc_id
-                                                    ORDER BY i) AS grp
-                      FROM hits WHERE hit)
-                GROUP BY doc_id, grp
-            ),
-            runs AS (
-                SELECT doc_id, MAX(run_len) AS max_run
-                FROM islands GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
-                   CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_grams,
-                   CAST(COALESCE(a.n_dist, 0) AS BIGINT)
-                       AS n_distinct_dup_grams,
-                   CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_dup_run
-            FROM documents d
-            LEFT JOIN agg a ON d.doc_id = a.doc_id
-            LEFT JOIN runs r ON d.doc_id = r.doc_id
-            ORDER BY d.doc_id
-        """,
         # BM25 with the exact float expression shape of
         # ops/retrieval.py:bm25_scores; ROUND(4) on both sides absorbs
         # term-summation-order ulps, collation (rounded score DESC,
@@ -3133,25 +3585,10 @@ def oracle_sql() -> dict[str, str]:
         # MLE bigram LM trained on the corpus itself (string-domain
         # grouping — equals the engine's hash-domain tables absent
         # 64-bit collisions); ROUND(4) absorbs summation-order ulps
-        "bigram_logprob": """
-            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-                       FROM documents),
-            bg AS (SELECT doc_id, ws[j] AS w1, ws[j + 1] AS w2
-                   FROM t, UNNEST(range(1, len(ws))) AS r(j)),
-            bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
-            ctx AS (SELECT w1, COUNT(*) AS cc FROM bg GROUP BY w1)
-            SELECT doc_id,
-                   ROUND(AVG(log2(CAST(cb AS DOUBLE) / cc)), 4) AS logprob
-            FROM bg JOIN bc USING (w1, w2) JOIN ctx USING (w1)
-            GROUP BY doc_id
-            ORDER BY doc_id
-        """,
         "sample_per_source": _sample_per_key_sql(n=8, seed=137),
         "cm_vanilla_query": _cm_vanilla_sql(),
         "bloom_membership": _bloom_member_sql(),
         "minhash_dedup_pairs": _minhash_pairs_sql(),
-        "dsir_importance": _dsir_sql(),
-        "token_dup_ngrams": _token_dup_ngrams_sql(),
         # sequence identity: GROUP BY the token LIST itself == the
         # engine's raw-int32-buffer hash absent 64-bit collisions
         # exact second moment / join cardinality (the sketch estimates
@@ -3166,31 +3603,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             ORDER BY "case"
         """,
-        "events_value_bands_sharded": """
-            SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
-                   ROUND(SUM(e.value), 2) AS sum_value
-            FROM events e
-            JOIN (VALUES ('neg', -1e9, 0.0), ('low', 0.0, 10.0),
-                         ('mid', 10.0, 100.0), ('high', 100.0, 1e9),
-                         ('wide', 0.0, 1e9)) AS b(band, lo, hi)
-              ON e.value >= b.lo AND e.value < b.hi
-            GROUP BY b.band ORDER BY b.band
-        """,
-        "dedup_exact_sequences": f"""
-            WITH aug AS (
-                SELECT doc_id, tokens
-                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
-                UNION ALL
-                SELECT doc_id || '-dup', tokens
-                FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet')
-                WHERE doc_id LIKE '%00'
-            )
-            SELECT MIN(doc_id) AS doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_copies
-            FROM aug GROUP BY tokens ORDER BY doc_id
-        """,
         "hll_register_histogram": _hll_registers_sql(),
-        "minhash_source_similarity": _bottomk_similarity_sql(),
         "modvac_distinct_by_source": _modvac_sql(),
         # exact per-source top-10 token counts (the compressed-recovery
         # equality is asserted in-query; floats never leave the engine)
@@ -3216,61 +3629,10 @@ def oracle_sql() -> dict[str, str]:
         # sum_min via the inner join on token, sum_max = tot_a + tot_b
         # - sum_min; integer arithmetic end to end (the CWS estimator
         # itself is float-geometry and asserted in-query instead)
-        "weighted_jaccard_by_source": f"""
-            WITH cnt AS (
-                SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
-                FROM (SELECT source, unnest(tokens) AS tok
-                      FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
-                GROUP BY source, tok
-            ),
-            tot AS (SELECT source, SUM(c) AS t FROM cnt GROUP BY source),
-            inter AS (
-                SELECT x.source AS a, y.source AS b,
-                       SUM(LEAST(x.c, y.c)) AS smin
-                FROM cnt x JOIN cnt y
-                  ON x.tok = y.tok AND x.source < y.source
-                GROUP BY x.source, y.source
-            ),
-            pairs AS (
-                SELECT ta.source AS a, tb.source AS b,
-                       COALESCE(i.smin, 0) AS smin,
-                       ta.t + tb.t - COALESCE(i.smin, 0) AS smax
-                FROM tot ta JOIN tot tb ON ta.source < tb.source
-                LEFT JOIN inter i ON i.a = ta.source AND i.b = tb.source
-            )
-            SELECT a, b, CAST(smin AS BIGINT) AS sum_min,
-                   CAST(smax AS BIGINT) AS sum_max,
-                   (1000 * CAST(smin AS BIGINT))
-                       // GREATEST(CAST(smax AS BIGINT), 1)
-                       AS wjaccard_milli
-            FROM pairs ORDER BY a, b
-        """,
         "cm_set_algebra": _cm_intersect_sql(),
         # vocab rank ties broken (cnt desc, token asc) exactly as
         # build_vocab; hash-domain lookup == string join absent
         # 64-bit collisions
-        "encoded_docs": """
-            WITH words AS (
-                SELECT doc_id, j - 1 AS pos, ws[j] AS w
-                FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                      FROM documents),
-                     UNNEST(range(1, len(ws) + 1)) AS t(j)
-            ),
-            cnts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
-            vocab AS (SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC)
-                                 - 1 AS tid
-                      FROM cnts),
-            v AS (SELECT * FROM vocab WHERE tid < 20)
-            SELECT words.doc_id,
-                   string_agg(CAST(COALESCE(v.tid, -1) AS VARCHAR), ' '
-                              ORDER BY pos) AS ids,
-                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_oov
-            FROM words LEFT JOIN v ON words.w = v.w
-            GROUP BY words.doc_id
-            ORDER BY words.doc_id
-        """,
         "pmi_top50": """
             WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
             bg AS (SELECT ws[j] AS w1, ws[j + 1] AS w2

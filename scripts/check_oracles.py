@@ -67,6 +67,7 @@ def main(sf_dir="/root/testdata/sf0.01", *only):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = []
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,9 +76,11 @@ def main(sf_dir="/root/testdata/sf0.01", *only):
         except Exception as e:
             print(f"[ERR ] {name}: query raised {type(e).__name__}: {e}")
             failures.append(name)
+            record[name] = {"err": f"{type(e).__name__}: {e}"}
             continue
         if name not in oracles:
             print(f"[rows] {name}: {len(mine)} rows (no oracle — rows-only)")
+            record[name] = {"rows": len(mine), "err": "no_oracle"}
             continue
         try:
             oracle = canon(con.execute(oracles[name]).df())
@@ -89,6 +92,9 @@ def main(sf_dir="/root/testdata/sf0.01", *only):
         ok_cols = list(mine.columns) == list(oracle.columns)
         ok_vals = ok_rows and ok_cols and mine.equals(oracle)
         status = "PASS" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        record[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                        "hash_match": bool(ok_vals), "rows": len(mine),
+                        "oracle_rows": len(oracle), "err": None}
         print(f"[{status}] {name}: rows {len(mine)}/{len(oracle)} cols_ok={ok_cols} vals_ok={ok_vals}")
         if status == "FAIL":
             failures.append(name)
@@ -98,6 +104,12 @@ def main(sf_dir="/root/testdata/sf0.01", *only):
             else:
                 print("  mine cols:", list(mine.columns), "oracle cols:", list(oracle.columns))
     print("\nFAILURES:", failures or "none")
+    out_json = os.environ.get("ORACLE_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump(record, f, indent=1)
     ray.shutdown()
     return 1 if failures else 0
 
