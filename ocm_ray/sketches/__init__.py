@@ -24,7 +24,7 @@ from ocm_ray.sketches.heavykeeper import HeavyKeeper, HeavyKeeperTopK
 from ocm_ray.sketches.hll import HyperLogLog
 from ocm_ray.sketches.hyperminhash import HyperMinHash
 from ocm_ray.sketches.kll import KLL
-from ocm_ray.sketches.minhash import BottomKMinHash
+from ocm_ray.sketches.minhash import BottomKMinHash, CountingBottomKMinHash
 from ocm_ray.sketches.pcsa import PCSA, ProbabilisticCounter
 from ocm_ray.sketches.setsketch import SetSketch
 from ocm_ray.sketches.tdigest import TDigest
@@ -37,6 +37,6 @@ __all__ = [
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
     "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
     "HyperMinHash", "BBitMinHash", "SetSketch", "WeightedMinHash",
-    "ProbMinHash",
+    "ProbMinHash", "CountingBottomKMinHash",
     "ModSketch", "VACSketch",
 ]

@@ -69,3 +69,115 @@ class BottomKMinHash(MergeableSketch):
 
     def _arrays(self) -> Dict[str, np.ndarray]:
         return {"values": self.values}
+
+
+@register_sketch
+class CountingBottomKMinHash(MergeableSketch):
+    """Weighted bottom-k MinHash — the vendored ``CountingRangeMinHash``
+    contract (``mh.h:463-560``): the k smallest distinct hashes each
+    carry an occurrence COUNT; ``histogram_intersection`` scans the
+    aligned bottom-k of the union accumulating min/max counts
+    (``mh.h:545-560``); cardinality from the k-th order statistic
+    (``mh.h:509-511``).
+
+    Engine deviation (documented, an improvement): the reference counts
+    in-set occurrences only — a hash evicted and later re-inserted
+    restarts at 1, making counts arrival-order-dependent. Here partials
+    keep exact per-hash occurrence totals and merge by key-summed union
+    + keep-k-smallest, so every hash in the FINAL bottom-k carries its
+    exact corpus count under any partitioning (a global-bottom-k hash
+    is in every partition's bottom-k wherever it occurs — proof in the
+    partition-invariance test)."""
+
+    kind = "cbottomk"
+
+    def __init__(self, k: int = 1024, seedseed: int = 137,
+                 prehashed: bool = False):
+        self.k = int(k)
+        self.seedseed = int(seedseed)
+        self.prehashed = bool(prehashed)
+        self.values = np.empty(0, dtype=U64)      # sorted ascending
+        self.counts = np.empty(0, dtype=np.int64)  # aligned with values
+
+    def _fold(self, h: np.ndarray, c: np.ndarray) -> None:
+        vals = np.concatenate([self.values, h])
+        cnts = np.concatenate([self.counts, c])
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        run = np.concatenate([[True], vals[1:] != vals[:-1]]) if len(vals) \
+            else np.empty(0, bool)
+        starts = np.flatnonzero(run)
+        tot = np.add.reduceat(cnts, starts) if len(starts) else cnts
+        self.values = vals[starts][: self.k]
+        self.counts = tot[: self.k].astype(np.int64)
+
+    def update(self, items: np.ndarray,
+               counts: Optional[np.ndarray] = None) -> None:
+        items = np.asarray(items).astype(U64, copy=False)
+        if items.size == 0:
+            return
+        h = items if self.prehashed else wanghash(items ^ U64(self.seedseed))
+        if counts is None:
+            uniq, c = np.unique(h, return_counts=True)
+        else:
+            order = np.argsort(h, kind="stable")
+            hs, cs = h[order], np.asarray(counts, np.int64)[order]
+            run = np.concatenate([[True], hs[1:] != hs[:-1]])
+            starts = np.flatnonzero(run)
+            uniq, c = hs[starts], np.add.reduceat(cs, starts)
+        self._fold(uniq, c.astype(np.int64))
+
+    def merge(self, other: "CountingBottomKMinHash") -> "CountingBottomKMinHash":
+        assert (self.k, self.seedseed) == (other.k, other.seedseed), \
+            "geometry mismatch"
+        self._fold(other.values, other.counts)
+        return self
+
+    # ---- estimators --------------------------------------------------------
+    def cardinality_estimate(self) -> float:
+        n = len(self.values)
+        if n < self.k:
+            return float(n)
+        kth = float(self.values[self.k - 1]) + 1.0
+        return (self.k - 1) * (2.0**64) / kth
+
+    def histogram_intersection(self, other: "CountingBottomKMinHash") -> float:
+        """min/max count ratio over the aligned bottom-k of the union
+        (the weighted-Jaccard estimator of ``mh.h:545-560``): shared
+        hashes contribute (min, max), singles contribute (0, count);
+        the scan stops after k union entries."""
+        assert (self.k, self.seedseed) == (other.k, other.seedseed), \
+            "geometry mismatch"
+        union = np.unique(np.concatenate([self.values, other.values]))[: self.k]
+        if union.size == 0:
+            return 1.0
+        ca = self._counts_for(union)
+        cb = other._counts_for(union)
+        denom = np.maximum(ca, cb).sum()
+        num = np.minimum(ca, cb).sum()
+        return float(num) / float(denom) if denom else 1.0
+
+    def _counts_for(self, hashes: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.values, hashes)
+        idx = np.minimum(idx, max(len(self.values) - 1, 0))
+        hit = (self.values[idx] == hashes) if len(self.values) else \
+            np.zeros(len(hashes), bool)
+        out = np.zeros(len(hashes), np.int64)
+        out[hit] = self.counts[idx[hit]]
+        return out
+
+    def sum(self) -> int:
+        return int(self.counts.sum())
+
+    def sum_sq(self) -> int:
+        return int((self.counts.astype(object) ** 2).sum())
+
+    def _params(self) -> Dict:
+        return dict(k=self.k, seedseed=self.seedseed, prehashed=self.prehashed)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        return {"values": self.values, "counts": self.counts}
+
+    def _set_arrays(self, arrays: Dict[str, np.ndarray]) -> None:
+        self.values = arrays["values"]
+        self.counts = arrays["counts"]

@@ -278,6 +278,69 @@ def test_probminhash_similarity_matches_weighted_jaccard():
     assert abs(est - exact) < 5 * sigma, (est, exact, sigma)
 
 
+def test_counting_bottomk_minhash():
+    """mh.h CountingRangeMinHash contract: exact per-hash counts on the
+    final bottom-k under ANY partitioning, histogram intersection vs a
+    brute-force weighted computation over the union bottom-k, k-th
+    order-statistic cardinality, serialization round trip."""
+    from ocm_ray.sketches import CountingBottomKMinHash, MergeableSketch
+
+    rng = np.random.default_rng(9)
+    stream = rng.zipf(1.5, 40_000)
+    stream = stream[stream < 5000].astype(np.uint64)
+
+    whole = CountingBottomKMinHash(k=256)
+    whole.update(stream)
+
+    # partition invariance: counts on the surviving bottom-k are exact
+    parts = []
+    for lo in range(0, len(stream), 1237):
+        p = CountingBottomKMinHash(k=256)
+        p.update(stream[lo:lo + 1237])
+        parts.append(p)
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+    assert np.array_equal(acc.values, whole.values)
+    assert np.array_equal(acc.counts, whole.counts)
+
+    # counts are the EXACT occurrence totals of the retained hashes
+    from ocm_ray.core.hashing import wanghash
+
+    h = wanghash(stream ^ np.uint64(137))
+    uniq, cnt = np.unique(h, return_counts=True)
+    keep = np.searchsorted(uniq, whole.values)
+    assert np.array_equal(cnt[keep], whole.counts)
+
+    # histogram intersection vs brute force on two overlapping streams
+    s2 = np.concatenate([stream[::2], (rng.zipf(1.5, 10_000) + 10_000)
+                         .astype(np.uint64)])
+    other = CountingBottomKMinHash(k=256)
+    other.update(s2)
+    est = whole.histogram_intersection(other)
+    union = np.unique(np.concatenate([whole.values, other.values]))[:256]
+    ca = np.zeros(len(union), np.int64)
+    cb = np.zeros(len(union), np.int64)
+    for arr, out in ((stream, ca), (s2, cb)):
+        hh = wanghash(arr ^ np.uint64(137))
+        u2, c2 = np.unique(hh, return_counts=True)
+        ix = np.searchsorted(u2, union)
+        ix = np.minimum(ix, len(u2) - 1)
+        m = u2[ix] == union
+        out[m] = c2[ix[m]]
+    want = np.minimum(ca, cb).sum() / np.maximum(ca, cb).sum()
+    assert abs(est - want) < 1e-12
+    assert 0.0 < est < 1.0
+
+    # cardinality within 5 relative sigma (~1/sqrt(k))
+    n_true = len(np.unique(stream))
+    assert abs(whole.cardinality_estimate() - n_true) < 5 * n_true / 16
+
+    back = MergeableSketch.from_bytes(whole.to_bytes())
+    assert isinstance(back, CountingBottomKMinHash)
+    assert np.array_equal(back.counts, whole.counts)
+
+
 def test_wz_compress_linear_and_recovers_heavy():
     """rnla.h wz transform (VERDICT r3 #8): linearity (mergeable by
     addition) and heavy-coordinate recovery after dividing the Exp
