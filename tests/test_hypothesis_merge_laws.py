@@ -35,11 +35,19 @@ def _split(xs, cuts):
 @given(streams, st.lists(st.integers(0, 400), max_size=5))
 def test_partition_invariance_order_free(xs, cuts):
     parts = _split(xs, cuts)
+    from ocm_ray.sketches import CountingBottomKMinHash
+
+    # (ProbMinHash is deliberately absent: its draws are keyed by an
+    # element's TOTAL weight, so unit-weight occurrence streams are not
+    # partition-splittable; its merge law over disjoint nonzeros is
+    # pinned in test_round4.py instead.)
     for factory, state in [
         (lambda: CountMin(8, 3), "core"),
         (lambda: HyperLogLog(6), "registers"),
         (lambda: BloomFilter(10, 3), "words"),
         (lambda: SetSketch.byte(16), "core"),
+        (lambda: CountingBottomKMinHash(8), "counts"),
+        (lambda: CountingBottomKMinHash(8), "values"),
     ]:
         whole = factory()
         whole.update(np.array(xs, dtype=np.uint64))
