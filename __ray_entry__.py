@@ -1095,6 +1095,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert (out.loc[out["kind"] == "video", "stat"]
                 .between(60, 200).all())
         assert len(vid) > 0
+        # round 4: compressed-video CONTAINER metadata (ISO-BMFF box
+        # walk, no ffmpeg) — spec-built MP4 fixtures through the
+        # video_container_meta triage stage; pixel decode stays stubbed
+        import ray.data as _rd
+
+        from ocm_ray.ops.multimodal import (make_mp4_meta_fixture,
+                                            video_container_meta)
+
+        blobs = pd.DataFrame({
+            "media_id": [9001, 9002, 9003],
+            "payload": [make_mp4_meta_fixture(n_samples=24 * i,
+                                              w=64 * i, h=36 * i,
+                                              duration_ms=1000 * i)
+                        for i in (1, 2, 3)]})
+        mp4 = (video_container_meta(_rd.from_pandas(blobs)).to_pandas()
+               .sort_values("media_id").reset_index(drop=True))
+        assert (mp4["video_codec"] == "avc1").all()
+        assert (mp4["n_samples"].to_numpy() == [24, 48, 72]).all()
+        out = pd.concat([out, pd.DataFrame({
+            "media_id": mp4["media_id"],
+            "kind": "mp4_container",
+            "stat": mp4["duration_ms"].astype(float),
+        })], ignore_index=True)
         return out.sort_values(["media_id", "kind"]).reset_index(drop=True)
     q["media_decode_stats"] = media_decode_stats
 

@@ -375,3 +375,162 @@ def decode_images(ds: Dataset, fake: bool = False, target_size: int = 64,
         "fake": fake, "target_size": target_size},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=max(1, min(concurrency, n // 2)), num_cpus=0.5)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container metadata (round 4)
+#
+# Pixel/audio DECODE of compressed tracks still needs ffmpeg (absent in
+# this container — the honest stub stands), but the CONTAINER layer is a
+# simple length-prefixed box tree (ISO/IEC 14496-12) and parses fine in
+# pure Python: brand, movie duration, per-track handler/codec/geometry,
+# sample counts. At 100 TB this is the first-pass "what is this blob"
+# triage stage that runs BEFORE any expensive decode is scheduled.
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end).
+    Handles 64-bit largesize boxes; stops cleanly on truncation."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        btype = buf[off + 4:off + 8].decode("latin1")
+        body = off + 8
+        if size == 1:                       # 64-bit largesize
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            body = off + 16
+        elif size == 0:                     # box extends to EOF
+            size = end - off
+        if size < 8 or off + size > end:
+            return
+        yield btype, body, off + size
+        off += size
+
+
+def _find_box(buf: bytes, start: int, end: int, btype: str):
+    for t, b, e in _iter_boxes(buf, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO-BMFF container metadata without decoding any samples:
+    ``{brand, duration_ms, n_tracks, video_codec, width, height,
+    n_samples}`` (video fields from the first video track; -1 / ''
+    when absent). Raises ValueError if the payload is not a BMFF box
+    tree (no ftyp/moov)."""
+    out = {"brand": "", "duration_ms": -1, "n_tracks": 0,
+           "video_codec": "", "width": -1, "height": -1, "n_samples": -1}
+    top = list(_iter_boxes(payload, 0, len(payload)))
+    types = [t for t, _, _ in top]
+    if "ftyp" not in types and "moov" not in types:
+        raise ValueError("not an ISO-BMFF container (no ftyp/moov box)")
+    for t, b, e in top:
+        if t == "ftyp":
+            out["brand"] = payload[b:b + 4].decode("latin1")
+        if t != "moov":
+            continue
+        mv = _find_box(payload, b, e, "mvhd")
+        if mv:
+            vb, _ = mv
+            version = payload[vb]
+            if version == 1:
+                tscale = int.from_bytes(payload[vb + 20:vb + 24], "big")
+                dur = int.from_bytes(payload[vb + 24:vb + 32], "big")
+            else:
+                tscale = int.from_bytes(payload[vb + 12:vb + 16], "big")
+                dur = int.from_bytes(payload[vb + 16:vb + 20], "big")
+            if tscale:
+                out["duration_ms"] = int(dur * 1000 // tscale)
+        for tt, tb, te in _iter_boxes(payload, b, e):
+            if tt != "trak":
+                continue
+            out["n_tracks"] += 1
+            mdia = _find_box(payload, tb, te, "mdia")
+            if not mdia:
+                continue
+            hdlr = _find_box(payload, *mdia, "hdlr")
+            handler = payload[hdlr[0] + 8:hdlr[0] + 12].decode("latin1") \
+                if hdlr else ""
+            if handler != "vide" or out["video_codec"]:
+                continue
+            tkhd = _find_box(payload, tb, te, "tkhd")
+            if tkhd:
+                hb, he = tkhd
+                # width/height are the last two 16.16 fixed-point words
+                out["width"] = int.from_bytes(payload[he - 8:he - 6], "big")
+                out["height"] = int.from_bytes(payload[he - 4:he - 2], "big")
+            minf = _find_box(payload, *mdia, "minf")
+            stbl = _find_box(payload, *minf, "stbl") if minf else None
+            if stbl:
+                stsd = _find_box(payload, *stbl, "stsd")
+                if stsd:
+                    sb, se = stsd
+                    entry = _find_box(payload, sb + 8, se, "")  # any first
+                    for et, eb, ee in _iter_boxes(payload, sb + 8, se):
+                        out["video_codec"] = et
+                        break
+                stsz = _find_box(payload, *stbl, "stsz")
+                if stsz:
+                    zb, _ = stsz
+                    out["n_samples"] = int.from_bytes(
+                        payload[zb + 8:zb + 12], "big")
+    return out
+
+
+def make_mp4_meta_fixture(n_samples: int = 48, w: int = 64, h: int = 36,
+                          duration_ms: int = 2000) -> bytes:
+    """Deterministic minimal-but-valid ISO-BMFF byte tree (ftyp + moov
+    with one avc1 video track + empty mdat) for tests — built from the
+    spec's box layout, no encoder involved. The sample payloads are
+    absent (decode would need ffmpeg); the container metadata is real."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    tscale = 1000
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(b"mvhd", struct.pack(">B3x4I", 0, 0, 0, tscale,
+                                    duration_ms) + b"\0" * 80)
+    tkhd = box(b"tkhd", struct.pack(">B3x3I", 0, 0, 0, 1) + b"\0" * 60
+               + struct.pack(">II", w << 16, h << 16))
+    hdlr = box(b"hdlr", b"\0" * 8 + b"vide" + b"\0" * 12 + b"v\0")
+    mdhd = box(b"mdhd", struct.pack(">B3x4I", 0, 0, 0, tscale,
+                                    duration_ms) + b"\0" * 4)
+    avc1 = box(b"avc1", b"\0" * 78)
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + avc1)
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n_samples))
+    stbl = box(b"stbl", stsd + stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    mdat = box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+def video_container_meta(ds: Dataset, payload_col: str = "payload",
+                         id_col: str = "media_id") -> Dataset:
+    """Dataset of media blobs → one metadata row per MP4/BMFF payload
+    (stateless map pass; non-BMFF payloads raise — filter by mime
+    upstream). The triage stage scheduled BEFORE any decode fan-out."""
+    def meta(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        rows = [parse_mp4_meta(p)
+                for p in batch.column(payload_col).to_pylist()]
+        return pa.table({
+            id_col: ids,
+            "brand": pa.array([r["brand"] for r in rows]),
+            "duration_ms": pa.array([r["duration_ms"] for r in rows],
+                                    pa.int64()),
+            "n_tracks": pa.array([r["n_tracks"] for r in rows], pa.int32()),
+            "video_codec": pa.array([r["video_codec"] for r in rows]),
+            "width": pa.array([r["width"] for r in rows], pa.int32()),
+            "height": pa.array([r["height"] for r in rows], pa.int32()),
+            "n_samples": pa.array([r["n_samples"] for r in rows],
+                                  pa.int64()),
+        })
+
+    return ds.map_batches(meta, batch_format="pyarrow")

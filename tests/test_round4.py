@@ -278,6 +278,42 @@ def test_probminhash_similarity_matches_weighted_jaccard():
     assert abs(est - exact) < 5 * sigma, (est, exact, sigma)
 
 
+def test_mp4_container_metadata():
+    """ISO-BMFF container triage without ffmpeg (round 4: the compressed
+    -video stub gains a REAL metadata layer): box-tree walk extracts
+    brand / duration / tracks / codec / geometry / sample count from a
+    spec-built fixture; pixel decode stays honestly stubbed."""
+    import ray.data as rd
+
+    from ocm_ray.ops.multimodal import (make_mp4_meta_fixture,
+                                        parse_mp4_meta,
+                                        video_container_meta)
+
+    blob = make_mp4_meta_fixture(n_samples=48, w=64, h=36,
+                                 duration_ms=2000)
+    meta = parse_mp4_meta(blob)
+    assert meta == {"brand": "isom", "duration_ms": 2000, "n_tracks": 1,
+                    "video_codec": "avc1", "width": 64, "height": 36,
+                    "n_samples": 48}
+    # 64-bit largesize box handled: wrap moov in a largesize shell? —
+    # simpler: truncation must not crash, non-BMFF must raise
+    assert parse_mp4_meta(blob[:40])["brand"] == "isom"
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00" * 64)
+
+    blobs = [make_mp4_meta_fixture(n_samples=i + 1, w=32 * (i + 1),
+                                   h=18 * (i + 1), duration_ms=500 * (i + 1))
+             for i in range(5)]
+    ds = rd.from_pandas(pd.DataFrame({"media_id": np.arange(5),
+                                      "payload": blobs})).repartition(2)
+    out = (video_container_meta(ds).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    assert (out["n_samples"].to_numpy() == np.arange(1, 6)).all()
+    assert (out["width"].to_numpy() == 32 * np.arange(1, 6)).all()
+    assert (out["duration_ms"].to_numpy() == 500 * np.arange(1, 6)).all()
+    assert (out["video_codec"] == "avc1").all()
+
+
 def test_counting_bottomk_minhash():
     """mh.h CountingRangeMinHash contract: exact per-hash counts on the
     final bottom-k under ANY partitioning, histogram intersection vs a
