@@ -1197,7 +1197,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lsh = lsh_ann_topk(sf_dir).assign(variant="lsh")
         ivf = ivf_ann_topk(sf_dir).assign(variant="ivf")
         te = text_embed_ann(sf_dir).assign(variant="text_embed")
-        out = pd.concat([lsh, ivf, te], ignore_index=True)
+
+        # round 4: IVF-PQ — 8-byte product-quantized codes per vector,
+        # ADC probes; recall vs brute force asserted (codes cannot be
+        # SQL-oracled: float codebook geometry)
+        import pyarrow.parquet as _pq
+
+        from ocm_ray.ops.similarity import (brute_force_topk,
+                                            build_ivfpq_index, ivfpq_topk)
+
+        t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qvec = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        idx_dir = f"{_SEQ_ROOT}/ivfpq_index_{tag}_c16m8"
+        if not os.path.exists(os.path.join(idx_dir, "_ivfpq_meta.json")):
+            build_ivfpq_index(_read(sf_dir, "embeddings"), idx_dir,
+                              n_centroids=16, m_subspaces=8, n_codes=64)
+        got = ivfpq_topk(qvec[None, :], k=10, n_probe=8, index_dir=idx_dir)
+        exact = brute_force_topk(_read(sf_dir, "embeddings"),
+                                 qvec[None, :], k=10)
+        recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / len(exact)
+        assert recall >= 0.3, f"IVF-PQ recall@10 {recall}"
+        pqv = got[["vec_id", "sim"]].copy()
+        pqv["sim"] = pqv["sim"].round(4)
+        pqv = pqv.assign(variant="ivfpq")
+
+        out = pd.concat([lsh, ivf, te, pqv], ignore_index=True)
         return out[["variant", "vec_id", "sim"]]
     q["ann_index_probes"] = ann_index_probes
 

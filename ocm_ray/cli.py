@@ -258,12 +258,19 @@ def cmd_ann(args) -> int:
         if args.kind == "lsh":
             meta = sim.build_ann_index(ds, args.index_dir, bits=args.bits,
                                        emb_col=args.emb_col)
+        elif args.kind == "ivfpq":
+            meta = sim.build_ivfpq_index(ds, args.index_dir,
+                                         n_centroids=args.centroids,
+                                         m_subspaces=args.pq_m,
+                                         emb_col=args.emb_col,
+                                         id_col=args.id_col)
         else:
             meta = sim.build_ivf_index(ds, args.index_dir,
                                        n_centroids=args.centroids,
                                        emb_col=args.emb_col,
                                        id_col=args.id_col)
-        meta = {k: v for k, v in meta.items() if k != "centroids"}
+        meta = {k: v for k, v in meta.items()
+                if k not in ("centroids", "codebooks")}
         print(json.dumps({"action": "build", "kind": args.kind, **meta,
                           "wall_sec": round(time.time() - t0, 3)}))
         return 0
@@ -276,6 +283,9 @@ def cmd_ann(args) -> int:
     if args.kind == "lsh":
         out = sim.lsh_topk(None, q, k=args.k, multiprobe=args.probe,
                            index_dir=args.index_dir, id_col=args.id_col)
+    elif args.kind == "ivfpq":
+        out = sim.ivfpq_topk(q, k=args.k, n_probe=args.probe,
+                             index_dir=args.index_dir)
     else:
         out = sim.ivf_topk(q, k=args.k, n_probe=args.probe,
                            index_dir=args.index_dir, id_col=args.id_col)
@@ -371,7 +381,10 @@ def main(argv=None) -> int:
 
     a = sub.add_parser("ann", help="build / probe a partitioned ANN index")
     a.add_argument("action", choices=["build", "probe"])
-    a.add_argument("--kind", default="ivf", choices=["lsh", "ivf"])
+    a.add_argument("--kind", default="ivf",
+                   choices=["lsh", "ivf", "ivfpq"])
+    a.add_argument("--pq-m", type=int, default=8,
+                   help="PQ subspaces (ivfpq kind)")
     a.add_argument("--input", help="embeddings parquet (build)")
     a.add_argument("--queries", help="query-vectors parquet (probe)")
     a.add_argument("--index-dir", required=True)

@@ -392,3 +392,158 @@ def assign_clusters(ds: Dataset, centroids: np.ndarray,
         return batch.append_column(out_col, pa.array(cell))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted lists (round 4)
+#
+# At 100 TB of embeddings the IVF-flat layout above still stores 4·dim
+# bytes per vector; product quantization stores ``m`` uint8 codes
+# (16-32x smaller at dim 32-64), which is what keeps a corpus-scale ANN
+# index resident. Standard construction (Jegou et al. 2011, "Product
+# quantization for nearest neighbor search"): coarse quantizer -> PQ
+# codebooks trained on coarse RESIDUALS -> asymmetric distance
+# computation (ADC) at probe time via per-query lookup tables.
+# Deterministic end to end: sample, inits and empty-cluster reseeding
+# are all seeded-hash driven (no RNG — resume/retry-safe).
+
+
+def _pq_fit(x: np.ndarray, n_codes: int, iters: int = 8,
+            seedseed: int = 137) -> np.ndarray:
+    """Plain (Euclidean) k-means for one PQ subspace, deterministic:
+    init = seeded-hash sample of distinct rows; empty codes reseed from
+    the worst-reconstructed rows."""
+    from ocm_ray.core.hashing import wanghash
+
+    n, d = x.shape
+    order = np.argsort(wanghash(np.arange(n, dtype=np.uint64)
+                                ^ np.uint64(seedseed)), kind="stable")
+    c = x[order[: n_codes]].copy()
+    if len(c) < n_codes:                      # tiny sample: pad by repeat
+        c = np.concatenate([c] * (n_codes // max(len(c), 1) + 1))[:n_codes]
+    for _ in range(iters):
+        # assignment via ||x||^2 - 2 x.c + ||c||^2 (argmin over codes)
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None]
+        code = d2.argmin(axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, code, x)
+        counts = np.bincount(code, minlength=n_codes).astype(np.float64)
+        nonempty = counts > 0
+        c[nonempty] = sums[nonempty] / counts[nonempty, None]
+        empty = ~nonempty
+        if empty.any():
+            worst = np.argsort(-d2[np.arange(n), code])[: int(empty.sum())]
+            c[empty] = x[worst]
+    return c
+
+
+def build_ivfpq_index(ds: Dataset, index_dir: str, n_centroids: int = 32,
+                      m_subspaces: int = 8, n_codes: int = 256,
+                      emb_col: str = "embedding", id_col: str = "vec_id",
+                      sample_size: int = 20_000, iters: int = 8,
+                      seedseed: int = 137) -> dict:
+    """Materialize an IVF-PQ index: spherical coarse quantizer (same as
+    :func:`build_ivf_index`), per-subspace PQ codebooks trained on the
+    sample's coarse residuals, then ONE vectorized map pass encodes
+    every vector to (cell int32, codes m x uint8) and writes Parquet
+    partitioned by cell. Index bytes per vector ≈ ``m_subspaces`` + id,
+    vs ``4 * dim`` for IVF-flat."""
+    import json
+
+    sample_tbl = ds.limit(sample_size).take_batch(sample_size,
+                                                  batch_format="pyarrow")
+    sample = _normalize(_embedding_matrix(pa.table(sample_tbl), emb_col))
+    dim = sample.shape[1]
+    assert dim % m_subspaces == 0, "dim must divide into subspaces"
+    d_sub = dim // m_subspaces
+    cents = _kmeans_fit(sample, n_centroids, seedseed=seedseed)
+    resid = sample - cents[(sample @ cents.T).argmax(axis=1)]
+    codebooks = np.stack([
+        _pq_fit(resid[:, j * d_sub:(j + 1) * d_sub], n_codes,
+                iters, seedseed + j)
+        for j in range(m_subspaces)])          # (m, n_codes, d_sub)
+    ref = ray.put((cents, codebooks))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c, cb = ray.get(ref)
+        x = _normalize(_embedding_matrix(batch, emb_col))
+        cell = (x @ c.T).argmax(axis=1)
+        r = x - c[cell]
+        codes = np.empty((len(x), m_subspaces), dtype=np.uint8)
+        for j in range(m_subspaces):
+            sub = r[:, j * d_sub:(j + 1) * d_sub]
+            cj = cb[j]
+            d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ cj.T) \
+                + (cj * cj).sum(1)[None]
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        code_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), type=pa.uint8()), m_subspaces)
+        return pa.table({id_col: batch.column(id_col),
+                         "cell": pa.array(cell.astype(np.int32)),
+                         "codes": code_col})
+
+    ds.map_batches(encode, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["cell"])
+    meta = dict(dim=int(dim), n_centroids=int(n_centroids),
+                m_subspaces=int(m_subspaces), n_codes=int(n_codes),
+                seedseed=seedseed, emb_col=emb_col, id_col=id_col,
+                centroids=[[float(v) for v in row] for row in cents],
+                codebooks=[[[float(v) for v in code] for code in book]
+                           for book in codebooks])
+    with open(f"{index_dir}/_ivfpq_meta.json", "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_topk(queries: np.ndarray, k: int = 10, n_probe: int = 4,
+               index_dir: str = None) -> pd.DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation over
+    the probed cells' CODE tables (never the original vectors): per
+    query ONE (m, n_codes) lookup table ``T[j, c] = q_sub_j ·
+    codebook[j, c]``, then ``sim ≈ q·centroid(cell) + Σ_j T[j,
+    code_j]`` — probe I/O ∝ probed cells x m bytes/vector."""
+    import glob as _glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(f"{index_dir}/_ivfpq_meta.json") as f:
+        meta = json.load(f)
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    assert q.shape[1] == meta["dim"], "query dim != index dim"
+    m, d_sub = meta["m_subspaces"], meta["dim"] // meta["m_subspaces"]
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    coarse = q @ cents.T                        # (nq, n_centroids)
+    probe = np.unique(
+        np.argpartition(-coarse, min(n_probe, coarse.shape[1]) - 1,
+                        axis=1)[:, :n_probe].ravel())
+    rows = []
+    id_col = meta["id_col"]
+    for c in probe.tolist():
+        paths = sorted(_glob.glob(f"{index_dir}/cell={c}/*.parquet"))
+        if not paths:
+            continue
+        t = pq.read_table(paths, columns=[id_col, "codes"])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        codes = np.asarray(t.column("codes").combine_chunks()
+                           .flatten().to_numpy(zero_copy_only=False)
+                           ).reshape(len(ids), m)
+        for qi in range(len(q)):
+            # per-(query, subspace) dot tables against this cell's codes
+            sims = np.full(len(ids), float(coarse[qi, c]))
+            for j in range(m):
+                T = books[j] @ q[qi, j * d_sub:(j + 1) * d_sub]
+                sims += T[codes[:, j]]
+            rows.append(pd.DataFrame({"query_idx": qi, "vec_id": ids,
+                                      "sim": sims}))
+    if not rows:
+        return pd.DataFrame({"query_idx": [], "vec_id": [], "sim": [],
+                             "rank": []})
+    allr = pd.concat(rows, ignore_index=True)
+    out = (allr.sort_values(["query_idx", "sim", "vec_id"],
+                            ascending=[True, False, True])
+           .groupby("query_idx", as_index=False).head(k)
+           .reset_index(drop=True))
+    out["rank"] = out.groupby("query_idx").cumcount()
+    return out

@@ -278,6 +278,57 @@ def test_probminhash_similarity_matches_weighted_jaccard():
     assert abs(est - exact) < 5 * sigma, (est, exact, sigma)
 
 
+def test_ivfpq_index_recall_and_compression(tmp_path):
+    """IVF-PQ (Jegou et al. 2011): code bytes per vector == m_subspaces
+    (16x smaller than float32 at dim 32, m 8), deterministic rebuild,
+    and ADC recall@10 against brute force on clustered synthetic data."""
+    import ray.data as rd
+
+    from ocm_ray.ops.similarity import (brute_force_topk,
+                                        build_ivfpq_index, ivfpq_topk)
+
+    rng = np.random.default_rng(2)
+    dim, n = 32, 6000
+    base = rng.normal(size=(n, dim))
+    # plant 10 well-separated near-neighbors for each of 8 queries
+    # (cos ~0.98 vs a ~0.65 best random match — PQ must rank structure,
+    # not near-tie noise, which no 8-byte code can resolve)
+    queries = rng.normal(size=(8, dim))
+    for qi in range(8):
+        for j in range(10):
+            base[100 * qi + j] = queries[qi] + 0.1 * rng.normal(size=dim)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [r.astype(np.float32) for r in base]})
+    ds = rd.from_pandas(df).repartition(4)
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivfpq_index(ds, idx, n_centroids=16, m_subspaces=8,
+                             n_codes=64)
+    # compression: 8 uint8 codes per vector vs 32 float32 = 16x
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(idx + "/**/*.parquet", recursive=True)
+    t = pq.read_table(files[0], columns=["codes"])
+    assert t.column("codes").type.list_size == 8
+
+    got = ivfpq_topk(queries, k=10, n_probe=8, index_dir=idx)
+    exact = brute_force_topk(ds, queries, k=10)
+    recalls = []
+    for qi in range(8):
+        g = set(got.loc[got.query_idx == qi, "vec_id"])
+        e = set(exact.loc[exact.query_idx == qi, "vec_id"])
+        recalls.append(len(g & e) / len(e))
+    assert np.mean(recalls) >= 0.7, recalls
+
+    # determinism: rebuilding yields the identical metadata
+    idx2 = str(tmp_path / "ivfpq2")
+    meta2 = build_ivfpq_index(ds, idx2, n_centroids=16, m_subspaces=8,
+                              n_codes=64)
+    assert meta["centroids"] == meta2["centroids"]
+    assert meta["codebooks"] == meta2["codebooks"]
+
+
 def test_mp4_container_metadata():
     """ISO-BMFF container triage without ffmpeg (round 4: the compressed
     -video stub gains a REAL metadata layer): box-tree walk extracts
