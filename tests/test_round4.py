@@ -278,6 +278,51 @@ def test_probminhash_similarity_matches_weighted_jaccard():
     assert abs(est - exact) < 5 * sigma, (est, exact, sigma)
 
 
+def test_shard_scan_pandas_block_upstream():
+    """The wave-scheduled exchange consumes RAW block refs, which may be
+    pandas blocks (producer's choice) — _as_arrow must normalize them
+    worker-side without changing results."""
+    import ray.data as rd
+
+    from ocm_ray.ops.pairs import shard_scan
+
+    def gen(batch):                      # pandas in, pandas out
+        ids = batch["id"].to_numpy()
+        return pd.DataFrame({"key": (ids * 2654435761) % 97,
+                             "v": ids})
+
+    ds = rd.range(5000, override_num_blocks=6).map_batches(
+        gen, batch_format="pandas")
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        return (tbl.column("key").to_numpy(zero_copy_only=False)
+                % 8).astype(np.int32)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("key").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        run = np.concatenate([[True], ks[1:] != ks[:-1]]) if len(ks) \
+            else np.empty(0, bool)
+        starts = np.flatnonzero(run)
+        tot = np.add.reduceat(vs, starts) if len(starts) else vs
+        return pa.table({"key": pa.array(ks[starts] if len(starts)
+                                         else ks),
+                         "sum_v": pa.array(tot.astype(np.int64))})
+
+    out = (shard_scan(ds, shard_of, scan, 8).to_pandas()
+           .sort_values("key").reset_index(drop=True))
+    ids = np.arange(5000)
+    keys = (ids * 2654435761) % 97
+    want = (pd.DataFrame({"key": keys, "v": ids})
+            .groupby("key", as_index=False)["v"].sum()
+            .rename(columns={"v": "sum_v"}))
+    pd.testing.assert_frame_equal(
+        out.astype({"key": np.int64, "sum_v": np.int64}),
+        want.astype({"key": np.int64, "sum_v": np.int64}))
+
+
 def test_ivfpq_index_recall_and_compression(tmp_path):
     """IVF-PQ (Jegou et al. 2011): code bytes per vector == m_subspaces
     (16x smaller than float32 at dim 32, m 8), deterministic rebuild,
