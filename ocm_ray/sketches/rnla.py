@@ -27,8 +27,20 @@ the draw is ``-log(U(WangHash(h)))/p`` — same distribution, engine
 codec). Still LINEAR in the input vector, so partial compressions
 merge by addition.
 
-PStableSketcher (``rnla.h:341-440``) remains out of scope — documented
-in SURVEY §2.3.
+``pstable_compress`` / ``pstable_norm`` / ``pstable_union_size``
+(``rnla.h:341-463`` ``PStableSketcher`` + ``rnla.h:504-510``
+``IndykSketcher``): each source coordinate contributes to ONE hashed
+cell per table, scaled by a thresholded-Cauchy draw
+(``rnla.h:22-36``: redraw while ``|c| > absmax``); the sketch is
+LINEAR (the reference's ``+=``/``-=`` require matching seeds,
+``rnla.h:389-410``), so per-partition sketches merge by addition and a
+DIFFERENCE of sketches estimates the L1 distance between the vectors —
+Indyk's p-stable stream norm (FOCS'00, the published algorithm).
+``union_size`` (``rnla.h:417-428``) = median over tables of the row
+norm of the summed sketches. Deviation (same policy as SetSketch/CWS):
+the Cauchy draws come from the engine's WangHash chain —
+``tan(pi*(U(h) - 1/2))`` — instead of blaze's RNG; distribution-
+identical, deterministic, partition-invariant.
 """
 
 from __future__ import annotations
@@ -140,6 +152,71 @@ def wz_decompress(sk: np.ndarray, d: int, p: float = 1.0,
             ests[j, :hi - lo] = sk[j, bucket[j]] / mult[j]
         est[lo:hi] = np.median(ests[:, :hi - lo], axis=0)
     return est
+
+
+def _cauchy_cells(lo: int, hi: int, seeds: np.ndarray, destdim: int,
+                  absmax: float):
+    """Per-(table, index) destination cell + thresholded-Cauchy
+    coefficient for index range [lo, hi) (``rnla.h:355-376`` init):
+    one nonzero per (table, coord). The threshold redraw
+    (``rnla.h:30-35``) walks the wang chain until ``|c| <= absmax`` —
+    P(redraw) ~= 2/(pi*absmax) ~= 2e-5 at the reference default, so the
+    loop almost always exits in one pass."""
+    idx = np.arange(lo, hi, dtype=U64)
+    h = wanghash(idx[None, :] ^ seeds[:, None])
+    cell = (h % U64(destdim)).astype(np.int64)
+    draw = wanghash(h ^ U64(0x9E3779B97F4A7C15))
+    u = (draw.astype(np.float64) + 0.5) * 2.0 ** -64   # (0, 1)
+    c = np.tan(np.pi * (u - 0.5))
+    bad = np.abs(c) > absmax
+    while bad.any():
+        draw = wanghash(draw)
+        u = (draw.astype(np.float64) + 0.5) * 2.0 ** -64
+        c = np.where(bad, np.tan(np.pi * (u - 0.5)), c)
+        bad = np.abs(c) > absmax
+    return cell, c
+
+
+def pstable_compress(vec: np.ndarray, destdim: int, ntables: int = 5,
+                     seedseed: int = 137,
+                     absmax: float = 30000.0) -> np.ndarray:
+    """1-stable (Cauchy) projection of a length-d vector into an
+    ``(ntables, destdim)`` sketch (``rnla.h:430-441`` dense ``add``:
+    coordinate i lands in ONE cell per table with a Cauchy weight).
+    Linear in ``vec`` — per-partition sketches merge by ``+`` and
+    difference sketches estimate L1 distance (1-stability)."""
+    vec = np.asarray(vec, dtype=np.float64)
+    seeds = derive_seeds(ntables, seedseed)
+    out = np.zeros((ntables, destdim), dtype=np.float64)
+    step = max(1, _CHUNK // max(ntables, 1))
+    for lo in range(0, len(vec), step):
+        hi = min(lo + step, len(vec))
+        cell, c = _cauchy_cells(lo, hi, seeds, destdim, absmax)
+        seg = vec[lo:hi]
+        for j in range(ntables):             # loop over TABLES only
+            np.add.at(out[j], cell[j], seg * c[j])
+    return out
+
+
+def pstable_norm(sk: np.ndarray, p_norm: int = 1) -> float:
+    """Median over tables of the per-row norm (``rnla.h:417-428``
+    with the zero sketch; Norm = L1 per the PStableSketcher default,
+    L2 for the IndykSketcher preset). With ``destdim == 1`` each row is
+    exactly Cauchy(||x||_1)-distributed, so the median of |row| is a
+    consistent L1-norm estimate (median |Cauchy| = 1); wider sketches
+    trade estimator bias for per-cell recovery, as in the reference."""
+    rows = (np.abs(sk).sum(axis=1) if p_norm == 1
+            else np.sqrt((sk * sk).sum(axis=1)))
+    return float(np.median(rows))
+
+
+def pstable_union_size(a: np.ndarray, b: np.ndarray,
+                       p_norm: int = 1) -> float:
+    """``union_size`` (``rnla.h:417-428``): median row norm of the SUM
+    of two same-seed sketches — the norm of the combined stream."""
+    if a.shape != b.shape:
+        raise ValueError(f"sketch geometry mismatch: {a.shape} vs {b.shape}")
+    return pstable_norm(a + b, p_norm)
 
 
 def top_indices_from_compressed(sk: np.ndarray, d: int, k: int,
