@@ -2071,6 +2071,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.concat([a[cols], b[cols]], ignore_index=True)             .sort_values(["variant", "doc_id"], ignore_index=True)
     q["dup_ngram_spans"] = dup_ngram_all
 
+    def dup_span_removal(sf_dir):
+        """Exact-substring span REMOVAL (Lee et al. 2021 rewrite step —
+        `dup_ngram_spans` measures, this one edits): maximal runs of
+        word 5-grams shared with >= 2 documents whose span covers >= 6
+        words are cut from EVERY occurrence; returns the rewritten text
+        plus removal stats per doc. The unbounded-vocabulary positional
+        two-exchange plan re-runs the same removal with
+        distributed=True and is asserted frame-identical."""
+        import pandas as pd
+
+        from ocm_ray.ops.dedup import remove_dup_spans
+
+        out = remove_dup_spans(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            k=5, min_docs=2, min_span=6).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        out2 = remove_dup_spans(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            k=5, min_docs=2, min_span=6, distributed=True,
+            n_shards=16).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, out2)
+        assert int(out.n_spans_removed.sum()) > 0, \
+            "corpus must exercise removal"
+        return out
+    q["dup_span_removal"] = dup_span_removal
+
     def ngram_counts_seq(sf_dir):
         """Exact n-gram count tables over the sequences tokens (merged
         r4): top-200 trigrams (with the conservative-CM one-sided
@@ -3210,6 +3237,77 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN runs r ON d.doc_id = r.doc_id
             ORDER BY d.doc_id
         """
+    # span removal: same gram/island machinery as _o_dup_ngram_spans,
+    # then covered word positions (1-based, inclusive BETWEEN) and a
+    # string_agg rebuild of the kept ORIGINAL-case words. k=5,
+    # min_span=6 => keep runs with run_len + 4 >= 6. MATERIALIZED per
+    # CLAUDE.md rule 10 (grams feeds dup+hits; spans feeds 3 readers).
+    _o_dup_span_removal = """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, string_split(text, ' ') AS ow,
+                       string_split(lower(text), ' ') AS w
+                FROM documents
+            ),
+            grams AS MATERIALIZED (
+                SELECT doc_id, i,
+                       w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+                            || w[i + 3] || ' ' || w[i + 4] AS g
+                FROM toks, UNNEST(range(1, len(w) - 3)) AS u(i)
+            ),
+            dup AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+                SELECT grams.doc_id, grams.i
+                FROM grams JOIN dup USING (g)
+            ),
+            islands AS (
+                SELECT doc_id, MIN(i) AS start_i, COUNT(*) AS run_len
+                FROM (SELECT doc_id, i,
+                             i - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                    ORDER BY i) AS grp
+                      FROM hits)
+                GROUP BY doc_id, grp
+            ),
+            spans AS MATERIALIZED (
+                SELECT doc_id, start_i, start_i + run_len + 3 AS end_i
+                FROM islands WHERE run_len + 4 >= 6
+            ),
+            words AS MATERIALIZED (
+                SELECT doc_id, j, ow[j] AS word
+                FROM toks, UNNEST(range(1, len(ow) + 1)) AS u(j)
+            ),
+            removed AS MATERIALIZED (
+                SELECT DISTINCT w.doc_id, w.j
+                FROM words w JOIN spans s
+                  ON w.doc_id = s.doc_id
+                 AND w.j BETWEEN s.start_i AND s.end_i
+            ),
+            kept AS (
+                SELECT w.doc_id,
+                       string_agg(w.word, ' ' ORDER BY w.j) AS text
+                FROM words w ANTI JOIN removed r
+                  ON w.doc_id = r.doc_id AND w.j = r.j
+                GROUP BY w.doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(k.text, '') AS text,
+                   CAST(len(t.ow) AS BIGINT) AS n_words,
+                   CAST(COALESCE(nr.n_rem, 0) AS BIGINT)
+                       AS n_removed_words,
+                   CAST(COALESCE(ns.n_spans, 0) AS BIGINT)
+                       AS n_spans_removed
+            FROM toks t
+            LEFT JOIN kept k ON t.doc_id = k.doc_id
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS n_rem
+                       FROM removed GROUP BY doc_id) nr
+                   ON t.doc_id = nr.doc_id
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS n_spans
+                       FROM spans GROUP BY doc_id) ns
+                   ON t.doc_id = ns.doc_id
+            ORDER BY t.doc_id
+        """
     _o_token_dup_ngrams = _token_dup_ngrams_sql()
     _o_kgram3_counts = f"""
             SELECT t0, t1, t2, COUNT(*) AS cnt FROM (
@@ -3300,6 +3398,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'sequences', doc_id, n_copies
             FROM ({_o_dedup_exact_sequences})
         """,
+        "dup_span_removal": _o_dup_span_removal,
         "dup_ngram_spans": f"""
             SELECT 'words' AS variant, CAST(doc_id AS VARCHAR) AS doc_id,
                    n_grams, n_dup_grams, n_distinct_dup_grams, max_dup_run

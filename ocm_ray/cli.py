@@ -201,6 +201,19 @@ def cmd_dedup(args) -> int:
         out = dd.dup_ngram_stats(ds, k=args.ngram_k, id_col=args.id_col,
                                  text_col=args.text_col).to_pandas() \
             .sort_values(args.id_col).reset_index(drop=True)
+    elif args.mode == "spanremove":
+        # write the REWRITTEN corpus (Lee et al. span removal): output is
+        # a parquet directory like bloom mode, not a pairs file
+        rewritten = dd.remove_dup_spans(ds, k=args.ngram_k,
+                                        min_span=args.min_span,
+                                        id_col=args.id_col,
+                                        text_col=args.text_col)
+        rewritten.write_parquet(args.output)
+        n = rewritten.count()
+        print(json.dumps({"mode": "spanremove", "n_docs": n,
+                          "wall_sec": round(time.time() - t0, 3),
+                          "out": args.output}))
+        return 0
     elif args.mode == "minhash":
         out = dd.minhash_lsh_pairs(ds, args.id_col, args.text_col,
                                    num_perm=args.num_perm, bands=args.bands,
@@ -356,7 +369,7 @@ def main(argv=None) -> int:
     d = sub.add_parser("dedup", help="dedup a documents table")
     d.add_argument("--mode", required=True,
                    choices=["exact", "minhash", "simhash", "jaccard",
-                            "bloom", "semantic", "ngram"])
+                            "bloom", "semantic", "ngram", "spanremove"])
     d.add_argument("--input", required=True, help="parquet dir or glob")
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
@@ -370,7 +383,10 @@ def main(argv=None) -> int:
     d.add_argument("--n-clusters", type=int, default=64,
                    help="k-means cells (semantic mode)")
     d.add_argument("--ngram-k", type=int, default=5,
-                   help="gram width (ngram mode)")
+                   help="gram width (ngram/spanremove modes)")
+    d.add_argument("--min-span", type=int, default=None,
+                   help="minimum removable span in words "
+                        "(spanremove mode; default = gram width)")
     d.add_argument("--clusters", action="store_true",
                    help="emit (doc_id, cluster_id) connected components "
                         "instead of raw pairs (pair modes only)")

@@ -929,12 +929,19 @@ def _dup_stats_broadcast(ds: Dataset, dup_ds: Dataset, grams_of,
     return ds.map_batches(mark, batch_format="pyarrow")
 
 
-def _dup_stats_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
-                        id_col: str, n_shards: int) -> Dataset:
-    """Unbounded-dup-vocabulary probe: positional two-exchange plan (see
-    :func:`dup_ngram_stats`). Doc identity travels as a stable 64-bit
-    hash of the id (the engine-wide 64-bit hash-domain contract — same
-    collision caveat as the gram hashes themselves)."""
+def _positional_hits(ds: Dataset, dup_ds: Dataset, grams_of, id_col: str,
+                     n_shards: int, payload_cols: tuple = ()):
+    """Shared first half of the positional exchange plans
+    (:func:`dup_ngram_stats` / :func:`remove_dup_spans`, unbounded
+    dup-vocabulary path): one corpus pass emits ``(gram, dkey, pos)``
+    triples plus one meta row per doc (``dkey, n_grams, id`` and any
+    ``payload_cols`` carried through for the rewrite); a gram-sharded
+    :func:`ocm_ray.ops.pairs.shard_scan2` marks triples against the
+    co-sharded dup-gram table worker-side. Returns ``(hits, meta,
+    shard_by_dkey)`` ready for the per-op doc-sharded second exchange.
+    Doc identity travels as a stable 64-bit hash of the id (the
+    engine-wide 64-bit hash-domain contract — same collision caveat as
+    the gram hashes themselves)."""
     import pyarrow.compute as pc
 
     from ocm_ray.engine.tokens import hash_string_array
@@ -971,12 +978,7 @@ def _dup_stats_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
             pos = np.arange(len(g), dtype=np.int64) - np.repeat(starts, lens)
         else:
             pos = np.empty(0, np.int64)
-        ids = batch.column(id_col)
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        meta_ids = ids
-        tri_ids = pa.nulls(len(g), type=ids.type)
-        return pa.table({
+        cols = {
             "gram": pa.array(np.concatenate(
                 [g.view(np.int64), n_grams])),
             "dkey": pa.array(np.concatenate(
@@ -984,8 +986,14 @@ def _dup_stats_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
                  np.empty(0, np.int64), dk.view(np.int64)])),
             "pos": pa.array(np.concatenate(
                 [pos, np.full(nrows, -1, np.int64)])),
-            id_col: pa.concat_arrays([tri_ids, meta_ids]),
-        })
+        }
+        for name in (id_col,) + tuple(payload_cols):
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[name] = pa.concat_arrays(
+                [pa.nulls(len(g), type=col.type), col])
+        return pa.table(cols)
 
     combined = ds.map_batches(emit_combined,
                               batch_format="pyarrow").materialize()
@@ -994,11 +1002,16 @@ def _dup_stats_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
                                             pa.scalar(0)))
                    .select(["gram", "dkey", "pos"]),
         batch_format="pyarrow")
+
+    meta_names = ["dkey", "n_grams", id_col] + list(payload_cols)
+
     def meta_of(t: pa.Table) -> pa.Table:
         m = t.filter(pc.less(t.column("pos"), pa.scalar(0)))
-        return pa.table({"dkey": m.column("dkey"),
-                         "n_grams": m.column("gram"),
-                         id_col: m.column(id_col)})
+        cols = {"dkey": m.column("dkey"), "n_grams": m.column("gram"),
+                id_col: m.column(id_col)}
+        for name in payload_cols:
+            cols[name] = m.column(name)
+        return pa.table(cols)
 
     meta = combined.map_batches(meta_of, batch_format="pyarrow")
 
@@ -1016,11 +1029,35 @@ def _dup_stats_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
     hits = shard_scan2(dup_ds, triples, shard_by_gram, shard_by_gram,
                        scan_mark, n_shards)
 
-    # exchange 2: regroup hits with meta by doc-key top bits
     def shard_by_dkey(tbl: pa.Table) -> np.ndarray:
         return top_bits(tbl.column("dkey")
                         .to_numpy(zero_copy_only=False).view(U64))
 
+    return hits, meta, shard_by_dkey
+
+
+def _hits_to_meta_rows(hit_tbl: pa.Table, meta_tbl: pa.Table) -> np.ndarray:
+    """Meta-row index per hit (co-sharded by dkey, so every hit's doc is
+    present in the shard's meta table)."""
+    mdk = meta_tbl.column("dkey").to_numpy(zero_copy_only=False).view(U64)
+    morder = np.argsort(mdk, kind="stable")
+    msorted = mdk[morder]
+    dk = hit_tbl.column("dkey").to_numpy(zero_copy_only=False).view(U64)
+    mi = np.minimum(np.searchsorted(msorted, dk), meta_tbl.num_rows - 1)
+    return morder[mi]
+
+
+def _dup_stats_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
+                        id_col: str, n_shards: int) -> Dataset:
+    """Unbounded-dup-vocabulary probe: positional two-exchange plan (see
+    :func:`dup_ngram_stats`); mark exchange shared via
+    :func:`_positional_hits`."""
+    from ocm_ray.ops.pairs import shard_scan2
+
+    hits, meta, shard_by_dkey = _positional_hits(ds, dup_ds, grams_of,
+                                                 id_col, n_shards)
+
+    # exchange 2: regroup hits with meta by doc-key top bits
     def scan_doc(hit_tbl: pa.Table, meta_tbl: pa.Table) -> pa.Table:
         nrows = meta_tbl.num_rows
         n_grams = meta_tbl.column("n_grams")\
@@ -1029,18 +1066,11 @@ def _dup_stats_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
         n_distinct = np.zeros(nrows, np.int64)
         max_run = np.zeros(nrows, np.int64)
         if hit_tbl.num_rows and nrows:
-            mdk = meta_tbl.column("dkey")\
-                .to_numpy(zero_copy_only=False).view(U64)
-            morder = np.argsort(mdk, kind="stable")
-            msorted = mdk[morder]
-            dk = hit_tbl.column("dkey")\
-                .to_numpy(zero_copy_only=False).view(U64)
             pos = hit_tbl.column("pos").to_numpy(zero_copy_only=False)
             g = hit_tbl.column("gram")\
                 .to_numpy(zero_copy_only=False).view(U64)
-            mi = np.minimum(np.searchsorted(msorted, dk), nrows - 1)
-            row = morder[mi]           # meta row per hit (co-sharded,
-            n_dup = np.bincount(row,   # so every hit's doc is present)
+            row = _hits_to_meta_rows(hit_tbl, meta_tbl)
+            n_dup = np.bincount(row,
                                 minlength=nrows).astype(np.int64)
             o2 = np.lexsort((g, row))
             rs, gs = row[o2], g[o2]
@@ -1061,6 +1091,194 @@ def _dup_stats_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
             "n_distinct_dup_grams": pa.array(n_distinct),
             "max_dup_run": pa.array(max_run),
         })
+
+    return shard_scan2(hits, meta, shard_by_dkey, shard_by_dkey,
+                       scan_doc, n_shards)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span REMOVAL (the rewrite step of Lee et al. 2021)
+
+
+def _span_cover(hit_row: np.ndarray, hit_pos: np.ndarray, lens: np.ndarray,
+                k: int, min_span: int):
+    """Word/token coverage of the removable duplicated spans.
+
+    A maximal run of ``r`` consecutive dup k-grams starting at gram
+    position ``p`` covers units ``[p, p + r + k - 1)``; runs whose span
+    ``r + k - 1 < min_span`` are kept (Lee et al. remove spans of >= 50
+    tokens — ``min_span`` is that knob). Returns ``(covered bool over
+    the flat unit stream, n_spans_removed per row)`` — overlapping
+    removable spans (runs separated by < k non-dup grams) union cleanly
+    via the difference-array cumsum."""
+    nrows = len(lens)
+    total = int(lens.sum())
+    if len(hit_row) == 0:
+        return np.zeros(total, bool), np.zeros(nrows, np.int64)
+    order = np.lexsort((hit_pos, hit_row))
+    hr, hp = hit_row[order], hit_pos[order]
+    new_run = np.concatenate(
+        [[True], (hr[1:] != hr[:-1]) | (hp[1:] != hp[:-1] + 1)])
+    starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.concatenate([starts, [len(hr)]]))
+    span = run_len + k - 1
+    sel = span >= min_span
+    r_row, r_start, span = hr[starts][sel], hp[starts][sel], span[sel]
+    n_spans = np.bincount(r_row, minlength=nrows).astype(np.int64)
+    uoff = np.concatenate([[0], np.cumsum(lens[:-1])]) if nrows else \
+        np.zeros(0, np.int64)
+    diff = np.zeros(total + 1, np.int64)
+    np.add.at(diff, uoff[r_row] + r_start, 1)
+    np.add.at(diff, uoff[r_row] + r_start + span, -1)
+    return np.cumsum(diff[:-1]) > 0, n_spans
+
+
+def _rewrite_text_rows(texts, hit_row: np.ndarray, hit_pos: np.ndarray,
+                       k: int, min_span: int) -> dict:
+    """Rebuild a string column with covered words removed: one split,
+    one flat gather of kept words, one ListArray join — no per-row
+    Python. Words are the SAME single-space split the gram hashes used
+    (lowercasing changes no word boundaries), so gram position p maps
+    exactly to words [p, p+k)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(pc.fill_null(texts, ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    covered, n_spans = _span_cover(hit_row, hit_pos, lens, k, min_span)
+    word_row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    n_removed = np.bincount(word_row, weights=covered,
+                            minlength=len(lens)).astype(np.int64)
+    kept = flat.take(pa.array(np.flatnonzero(~covered)))
+    kept_offs = np.concatenate([[0], np.cumsum(lens - n_removed)])
+    out = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(kept_offs, pa.int32()), kept), " ")
+    return {"text": out, "n_words": pa.array(lens),
+            "n_removed_words": pa.array(n_removed),
+            "n_spans_removed": pa.array(n_spans)}
+
+
+def _rewrite_token_rows(col, hit_row: np.ndarray, hit_pos: np.ndarray,
+                        k: int, min_span: int) -> dict:
+    """Tokens-domain sibling: rebuild a ``list<int>`` column with covered
+    token positions removed (axis B — no text anywhere)."""
+    from ocm_ray.engine.tokens import list_column_values
+
+    flat, lens = list_column_values(pa.table({"t": col}), "t")
+    lens = lens.astype(np.int64)
+    covered, n_spans = _span_cover(hit_row, hit_pos, lens, k, min_span)
+    tok_row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    n_removed = np.bincount(tok_row, weights=covered,
+                            minlength=len(lens)).astype(np.int64)
+    kept_offs = np.concatenate([[0], np.cumsum(lens - n_removed)])
+    out = pa.ListArray.from_arrays(
+        pa.array(kept_offs, pa.int32()),
+        pa.array(flat[~covered]))
+    return {"tokens": out, "n_tokens": pa.array(lens),
+            "n_removed_tokens": pa.array(n_removed),
+            "n_spans_removed": pa.array(n_spans)}
+
+
+def _gram_positions(rowid: np.ndarray, n: int) -> np.ndarray:
+    """Within-doc positional index for a grouped, text-ordered rowid
+    stream (grams are emitted row-major)."""
+    if not n:
+        return np.empty(0, np.int64)
+    row_change = np.concatenate([[True], rowid[1:] != rowid[:-1]])
+    starts = np.flatnonzero(row_change)
+    lens = np.diff(np.concatenate([starts, [n]]))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def remove_dup_spans(ds: Dataset, k: int = 5, min_docs: int = 2,
+                     min_span: int = None, id_col: str = "doc_id",
+                     text_col: str = "text", tokens_col: str = None,
+                     lowercase: bool = True, seed: int = 137,
+                     n_shards: int = 64, max_broadcast: int = 8_000_000,
+                     distributed: bool = None) -> Dataset:
+    """Exact-substring span removal (Lee et al. 2021, the ExactSubstr
+    REWRITE step — :func:`dup_ngram_stats` measures, this one edits):
+    every maximal run of consecutive k-grams occurring in >=
+    ``min_docs`` distinct documents whose covered span is >=
+    ``min_span`` units (default ``k``; the paper uses 50 tokens) is
+    cut from the document, ALL occurrences included (the paper's
+    policy). Words for ``text_col`` (single-space split, original case
+    preserved in the rebuild), token ids for ``tokens_col``.
+
+    Output: ``(id, rewritten payload, n_units, n_removed_units,
+    n_spans_removed)``. Scale shape mirrors :func:`dup_ngram_stats`
+    (CLAUDE.md rule 10c): discovery via :func:`dup_gram_table`; the
+    probe auto-dispatches at ``max_broadcast`` between the one-``ray.put``
+    broadcast pass and the positional two-exchange plan (the meta rows
+    of the second exchange carry the payload column, so the rewrite
+    happens worker-side per doc-shard; the driver holds ObjectRefs
+    only). Both paths produce identical rows (parity-tested); only row
+    order differs."""
+    if min_span is None:
+        min_span = k
+    if min_span < k:
+        raise ValueError(f"min_span {min_span} < k {k}: every dup gram "
+                         "already spans k units")
+    payload_col = tokens_col if tokens_col is not None else text_col
+    rewrite_rows = _rewrite_token_rows if tokens_col is not None \
+        else _rewrite_text_rows
+    grams_of = _gram_fn(text_col, tokens_col, k, lowercase, seed)
+    dup_ds = dup_gram_table(ds, k, min_docs, text_col, lowercase, seed,
+                            n_shards, tokens_col=tokens_col)
+    if distributed is None:
+        distributed = dup_ds.count() > max_broadcast
+    if distributed:
+        return _remove_spans_exchange(ds, dup_ds, grams_of, id_col,
+                                      payload_col, rewrite_rows, k,
+                                      min_span, n_shards)
+
+    from ocm_ray.ops.retrieval import _sorted_member
+
+    parts = [b.column("gram").to_numpy(zero_copy_only=False)
+             for b in dup_ds.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    dup = np.sort(np.concatenate(parts).view(U64)) if parts \
+        else np.empty(0, U64)
+    ref = ray.put(dup)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        dup_arr = ray.get(ref)
+        g, rowid, _ = grams_of(batch)
+        hit = _sorted_member(dup_arr, g)
+        pos = _gram_positions(rowid, len(g))
+        cols = rewrite_rows(batch.column(payload_col), rowid[hit],
+                            pos[hit], k, min_span)
+        return pa.table({id_col: batch.column(id_col), **cols})
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _remove_spans_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
+                           id_col: str, payload_col: str, rewrite_rows,
+                           k: int, min_span: int, n_shards: int) -> Dataset:
+    """Unbounded-dup-vocabulary rewrite: the :func:`_positional_hits`
+    mark exchange with the payload carried on the meta rows, then a
+    doc-sharded second exchange rebuilds each shard's docs in one
+    vectorized pass."""
+    from ocm_ray.ops.pairs import shard_scan2
+
+    hits, meta, shard_by_dkey = _positional_hits(
+        ds, dup_ds, grams_of, id_col, n_shards,
+        payload_cols=(payload_col,))
+
+    def scan_doc(hit_tbl: pa.Table, meta_tbl: pa.Table) -> pa.Table:
+        if meta_tbl.num_rows and hit_tbl.num_rows:
+            row = _hits_to_meta_rows(hit_tbl, meta_tbl)
+            pos = hit_tbl.column("pos").to_numpy(zero_copy_only=False)
+        else:
+            row = np.empty(0, np.int64)
+            pos = np.empty(0, np.int64)
+        cols = rewrite_rows(meta_tbl.column(payload_col), row, pos,
+                            k, min_span)
+        return pa.table({id_col: meta_tbl.column(id_col), **cols})
 
     return shard_scan2(hits, meta, shard_by_dkey, shard_by_dkey,
                        scan_doc, n_shards)
