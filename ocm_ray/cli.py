@@ -316,6 +316,45 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """BPE tokenizer lifecycle: train a merge table over a documents
+    table (one corpus scan + driver-side merge loop over the bounded
+    word-frequency table), or encode documents with a saved one."""
+    import ray.data as rd
+
+    _init_ray(args.num_cpus)
+    from ocm_ray.ops.text import bpe_encode_documents, train_bpe
+
+    t0 = time.time()
+    files = _input_files(args.input)
+    if not files:
+        print(f"no parquet files under {args.input}", file=sys.stderr)
+        return 2
+    if args.action == "train":
+        ds = rd.read_parquet(files, columns=[args.text_col])
+        out = train_bpe(ds, text_col=args.text_col,
+                        vocab_size=args.vocab_size)
+        with open(args.merges, "w") as f:
+            json.dump({"merges": out["merges"], "vocab": out["vocab"]}, f)
+        print(json.dumps({"action": "train", "n_merges": len(out["merges"]),
+                          "vocab_size": len(out["vocab"]),
+                          "alphabet_size": out["alphabet_size"],
+                          "wall_sec": round(time.time() - t0, 3),
+                          "out": args.merges}))
+        return 0
+    with open(args.merges) as f:
+        merges = [tuple(m) for m in json.load(f)["merges"]]
+    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    enc = bpe_encode_documents(ds, merges, id_col=args.id_col,
+                               text_col=args.text_col)
+    enc.write_parquet(args.output)
+    n = enc.count()
+    print(json.dumps({"action": "encode", "n_docs": n,
+                      "wall_sec": round(time.time() - t0, 3),
+                      "out": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ocm_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -414,6 +453,18 @@ def main(argv=None) -> int:
     a.add_argument("-o", "--output", help=".csv or .parquet (probe)")
     a.add_argument("--num-cpus", type=int)
     a.set_defaults(fn=cmd_ann)
+
+    t = sub.add_parser("bpe", help="train / apply a BPE tokenizer")
+    t.add_argument("action", choices=["train", "encode"])
+    t.add_argument("--input", required=True, help="parquet dir or glob")
+    t.add_argument("--text-col", default="text")
+    t.add_argument("--id-col", default="doc_id")
+    t.add_argument("--vocab-size", type=int, default=1024)
+    t.add_argument("--merges", required=True,
+                   help="merge-table json (written by train, read by encode)")
+    t.add_argument("-o", "--output", help="parquet dir (encode)")
+    t.add_argument("--num-cpus", type=int)
+    t.set_defaults(fn=cmd_bpe)
 
     args = p.parse_args(argv)
     try:

@@ -822,3 +822,188 @@ def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(ent, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training + encoding (Sennrich et al. 2016, ACL)
+
+_BPE_EOW = "</w>"
+
+
+def train_bpe(ds, text_col: str = "text", vocab_size: int = 512,
+              max_word_vocab: int = 200_000, min_pair_count: int = 2):
+    """Byte-pair-encoding vocabulary learned over the corpus — the
+    training-prep tokenizer-fitting step (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units").
+
+    Scale shape (how real BPE trainers work, and the only shape that
+    survives 100 TB): the CORPUS is touched exactly once — a
+    distributed exact word count (:func:`token_count_table`, the salted
+    grouped-sum tree) — and the merge loop then runs on the word-
+    FREQUENCY table, which is bounded by the language's word vocabulary
+    (``max_word_vocab`` keeps the driver table bounded by count-desc
+    truncation, the same documented bound as :func:`build_vocab`;
+    truncation only drops tail words from the statistics, not from
+    later encodability).
+
+    Deterministic: merge choice is (count desc, pair lexicographic asc)
+    — ties never depend on dict order — so distributed and local
+    training produce IDENTICAL merge tables (partition-invariance is
+    exact because the word counts are exact; tested). Each chosen merge
+    is applied to every occurrence in every word, with incremental
+    pair-count maintenance (only words containing the merged pair are
+    touched).
+
+    Returns ``{"merges": [(a, b), ...], "vocab": [symbol, ...],
+    "alphabet_size": int, "n_words": int}`` — ``vocab`` is the
+    alphabet (plus the ``</w>`` end-of-word marker) followed by one
+    merged symbol per merge, capped at ``vocab_size``.
+    """
+    from collections import defaultdict
+
+    wc = token_count_table(ds, text_col).to_pandas()
+    wc = wc[wc["token"].astype(str).str.len() > 0]
+    wc = wc.sort_values(["cnt", "token"], ascending=[False, True],
+                        kind="mergesort").head(max_word_vocab)
+    words = [tuple(w) + (_BPE_EOW,) for w in wc["token"].astype(str)]
+    counts = wc["cnt"].to_numpy().astype(np.int64)
+
+    alphabet = sorted({s for w in words for s in w})
+    n_merges = max(0, vocab_size - len(alphabet))
+
+    pair_counts = defaultdict(int)
+    where = defaultdict(set)          # pair -> word indices containing it
+    for wi, (syms, cnt) in enumerate(zip(words, counts)):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += int(cnt)
+            where[(a, b)].add(wi)
+
+    def merge_word(syms, pair):
+        a, b = pair
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    merges = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append(pair)
+        for wi in sorted(where[pair]):
+            old, c = words[wi], int(counts[wi])
+            for p in zip(old, old[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                where[p].discard(wi)
+            new = merge_word(old, pair)
+            words[wi] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += c
+                where[p].add(wi)
+
+    vocab = alphabet + [a + b for a, b in merges]
+    return {"merges": merges, "vocab": vocab,
+            "alphabet_size": len(alphabet), "n_words": len(words)}
+
+
+def bpe_segment_word(word: str, ranks: dict, cache: dict = None):
+    """Greedy lowest-rank-first BPE segmentation of one word (the
+    standard inference rule; reproduces the training segmentation for
+    any merge table learned by :func:`train_bpe`)."""
+    if cache is not None and word in cache:
+        return cache[word]
+    syms = list(word) + [_BPE_EOW]
+    while len(syms) > 1:
+        ranked = [(ranks.get((syms[i], syms[i + 1])), i)
+                  for i in range(len(syms) - 1)]
+        ranked = [(r, i) for r, i in ranked if r is not None]
+        if not ranked:
+            break
+        r0 = min(ranked)[0]   # unique pair: each rank names one merge
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and \
+                    ranks.get((syms[i], syms[i + 1])) == r0:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    pieces = tuple(syms)
+    if cache is not None:
+        cache[word] = pieces
+    return pieces
+
+
+class BPEEncoder:
+    """Actor-pool encode stage: merge ranks resolved once per actor in
+    ``__init__`` (CLAUDE.md rule: stateful setup per actor, not per
+    batch), per-batch work = one polars word split + one pass over the
+    batch's DISTINCT words through the per-actor segmentation cache
+    (real tokenizers amortize exactly this way — Zipf makes the cache
+    hit rate ~= 1 after the first batches)."""
+
+    def __init__(self, merges, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.id_col, self.text_col = id_col, text_col
+        self._cache = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = batch.column(self.text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        s = pl.from_arrow(texts.fill_null("")).alias("t")
+        lists = s.str.split(" ")
+        flat = lists.explode()
+        lens = lists.list.len().to_numpy().astype(np.int64)
+        uniq = flat.unique().to_list()
+        seg = {w: bpe_segment_word(w, self.ranks, self._cache)
+               for w in uniq if w is not None}
+        flat_py = flat.to_list()
+        pieces_per_word = [seg.get(w, ()) for w in flat_py]
+        n_pieces_word = np.fromiter((len(p) for p in pieces_per_word),
+                                    dtype=np.int64,
+                                    count=len(pieces_per_word))
+        word_row = np.repeat(np.arange(len(lens)), lens)
+        n_pieces = np.bincount(word_row, weights=n_pieces_word,
+                               minlength=len(lens)).astype(np.int64)
+        joined = [" ".join(p for w in range(start, start + ln)
+                           for p in pieces_per_word[w])
+                  for start, ln in zip(
+                      np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)]
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "pieces": pa.array(joined, pa.string()),
+                         "n_pieces": pa.array(n_pieces)})
+
+
+def bpe_encode_documents(ds, merges, id_col: str = "doc_id",
+                         text_col: str = "text", batch_size: int = 1024,
+                         concurrency: int = None):
+    """Encode every document with a learned BPE merge table: emits
+    ``(id_col, pieces, n_pieces)`` with ``pieces`` the space-joined
+    subword sequence (pieces never contain spaces — words are
+    space-split first). Actor pool sized by CLAUDE.md rule 1."""
+    import ray
+
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
+    want = concurrency or max(1, ncpus // 2)
+    return ds.map_batches(
+        BPEEncoder, fn_constructor_kwargs=dict(
+            merges=merges, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=max(1, min(want, ncpus // 2)), num_cpus=0.5)
