@@ -268,6 +268,13 @@ def run_bench() -> dict:
     timed_q("dsir_scores", lambda: dsir_scores(
         docs_src_ds(), target_values=["src0", "src1"]).count())
 
+    # 19. round-4-session op: exact-substring span REMOVAL (the Lee et
+    # al. rewrite — discovery + probe + corpus rewrite in one pipeline)
+    from ocm_ray.ops.dedup import remove_dup_spans
+
+    timed_q("span_removal", lambda: remove_dup_spans(
+        docs_ds(), k=5, min_span=6).count())
+
     ray.shutdown()
 
     total = sum(queries.values())

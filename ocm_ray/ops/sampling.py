@@ -230,3 +230,65 @@ def dsir_scores(ds: Dataset, target_values, group_col: str = "source",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _row_keys(batch: pa.Table, id_col: str, seed: int) -> np.ndarray:
+    """Deterministic uint64 shuffle key per row: the id through the
+    stable codec (strings) or WangHash (ints), re-mixed with the epoch
+    seed."""
+    from ocm_ray.core.hashing import wanghash
+    from ocm_ray.engine.tokens import hash_string_array
+
+    col = batch.column(id_col)
+    t = batch.schema.field(id_col).type
+    if pa.types.is_integer(t):
+        h = col.to_numpy(zero_copy_only=False).astype(U64)
+    else:
+        h = hash_string_array(col)
+    return wanghash(h ^ wanghash(np.array([seed], dtype=U64))[0])
+
+
+def epoch_shuffle(ds: Dataset, seed: int = 0, id_col: str = "doc_id",
+                  n_shards: int = 64) -> Dataset:
+    """Deterministic global shuffle for training epochs: rows are
+    reordered by ``wanghash(row_key ^ mix(seed))`` — a full
+    pseudo-random permutation that is a PURE FUNCTION of (ids, seed),
+    so it is reproducible across runs, cluster sizes, and input
+    partitionings (resume-friendly: re-running an epoch re-derives the
+    identical order), and each epoch's ``seed`` gives an independent
+    order.
+
+    Why not ``Dataset.random_shuffle``: Ray's AllToAll shuffle executes
+    partly on the driver and retains driver memory ~5x the shuffled
+    bytes (CLAUDE.md rule 3b), and its order depends on the input
+    partitioning. Here the exchange is the raw-task
+    :func:`ocm_ray.ops.pairs.shard_scan` (driver holds ObjectRefs
+    only): rows co-shard by the key's top bits — shard index IS the
+    key's high bits, and :func:`shard_scan` emits shards in index
+    order — and one vectorized argsort per shard orders the rest, so
+    the output stream is globally ordered by shuffle key. Payload rides
+    the exchange worker-side (output is corpus-sized by definition —
+    consume it streaming or write it straight to parquet)."""
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+
+    bits = _shard_bits(n_shards)
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        keys = _row_keys(batch, id_col, seed)
+        return batch.append_column("__shuffle_key",
+                                   pa.array(keys.view(np.int64)))
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        k = tbl.column("__shuffle_key") \
+            .to_numpy(zero_copy_only=False).view(U64)
+        return (k >> U64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(k), np.int32)
+
+    def order_shard(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("__shuffle_key") \
+            .to_numpy(zero_copy_only=False).view(U64)
+        out = tbl.take(pa.array(np.argsort(k, kind="stable")))
+        return out.drop_columns(["__shuffle_key"])
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow")
+    return shard_scan(keyed, shard_of, order_shard, n_shards)

@@ -1,4 +1,4 @@
-"""Driver-RSS census of the round-3 exchange operators.
+"""Driver-RSS census of the round-3/4 exchange operators.
 
 Companion to ``dedup_scale_proof.py`` (which proves the MinHash-LSH
 path at 1M docs): generates corpus-scale synthetic inputs WORKER-SIDE
@@ -164,6 +164,27 @@ def main() -> int:
     # twins share their entire text: every gram of every doc is a dup
     assert n_all_dup == N_DNG_DOCS, \
         f"expected every doc fully duplicated, got {n_all_dup}/{n_rows}"
+
+    # 5. remove_dup_spans over the same twin corpus, same above-cap
+    # dup vocabulary (round 4.2): the payload-carrying exchange rewrites
+    # every doc worker-side; the corpus-sized OUTPUT is consumed
+    # streaming, never held. Twins duplicate their entire text, so every
+    # word of every doc must be removed.
+    from ocm_ray.ops.dedup import remove_dup_spans
+
+    t0 = time.time()
+    rewritten = remove_dup_spans(twins, k=5)   # auto: must pick exchange
+    n_rw, n_fully = 0, 0
+    for b in rewritten.iter_batches(batch_format="pyarrow"):
+        n_rw += b.num_rows
+        nw = b.column("n_words").to_numpy(zero_copy_only=False)
+        nr = b.column("n_removed_words").to_numpy(zero_copy_only=False)
+        n_fully += int((nw == nr).sum())
+    results["span_removal_exchange"] = {"docs": int(n_rw),
+                                        "fully_removed": int(n_fully),
+                                        "wall": round(time.time() - t0, 1)}
+    assert n_rw == N_DNG_DOCS and n_fully == N_DNG_DOCS, \
+        f"twin corpus must be fully removed: {n_fully}/{n_rw}"
 
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     ok = peak < RSS_BOUND_MB
