@@ -600,20 +600,8 @@ def add_content_hash(ds: Dataset, id_col: str = "doc_id",
     sequences are identical, absent 64-bit collisions) — exact
     SEQUENCE-level dedup for the pre-tokenized north-rule table."""
     def hash_col(batch: pa.Table) -> pa.Table:
-        if tokens_col is not None:
-            from ocm_ray.core.hashing import stable_hash_bytes
-            from ocm_ray.engine.tokens import list_column_values
-
-            flat, lengths = list_column_values(batch, tokens_col)
-            flat = np.ascontiguousarray(flat.astype(np.int32, copy=False))
-            byte_off = np.concatenate(
-                [[0], np.cumsum(lengths.astype(np.int64) * 4)])
-            h = stable_hash_bytes(flat.view(np.uint8), byte_off,
-                                  137).astype(np.int64)
-        else:
-            from ocm_ray.engine.tokens import hash_string_array
-
-            h = hash_string_array(batch.column(text_col)).astype(np.int64)
+        h = add_content_hash_batch(batch, text_col,
+                                   tokens_col).astype(np.int64)
         return pa.table({id_col: batch.column(id_col),
                          "content_hash": pa.array(h)})
 
@@ -664,6 +652,73 @@ def exact_dedup_groups(ds: Dataset, id_col: str = "doc_id",
 
     return shard_scan(add_content_hash(ds, id_col, text_col, tokens_col),
                       shard_of, scan, n_shards)
+
+
+def dedup_against(ds: Dataset, reference: Dataset, id_col: str = "doc_id",
+                  text_col: str = "text", tokens_col: str = None,
+                  n_shards: int = 64) -> Dataset:
+    """Cross-corpus exact dedup: drop every row of ``ds`` whose content
+    (text, or raw token buffer with ``tokens_col``) also appears in
+    ``reference`` — the "dedup the new crawl against the previous dump /
+    train against eval" step (content-identity complement of the k-gram
+    :func:`ocm_ray.ops.retrieval.decontaminate`). EXACT — no Bloom
+    false-positive loss: both sides' 64-bit content hashes co-shard
+    through the raw-task :func:`ocm_ray.ops.pairs.shard_scan2` (every
+    copy of a content meets its reference hashes in one shard; the
+    reference side travels as a compact hash column, never its text),
+    and one sorted-membership pass per shard filters survivors. The
+    corpus payload rides the exchange worker-side; driver holds
+    ObjectRefs only. Returns the surviving rows of ``ds`` with their
+    original columns."""
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan2
+    from ocm_ray.ops.retrieval import _sorted_member
+
+    bits = _shard_bits(n_shards)
+    ref_hashes = add_content_hash(reference, id_col, text_col, tokens_col) \
+        .select_columns(["content_hash"])
+
+    def content_hashes(batch: pa.Table) -> np.ndarray:
+        return add_content_hash_batch(batch, text_col, tokens_col)
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__chash", pa.array(content_hashes(batch).view(np.int64)))
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        name = "content_hash" if "content_hash" in tbl.column_names \
+            else "__chash"
+        h = tbl.column(name).to_numpy(zero_copy_only=False).view(U64)
+        return (h >> U64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(h), np.int32)
+
+    def scan(ref_tbl: pa.Table, ds_tbl: pa.Table) -> pa.Table:
+        ref = np.sort(ref_tbl.column("content_hash")
+                      .to_numpy(zero_copy_only=False).view(U64))
+        h = ds_tbl.column("__chash").to_numpy(zero_copy_only=False).view(U64)
+        out = ds_tbl.filter(pa.array(~_sorted_member(ref, h)))
+        return out.drop_columns(["__chash"])
+
+    hashed = ds.map_batches(with_hash, batch_format="pyarrow")
+    return shard_scan2(ref_hashes, hashed, shard_of, shard_of, scan,
+                       n_shards)
+
+
+def add_content_hash_batch(batch: pa.Table, text_col: str = "text",
+                           tokens_col: str = None) -> np.ndarray:
+    """Per-batch content hashes (the :func:`add_content_hash` kernel,
+    exposed for callers that need the hash alongside other columns)."""
+    if tokens_col is not None:
+        from ocm_ray.core.hashing import stable_hash_bytes
+        from ocm_ray.engine.tokens import list_column_values
+
+        flat, lengths = list_column_values(batch, tokens_col)
+        flat = np.ascontiguousarray(flat.astype(np.int32, copy=False))
+        byte_off = np.concatenate(
+            [[0], np.cumsum(lengths.astype(np.int64) * 4)])
+        return stable_hash_bytes(flat.view(np.uint8), byte_off, 137)
+    from ocm_ray.engine.tokens import hash_string_array
+
+    return hash_string_array(batch.column(text_col))
 
 
 def bloom_dedup_filter(ds: Dataset, id_col: str = "doc_id",

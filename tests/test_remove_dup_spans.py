@@ -179,3 +179,50 @@ def test_remove_dup_spans_min_span_guard():
     ds = ray.data.from_pandas(_twin_corpus(10))
     with pytest.raises(ValueError, match="min_span"):
         remove_dup_spans(ds, k=5, min_span=3)
+
+
+# --------------------------------------------------------- cross-corpus dedup
+
+def test_dedup_against_text_and_tokens():
+    """dedup_against drops exactly the ds rows whose content also
+    appears in the reference corpus — exact (no Bloom FP loss), both
+    domains, any partitioning."""
+    import ray.data
+
+    from ocm_ray.ops.dedup import dedup_against
+
+    rng = np.random.default_rng(13)
+    vocab = [f"v{i}" for i in range(400)]
+    mk = lambda: " ".join(rng.choice(vocab, int(rng.integers(5, 25))))
+    ref_texts = [mk() for _ in range(50)]
+    new_texts = [mk() for _ in range(80)]
+    # plant 17 reference texts into the new corpus (some twice)
+    planted = ref_texts[:17] + ref_texts[:5]
+    all_new = new_texts + planted
+    ref = pd.DataFrame({"doc_id": [f"r{i}" for i in range(len(ref_texts))],
+                        "text": ref_texts})
+    new = pd.DataFrame({"doc_id": [f"n{i}" for i in range(len(all_new))],
+                        "text": all_new})
+    out = dedup_against(ray.data.from_pandas(new).repartition(5),
+                        ray.data.from_pandas(ref).repartition(3),
+                        n_shards=8).to_pandas()
+    ref_set = set(ref_texts)
+    want = new[~new.text.isin(ref_set)]
+    assert sorted(out.doc_id) == sorted(want.doc_id)
+    assert set(out.columns) == {"doc_id", "text"}
+
+    # tokens domain: identity is the raw int32 buffer
+    seqs = [rng.integers(0, 500, int(rng.integers(3, 12)),
+                         dtype=np.int32) for _ in range(40)]
+    ref_t = pa.table({"doc_id": [f"r{i}" for i in range(20)],
+                      "tokens": pa.array([s.tolist() for s in seqs[:20]],
+                                         pa.list_(pa.int32()))})
+    new_t = pa.table({"doc_id": [f"n{i}" for i in range(30)],
+                      "tokens": pa.array(
+                          [s.tolist() for s in seqs[10:40]],
+                          pa.list_(pa.int32()))})
+    out_t = dedup_against(ray.data.from_arrow(new_t).repartition(4),
+                          ray.data.from_arrow(ref_t).repartition(2),
+                          tokens_col="tokens", n_shards=8).to_pandas()
+    # seqs[10:20] overlap the reference; seqs[20:40] survive
+    assert sorted(out_t.doc_id) == sorted(f"n{i}" for i in range(10, 30))
