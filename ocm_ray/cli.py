@@ -130,15 +130,21 @@ def cmd_sketch(args) -> int:
     from ocm_ray.engine.build import build_sketch_sharded
     from ocm_ray.sketches import (
         KLL,
+        PCSA,
+        BBitMinHash,
         BloomFilter,
         BottomKMinHash,
         CountingBloomFilter,
+        CountingBottomKMinHash,
         CountSketch,
         CountSketch4W,
         DDSketch,
         HeavyKeeper,
         HeavyKeeperTopK,
         HyperLogLog,
+        HyperMinHash,
+        ModSketch,
+        SetSketch,
         TDigest,
         TopK,
     )
@@ -158,6 +164,12 @@ def cmd_sketch(args) -> int:
         "heavykeeper-topk": lambda: HeavyKeeperTopK(args.k, args.p, args.nh),
         "ddsketch": lambda: DDSketch(),
         "cm-pow2": lambda: CountMinPow2(args.p, args.nh),
+        "pcsa": lambda: PCSA(args.p),
+        "hmh": lambda: HyperMinHash(args.p),
+        "setsketch": lambda: SetSketch.byte(1 << args.p),
+        "bbmh": lambda: BBitMinHash(args.p),
+        "modsketch": lambda: ModSketch(args.p),
+        "counting-bottomk": lambda: CountingBottomKMinHash(args.k),
     }
     _init_ray(args.num_cpus)
     files = _input_files(args.input)
@@ -168,8 +180,10 @@ def cmd_sketch(args) -> int:
         f.write(sk.to_bytes())
     info = {"kind": args.kind, "wall_sec": round(time.time() - t0, 3),
             "bytes": sk.nbytes}
-    if args.kind == "hll":
+    if args.kind in ("hll", "pcsa", "hmh", "setsketch"):
         info["estimate"] = round(sk.estimate())
+    elif args.kind == "modsketch":
+        info["estimate"] = round(sk.cardinality_estimate())
     print(json.dumps(info))
     return 0
 
@@ -392,7 +406,8 @@ def main(argv=None) -> int:
                    choices=["hll", "bloom", "cbf", "kll", "tdigest", "bottomk",
                             "countsketch", "countsketch4w", "topk",
                             "heavykeeper", "heavykeeper-topk", "ddsketch",
-                            "cm-pow2"])
+                            "cm-pow2", "pcsa", "hmh", "setsketch", "bbmh",
+                            "modsketch", "counting-bottomk"])
     s.add_argument("-p", type=int, default=14)
     s.add_argument("--nh", type=int, default=5)
     s.add_argument("-k", type=int, default=1024)
