@@ -128,15 +128,25 @@ def shard_scan(ds: Dataset, shard_fn, scan_fn, n_shards: int) -> Dataset:
         # into driver RSS — the failure mode this function exists to
         # avoid. Returned list of refs is tiny.
         tbl = _as_arrow(tbl)
+        if tbl.num_rows == 0:
+            # 0-row blocks can arrive SCHEMA-LESS (Ray's map_batches
+            # emits pa.table({}) for an empty upstream block), so the
+            # shard_fn must never see them
+            ref = ray.put(tbl)
+            return [ref] * n_shards
         return [ray.put(part)
                 for part in _split_by_shard(tbl, shard_fn(tbl), n_shards)]
 
     split_task = ray.remote(split_block)
 
     def scan_shard(part_refs):
-        parts = [p for p in ray.get(list(part_refs)) if p.num_rows]
-        tbl = pa.concat_tables(parts) if parts else \
-            ray.get(part_refs[0])
+        all_parts = ray.get(list(part_refs))
+        parts = [p for p in all_parts if p.num_rows]
+        if parts:
+            tbl = pa.concat_tables(parts)
+        else:  # all-empty shard: prefer a part that still carries schema
+            tbl = next((p for p in all_parts if p.num_columns),
+                       all_parts[0])
         return scan_fn(tbl)
 
     scan_task = ray.remote(scan_shard)
@@ -268,16 +278,22 @@ def shard_scan2(ds_a: Dataset, ds_b: Dataset, shard_fn_a, shard_fn_b,
     def make_split(shard_fn):
         def split_block(tbl):
             tbl = _as_arrow(tbl)
+            if tbl.num_rows == 0:   # may be schema-less — see shard_scan
+                ref = ray.put(tbl)
+                return [ref] * n_shards
             return [ray.put(part)
                     for part in _split_by_shard(tbl, shard_fn(tbl), n_shards)]
         return ray.remote(split_block)
 
+    def _fold(refs):
+        parts = ray.get(list(refs))
+        nonempty = [p for p in parts if p.num_rows]
+        if nonempty:
+            return pa.concat_tables(nonempty)
+        return next((p for p in parts if p.num_columns), parts[0])
+
     def scan_shard(a_refs, b_refs):
-        a_parts = [p for p in ray.get(list(a_refs)) if p.num_rows]
-        b_parts = [p for p in ray.get(list(b_refs)) if p.num_rows]
-        a_tbl = pa.concat_tables(a_parts) if a_parts else ray.get(a_refs[0])
-        b_tbl = pa.concat_tables(b_parts) if b_parts else ray.get(b_refs[0])
-        return scan_fn(a_tbl, b_tbl)
+        return scan_fn(_fold(a_refs), _fold(b_refs))
 
     scan_task = ray.remote(scan_shard)
     split_a, split_b = make_split(shard_fn_a), make_split(shard_fn_b)

@@ -158,3 +158,81 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
                                      for k, v in sorted(per_src.items())},
         "out_dir": out_dir,
     }
+
+
+def prepare_epoch(sequences_path: str, out_dir: str, seq_len: int = 2048,
+                  seed: int = 0, eos_id: Optional[int] = None,
+                  exclude_path: Optional[str] = None,
+                  id_col: str = "doc_id", tokens_col: str = "tokens",
+                  overwrite: bool = False) -> dict:
+    """Training-epoch export: the composition a trainer consumes each
+    epoch, wiring the round-4 operators end to end —
+
+        read sequences → (optional) cross-corpus exact dedup against an
+        exclusion table (eval/dev sets, earlier dumps; token identity)
+        → deterministic epoch shuffle (pure function of ids + seed) →
+        fixed-length sequence packing → Parquet out.
+
+    Deterministic end to end: the shuffle order is a pure function of
+    (doc ids, ``seed``) and packing is per-block on the shuffle's
+    deterministic shard layout, so re-running an epoch (resume after a
+    crash, reproducing a run) regenerates byte-identical training rows;
+    each epoch's ``seed`` gives an independent order. Driver holds
+    ObjectRefs only (shuffle = raw-task exchange; packing and the write
+    are stateless map stages)."""
+    import glob as _glob
+    import shutil
+    import time
+
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import dedup_against
+    from ocm_ray.ops.packing import pack_sequences
+    from ocm_ray.ops.sampling import epoch_shuffle
+
+    stale = _glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                       recursive=True)
+    if stale:
+        if not overwrite:
+            raise FileExistsError(
+                f"prepare_epoch: {out_dir} already holds {len(stale)} "
+                "parquet file(s) — pass overwrite=True or use a fresh "
+                "out_dir")
+        shutil.rmtree(out_dir)
+
+    t0 = time.time()
+    ds = rd.read_parquet(sequences_path, columns=[id_col, tokens_col])
+    n_in = ds.count()
+    n_excluded = 0
+    if exclude_path is not None:
+        ref = rd.read_parquet(exclude_path, columns=[id_col, tokens_col])
+        ds = dedup_against(ds, ref, id_col=id_col, tokens_col=tokens_col)
+        n_kept = ds.count()
+        n_excluded = n_in - n_kept
+    shuffled = epoch_shuffle(ds, seed=seed, id_col=id_col)
+    packed = pack_sequences(shuffled, seq_len=seq_len, column=tokens_col,
+                            eos_id=eos_id)
+    # deterministic shard-indexed filenames (write_parquet's default uuid
+    # names would make the on-disk file ORDER nondeterministic even when
+    # every row is): file NNNN == shuffle shard NNNN, so a resumed or
+    # reproduced epoch regenerates the same files under the same names
+    from ray.data.datasource import FilenameProvider
+
+    class _ShardNames(FilenameProvider):
+        def get_filename_for_block(self, block, write_uuid, task_index,
+                                   block_index):
+            return f"epoch-{task_index:05d}-{block_index:04d}.parquet"
+
+    # mode="overwrite" lets the deterministic (uuid-free) names through —
+    # identical-name re-writes replacing files is exactly the resume
+    # semantics wanted here
+    packed.write_parquet(out_dir, filename_provider=_ShardNames(),
+                         mode="overwrite")
+    out = rd.read_parquet(out_dir, columns=["n_tokens"])
+    n_rows = out.count()
+    n_tokens_packed = int(out.sum("n_tokens") or 0)
+    return {"n_docs_in": int(n_in), "n_docs_excluded": int(n_excluded),
+            "seq_len": seq_len, "seed": seed,
+            "n_rows_packed": int(n_rows),
+            "n_tokens_packed": n_tokens_packed,
+            "wall_sec": round(time.time() - t0, 3), "out": out_dir}

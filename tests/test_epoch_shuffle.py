@@ -67,3 +67,56 @@ def test_epoch_shuffle_matches_direct_key_sort():
     key = wanghash(h ^ wanghash(np.array([5], dtype=np.uint64))[0])
     want = df.iloc[np.argsort(key, kind="stable")].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_prepare_epoch_pipeline(tmp_path):
+    """End-to-end epoch export: deterministic (same seed -> byte-equal
+    packed rows), exclusion drops the planted eval overlap, token
+    conservation holds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocm_ray.pipelines.pretraining import prepare_epoch
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 1000, int(rng.integers(20, 60)),
+                         dtype=np.int32) for _ in range(300)]
+    tbl = pa.table({
+        "doc_id": [f"d{i:04d}" for i in range(300)],
+        "tokens": pa.array([s.tolist() for s in seqs], pa.list_(pa.int32())),
+    })
+    src = tmp_path / "seqs"
+    src.mkdir()
+    pq.write_table(tbl, src / "part0.parquet")
+    # eval set = 30 of the training sequences under different ids
+    ev = pa.table({
+        "doc_id": [f"e{i}" for i in range(30)],
+        "tokens": pa.array([s.tolist() for s in seqs[:30]],
+                           pa.list_(pa.int32())),
+    })
+    evp = tmp_path / "eval"
+    evp.mkdir()
+    pq.write_table(ev, evp / "part0.parquet")
+
+    def run(out, seed):
+        return prepare_epoch(str(src), str(out), seq_len=128, seed=seed,
+                             exclude_path=str(evp))
+
+    s1 = run(tmp_path / "ep1", seed=1)
+    assert s1["n_docs_in"] == 300 and s1["n_docs_excluded"] == 30
+    surviving = sum(len(s) for s in seqs[30:])
+    # drop_remainder: at most seq_len-1 tokens lost per output block
+    assert s1["n_tokens_packed"] <= surviving
+    assert s1["n_tokens_packed"] == s1["n_rows_packed"] * 128
+
+    s2 = run(tmp_path / "ep2", seed=1)
+    a = pq.read_table(tmp_path / "ep1").to_pandas()
+    b = pq.read_table(tmp_path / "ep2").to_pandas()
+    assert len(a) == len(b) == s1["n_rows_packed"]
+    for x, y in zip(a.input_ids, b.input_ids):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    s3 = run(tmp_path / "ep3", seed=2)
+    c = pq.read_table(tmp_path / "ep3").to_pandas()
+    assert any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a.input_ids, c.input_ids))
