@@ -534,3 +534,98 @@ def video_container_meta(ds: Dataset, payload_col: str = "payload",
         })
 
     return ds.map_batches(meta, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards (the standard multimodal training-data container)
+
+
+def write_webdataset(ds: Dataset, out_dir: str, key_col: str = "sample_id",
+                     cols: dict = None) -> list:
+    """Write a Dataset as WebDataset-style tar shards: each sample's
+    columns become members ``<key>.<ext>`` inside the shard, one tar
+    per input block (the resume unit — rerunning a shard overwrites its
+    file). ``cols`` maps column name → member extension (binary columns
+    written raw, everything else utf-8). Returns the shard manifest
+    ``[(path, n_samples), ...]`` (driver-held, one row per shard).
+
+    Stdlib ``tarfile`` only; shards stream member-by-member, so a task
+    holds one block + one open tar."""
+    import io
+    import os
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = cols or {"payload": "bin", "meta": "json"}
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        if not keys:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_samples": pa.array([], pa.int64())})
+        # shard name from the first key: deterministic given the block
+        # layout (sorted inputs => reproducible shard files)
+        name = f"shard-{str(keys[0]).replace('/', '_')}.tar"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with tarfile.open(tmp, "w") as tf:
+            for i, key in enumerate(keys):
+                for col, ext in cols.items():
+                    v = batch.column(col)[i].as_py()
+                    if v is None:
+                        continue
+                    data = v if isinstance(v, (bytes, bytearray)) \
+                        else str(v).encode()
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(bytes(data)))
+        os.replace(tmp, path)   # atomic: a killed task leaves no shard
+        return pa.table({"path": pa.array([path]),
+                         "n_samples": pa.array([len(keys)], pa.int64())})
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    return list(manifest.itertuples(index=False, name=None))
+
+
+def read_webdataset(paths, exts: tuple = ("bin", "json"),
+                    key_col: str = "sample_id") -> Dataset:
+    """Read WebDataset-style tar shards into a Dataset: members group by
+    basename key, requested extensions become binary columns (missing
+    member → null). One task per shard (tar has no random access — the
+    member stream is the natural scan unit); parallelism = shard count,
+    the format's own scaling rule."""
+    import glob as _glob
+    import os
+    import tarfile
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(os.path.join(paths, "*.tar"))
+                       if os.path.isdir(paths) else _glob.glob(paths))
+    if not paths:
+        raise FileNotFoundError("no tar shards found")
+
+    def parse_shard(batch: pa.Table) -> pa.Table:
+        rows = {}
+        for path in batch.column("shard").to_pylist():
+            with tarfile.open(path, "r") as tf:
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    key, dot, ext = m.name.rpartition(".")
+                    if not dot or ext not in exts:
+                        continue
+                    rows.setdefault(key, {})[ext] = tf.extractfile(m).read()
+        keys = sorted(rows)
+        cols = {key_col: pa.array(keys, pa.string())}
+        for ext in exts:
+            cols[ext] = pa.array([rows[k].get(ext) for k in keys],
+                                 pa.binary())
+        return pa.table(cols)
+
+    shards = rd.from_items([{"shard": p} for p in paths]) \
+        .repartition(len(paths))
+    return shards.map_batches(parse_shard, batch_format="pyarrow",
+                              batch_size=None)

@@ -186,6 +186,33 @@ def main() -> int:
     assert n_rw == N_DNG_DOCS and n_fully == N_DNG_DOCS, \
         f"twin corpus must be fully removed: {n_fully}/{n_rw}"
 
+    # 6. epoch_shuffle over the same 240k-doc corpus: the full text
+    # payload rides ONE exchange; output consumed streaming. Also
+    # asserts the global order is the documented key order.
+    from ocm_ray.ops.sampling import epoch_shuffle
+
+    t0 = time.time()
+    shuffled = epoch_shuffle(twins, seed=7, id_col="doc_id")
+    n_sh, last_key = 0, None
+    from ocm_ray.core.hashing import wanghash
+
+    mix = wanghash(np.array([7], dtype=np.uint64))[0]
+    ordered = True
+    for b in shuffled.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536):
+        n_sh += b.num_rows
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = wanghash(ids.astype(np.uint64) ^ mix)
+        if len(keys):
+            if last_key is not None and keys[0] < last_key:
+                ordered = False
+            if np.any(keys[1:] < keys[:-1]):
+                ordered = False
+            last_key = keys[-1]
+    results["epoch_shuffle"] = {"docs": int(n_sh), "ordered": bool(ordered),
+                                "wall": round(time.time() - t0, 1)}
+    assert n_sh == N_DNG_DOCS and ordered
+
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     ok = peak < RSS_BOUND_MB
     import json
