@@ -292,3 +292,97 @@ def epoch_shuffle(ds: Dataset, seed: int = 0, id_col: str = "doc_id",
 
     keyed = ds.map_batches(with_key, batch_format="pyarrow")
     return shard_scan(keyed, shard_of, order_shard, n_shards)
+
+
+def token_budget_sample(ds: Dataset, budgets: Dict[str, int],
+                        group_col: str = "source",
+                        weight_col: str = "n_tok",
+                        id_col: str = "doc_id", seed: int = 137,
+                        bucket_bits: int = 12,
+                        default_keep: bool = True):
+    """Deterministic per-group TOKEN-BUDGET sampling — the corpus-mixing
+    knob stated in tokens, not fractions ("100M tokens of web, all of
+    code"): keep the prefix of each group's docs in seeded-id-hash order
+    whose ``weight_col`` sum first reaches the group's budget.
+
+    Scale shape: one distributed pass bins each row's id hash into
+    ``2^bucket_bits`` buckets and reduces per-(group, bucket) weight
+    sums on the grouped-sum tree (bounded: groups x 4096 rows); the
+    driver cumsums each group's bucket histogram to a cutoff bucket,
+    broadcasts the cutoffs, and one stateless filter pass keeps rows
+    with ``bucket <= cutoff``. Granularity: the achieved sum lands
+    within ONE bucket's mass above the budget (~= group total /
+    2^bucket_bits) — raise ``bucket_bits`` for finer landing. Membership
+    is a pure function of (ids, seed): reproducible, partition- and
+    cluster-size-invariant, and MONOTONE in the budget (a larger budget
+    keeps a superset — stable ablation nests).
+
+    Returns ``(filtered Dataset, summary)`` where summary maps group →
+    ``{"budget", "achieved", "cutoff_bucket", "total"}`` (groups
+    without a budget: kept whole when ``default_keep`` else dropped).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    nb = 1 << bucket_bits
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        u = _bucket01(batch, id_col, seed)
+        return np.minimum((u * nb).astype(np.int64), nb - 1)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame({"g": g, "b": b, "w": w}) \
+            .groupby(["g", "b"], sort=False, as_index=False)["w"].sum()
+        return pa.table({group_col: pa.array(df["g"].astype(str)),
+                         "bucket": pa.array(df["b"].astype(np.int64)),
+                         "w": pa.array(df["w"].astype(np.int64))})
+
+    hist = grouped_sum(ds.map_batches(partials, batch_format="pyarrow"),
+                       [group_col, "bucket"], ["w"]).to_pandas()
+
+    cutoffs, summary = {}, {}
+    for g, sub in hist.groupby(group_col):
+        sub = sub.sort_values("bucket")
+        total = int(sub["w"].sum())
+        if g not in budgets:
+            summary[g] = {"budget": None, "achieved": total if default_keep
+                          else 0, "cutoff_bucket": nb - 1 if default_keep
+                          else -1, "total": total}
+            cutoffs[g] = nb - 1 if default_keep else -1
+            continue
+        budget = int(budgets[g])
+        cum = sub["w"].cumsum()
+        hit = cum[cum >= budget]
+        cutoff = int(sub["bucket"].iloc[len(cum) - len(hit)]) if len(hit) \
+            else nb - 1
+        achieved = int(cum.iloc[len(cum) - len(hit)]) if len(hit) else total
+        cutoffs[g] = cutoff
+        summary[g] = {"budget": budget, "achieved": achieved,
+                      "cutoff_bucket": cutoff, "total": total}
+    ref = ray.put((list(cutoffs.keys()),
+                   np.asarray(list(cutoffs.values()), dtype=np.int64)))
+    fallback = nb - 1 if default_keep else -1
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys, cuts = ray.get(ref)
+        b = bucket_of(batch)
+        # vectorized group→cutoff: Arrow index_in against the broadcast
+        # key list (same idiom as stratified_sample)
+        idx = pc.index_in(batch.column(group_col),
+                          value_set=pa.array(keys)) \
+            .to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx.astype(np.float64)) if idx.dtype.kind == "f" \
+            else (idx < 0)
+        thr = np.where(miss, fallback,
+                       cuts[np.where(miss, 0, idx).astype(np.int64)])
+        return batch.filter(pa.array(b <= thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow"), summary

@@ -120,3 +120,53 @@ def test_prepare_epoch_pipeline(tmp_path):
     c = pq.read_table(tmp_path / "ep3").to_pandas()
     assert any(not np.array_equal(np.asarray(x), np.asarray(y))
                for x, y in zip(a.input_ids, c.input_ids))
+
+
+def test_token_budget_sample():
+    """Per-group token budgets: achieved lands within one bucket mass
+    above the budget, membership is deterministic and MONOTONE in the
+    budget, unbudgeted groups keep/drop per default_keep."""
+    import ray.data
+
+    from ocm_ray.ops.sampling import token_budget_sample
+
+    rng = np.random.default_rng(6)
+    n = 6000
+    df = pd.DataFrame({
+        "doc_id": [f"d{i:05d}" for i in range(n)],
+        "source": rng.choice(["web", "code", "books"], n,
+                             p=[0.6, 0.25, 0.15]),
+        "n_tok": rng.integers(50, 500, n),
+    })
+    totals = df.groupby("source").n_tok.sum()
+    budgets = {"web": int(totals.web * 0.3), "code": int(totals.code * 0.8)}
+
+    def run(budgets, nparts=5, **kw):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out, summary = token_budget_sample(ds, budgets, bucket_bits=10,
+                                           **kw)
+        return out.to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True), summary
+
+    out, summary = run(budgets)
+    got = out.groupby("source").n_tok.sum()
+    bucket_mass = {g: totals[g] / (1 << 10) for g in totals.index}
+    for g, b in budgets.items():
+        assert summary[g]["achieved"] == got[g]
+        assert b <= got[g] <= b + 4 * bucket_mass[g] + 500, (g, b, got[g])
+    # unbudgeted group kept whole by default...
+    assert got["books"] == totals["books"]
+    # ...and dropped with default_keep=False
+    out2, _ = run(budgets, default_keep=False)
+    assert "books" not in set(out2.source)
+
+    # determinism across partitionings
+    out3, _ = run(budgets, nparts=11)
+    pd.testing.assert_frame_equal(out, out3)
+
+    # monotone nesting: doubling web's budget keeps a superset
+    big = dict(budgets, web=budgets["web"] * 2)
+    out4, _ = run(big)
+    small_ids = set(out[out.source == "web"].doc_id)
+    big_ids = set(out4[out4.source == "web"].doc_id)
+    assert small_ids < big_ids
