@@ -22,7 +22,8 @@ import pyarrow.compute as pc
 
 def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
            near_dup_threshold: float = 0.85,
-           concurrency: int = 4, overwrite: bool = False) -> dict:
+           concurrency: int = 4, overwrite: bool = False,
+           redact: bool = False, remove_spans: int = 0) -> dict:
     """Run the curation flow over a documents Parquet table; returns a
     summary dict (counts per stage, per-source distincts).
 
@@ -51,6 +52,44 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
 
     ds = rd.read_parquet(documents_path)
     n_in = ds.count()
+
+    # 0. optional scrub stages AHEAD of scoring/dedup, so stats, hashes
+    # and signatures all see the text the trainer will see:
+    # redact=True runs the PII pass; remove_spans=N cuts cross-document
+    # duplicated spans of >= N words (Lee et al. rewrite)
+    if redact:
+        import pyarrow.compute as _pc
+
+        from ocm_ray.ops.text import _PII_PATTERNS
+
+        def scrub_inline(t: pa.Table) -> pa.Table:
+            # in-place text replacement (keeps every other column; the
+            # counting variant is ops.text.redact_pii)
+            txt = t.column("text")
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            txt = txt.fill_null("")
+            for _, pat, repl in _PII_PATTERNS:
+                txt = _pc.replace_substring_regex(txt, pattern=pat,
+                                                  replacement=repl)
+            return t.set_column(t.schema.get_field_index("text"),
+                                "text", txt)
+
+        ds = ds.map_batches(scrub_inline, batch_format="pyarrow")
+    if remove_spans:
+        from ocm_ray.ops.dedup import remove_dup_spans
+
+        rewritten = remove_dup_spans(ds.select_columns(["doc_id", "text"]),
+                                     k=5, min_span=remove_spans)
+        other = [c for c in ds.schema().names if c not in ("doc_id", "text")]
+        if other:
+            from ocm_ray.ops.relational import shuffle_join
+
+            rewritten = shuffle_join(
+                rewritten.select_columns(["doc_id", "text"]),
+                ds.select_columns(["doc_id"] + other),
+                on="doc_id", right_on="doc_id")
+        ds = rewritten
 
     # 1. per-doc stats + quality (actor pool), filter
     scored = add_text_stats(ds, concurrency=concurrency)

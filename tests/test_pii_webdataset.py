@@ -96,3 +96,43 @@ def test_webdataset_round_trip(tmp_path):
                             exts=("bin", "txt")).to_pandas()
     assert back2.txt.isna().all()
     assert len(back2) == n
+
+
+def test_curate_with_scrub_stages(tmp_path):
+    """curate(redact=True, remove_spans=N) composes the scrub stages
+    ahead of scoring/dedup: PII placeholders appear in the output, the
+    shared span is gone, and non-text columns survive the rewrite."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ocm_ray.pipelines.pretraining import curate
+
+    rng = np.random.default_rng(8)
+    vocab = [f"tok{i}" for i in range(300)]
+    shared = " ".join(rng.choice(vocab, 10))
+    rows = []
+    for i in range(120):
+        body = " ".join(rng.choice(vocab, 40))
+        if i % 3 == 0:
+            body += " " + shared
+        if i % 5 == 0:
+            body += f" mail me at user{i}@spam.example now"
+        rows.append({"doc_id": f"c{i:03d}", "text": body,
+                     "source": "web" if i % 2 else "code"})
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src)
+
+    out_dir = str(tmp_path / "curated")
+    summary = curate(str(src), out_dir, quality_min=0.0,
+                     redact=True, remove_spans=8)
+    assert summary["n_output"] > 0
+    outs = pd.concat([pd.read_parquet(f) for f in
+                      glob.glob(out_dir + "/**/*.parquet", recursive=True)])
+    text = " ".join(outs.text)
+    assert "@spam.example" not in text and "<EMAIL>" in text
+    assert shared not in text          # 10-word shared span removed
+    assert set(outs.columns) >= {"doc_id", "text"}
+    # partitioned layout by source proves the non-text column survived
+    assert glob.glob(out_dir + "/source=web/*.parquet")
