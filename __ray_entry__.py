@@ -1035,8 +1035,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def corpus_mix_split(sf_dir):
         """Deterministic corpus mixing: per-source downsampling + a
         hash-range train/val/test split (disjoint + exhaustive,
-        asserted); the reproducibility contract of a 100 TB data mix."""
-        from ocm_ray.ops.sampling import hash_split, stratified_sample
+        asserted); the reproducibility contract of a 100 TB data mix.
+        Also hosts the round-4.2 sampling-family invariants:
+        epoch_shuffle (permutation, run-to-run identical order) and
+        token_budget_sample (budget landing + superset nesting)."""
+        from ocm_ray.ops.sampling import (epoch_shuffle, hash_split,
+                                          stratified_sample,
+                                          token_budget_sample)
 
         ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
         mixed = stratified_sample(ds, "source", {"src0": 0.5}, 1.0)
@@ -1047,6 +1052,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   for p in parts.values()])
         assert len(all_ids) == len(np.unique(all_ids))  # disjoint
         assert len(all_ids) == mixed.count()            # exhaustive
+
+        # epoch_shuffle: a permutation whose order is a pure function of
+        # (ids, seed) — two runs must agree row-for-row
+        base = _read(sf_dir, "documents", columns=["doc_id", "source"])
+        s1 = epoch_shuffle(base, seed=3, n_shards=8).to_pandas()
+        s2 = epoch_shuffle(base, seed=3, n_shards=8).to_pandas()
+        assert list(s1.doc_id) == list(s2.doc_id)
+        assert sorted(s1.doc_id) == sorted(
+            base.to_pandas().doc_id)                    # permutation
+
+        # token_budget_sample: lands at/above budget within one bucket
+        # mass; doubling the budget keeps a superset
+        import pyarrow.compute as _pc
+
+        def with_w(t):
+            import pyarrow as _pa
+            n = _pc.utf8_length(_pc.fill_null(t.column("text"), ""))
+            return t.append_column(
+                "w", _pc.cast(n, _pa.int64())).drop_columns(["text"])
+        wds = _read(sf_dir, "documents",
+                    columns=["doc_id", "source", "text"]) \
+            .map_batches(with_w, batch_format="pyarrow")
+        total = int(wds.sum("w"))
+        budget = max(1, total // 5)
+        sel, summ = token_budget_sample(wds, {"src0": budget},
+                                        weight_col="w", bucket_bits=8)
+        got = sel.to_pandas()
+        src0 = summ["src0"]
+        assert src0["achieved"] >= min(src0["budget"], src0["total"])
+        sel2, _ = token_budget_sample(wds, {"src0": budget * 2},
+                                      weight_col="w", bucket_bits=8)
+        ids_small = set(got[got.source == "src0"].doc_id)
+        ids_big = set(sel2.to_pandas().query("source=='src0'").doc_id)
+        assert ids_small <= ids_big                     # nesting
+
         rows = [{"split": k, "source": s, "n_docs": int(n)}
                 for k, p in sorted(parts.items())
                 for s, n in p.groupby("source").size().items()]
@@ -2043,6 +2083,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         a = a.assign(variant="documents")
         a["doc_id"] = a["doc_id"].astype(str)
         b = dedup_exact_sequences(sf_dir).assign(variant="sequences")
+
+        # round-4.2 cross-corpus invariant: dedup_against must drop
+        # exactly the rows whose content also appears in a reference —
+        # documents vs themselves leaves nothing; vs a disjoint-salted
+        # copy leaves everything
+        import pyarrow as _pa
+
+        from ocm_ray.ops.dedup import dedup_against
+
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        assert dedup_against(docs, docs, n_shards=8).count() == 0
+
+        def salt(t: _pa.Table) -> _pa.Table:
+            import pyarrow.compute as _pc
+            return t.set_column(
+                t.schema.get_field_index("text"), "text",
+                _pc.binary_join_element_wise(t.column("text"),
+                                             " __salt__", ""))
+        salted = docs.map_batches(salt, batch_format="pyarrow")
+        n_docs = docs.count()
+        assert dedup_against(docs, salted, n_shards=8).count() == n_docs
+
         out = pd.concat([a[["variant", "doc_id", "n_copies"]],
                          b[["variant", "doc_id", "n_copies"]]],
                         ignore_index=True)
