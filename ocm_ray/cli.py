@@ -369,6 +369,20 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_epoch(args) -> int:
+    """Training-epoch export: exclusion dedup → deterministic shuffle →
+    fixed-length packing → Parquet (see pipelines.pretraining)."""
+    _init_ray(args.num_cpus)
+    from ocm_ray.pipelines.pretraining import prepare_epoch
+
+    summary = prepare_epoch(args.input, args.output, seq_len=args.seq_len,
+                            seed=args.seed, eos_id=args.eos_id,
+                            exclude_path=args.exclude,
+                            overwrite=args.overwrite)
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ocm_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -480,6 +494,19 @@ def main(argv=None) -> int:
     t.add_argument("-o", "--output", help="parquet dir (encode)")
     t.add_argument("--num-cpus", type=int)
     t.set_defaults(fn=cmd_bpe)
+
+    e = sub.add_parser("epoch", help="export one deterministic training "
+                                     "epoch (shuffle + pack)")
+    e.add_argument("--input", required=True, help="sequences parquet dir")
+    e.add_argument("--exclude", help="exclusion parquet (eval sets; "
+                                     "token-identity dedup)")
+    e.add_argument("--seq-len", type=int, default=2048)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--eos-id", type=int)
+    e.add_argument("--overwrite", action="store_true")
+    e.add_argument("-o", "--output", required=True)
+    e.add_argument("--num-cpus", type=int)
+    e.set_defaults(fn=cmd_epoch)
 
     args = p.parse_args(argv)
     try:
