@@ -563,9 +563,14 @@ def write_webdataset(ds: Dataset, out_dir: str, key_col: str = "sample_id",
         if not keys:
             return pa.table({"path": pa.array([], pa.string()),
                              "n_samples": pa.array([], pa.int64())})
-        # shard name from the first key: deterministic given the block
-        # layout (sorted inputs => reproducible shard files)
-        name = f"shard-{str(keys[0]).replace('/', '_')}.tar"
+        # shard name = first key + a digest of ALL keys: deterministic
+        # given the block layout (sorted inputs => reproducible shard
+        # files) and collision-proof when two blocks share a first key
+        import hashlib
+
+        digest = hashlib.sha1(
+            "\x00".join(map(str, keys)).encode()).hexdigest()[:10]
+        name = f"shard-{str(keys[0]).replace('/', '_')}-{digest}.tar"
         path = os.path.join(out_dir, name)
         tmp = path + ".tmp"
         with tarfile.open(tmp, "w") as tf:
@@ -594,7 +599,11 @@ def read_webdataset(paths, exts: tuple = ("bin", "json"),
     basename key, requested extensions become binary columns (missing
     member → null). One task per shard (tar has no random access — the
     member stream is the natural scan unit); parallelism = shard count,
-    the format's own scaling rule."""
+    the format's own scaling rule. Keys are grouped WITHIN a shard (the
+    WebDataset contract keeps a sample's members adjacent in one shard);
+    a key appearing in two shards yields two rows — dedupe downstream
+    with :func:`ocm_ray.ops.dedup.exact_dedup_groups` if shards may
+    overlap."""
     import glob as _glob
     import os
     import tarfile
