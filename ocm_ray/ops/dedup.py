@@ -675,7 +675,12 @@ def dedup_against(ds: Dataset, reference: Dataset, id_col: str = "doc_id",
 
     bits = _shard_bits(n_shards)
     ref_hashes = add_content_hash(reference, id_col, text_col, tokens_col) \
-        .select_columns(["content_hash"])
+        .select_columns(["content_hash"]).materialize()
+    if ref_hashes.count() == 0:
+        # guard shard_scan2's zero-block early return: an EMPTY reference
+        # must keep every row (anti-join semantics), not return empty
+        # (the inner-join reading that early path encodes)
+        return ds
 
     def content_hashes(batch: pa.Table) -> np.ndarray:
         return add_content_hash_batch(batch, text_col, tokens_col)

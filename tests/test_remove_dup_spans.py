@@ -226,3 +226,21 @@ def test_dedup_against_text_and_tokens():
                           tokens_col="tokens", n_shards=8).to_pandas()
     # seqs[10:20] overlap the reference; seqs[20:40] survive
     assert sorted(out_t.doc_id) == sorted(f"n{i}" for i in range(10, 30))
+
+
+def test_dedup_against_empty_reference_keeps_all():
+    """Anti-join semantics: an empty reference corpus must keep every
+    row (shard_scan2's zero-block early return encodes inner-join
+    semantics — dedup_against guards it)."""
+    import ray.data
+
+    from ocm_ray.ops.dedup import dedup_against
+
+    new = pd.DataFrame({"doc_id": [f"n{i}" for i in range(20)],
+                        "text": [f"doc body {i}" for i in range(20)]})
+    empty_ref = pd.DataFrame({"doc_id": pd.Series([], dtype=str),
+                              "text": pd.Series([], dtype=str)})
+    out = dedup_against(ray.data.from_pandas(new),
+                        ray.data.from_pandas(empty_ref),
+                        n_shards=4).to_pandas()
+    assert sorted(out.doc_id) == sorted(new.doc_id)
