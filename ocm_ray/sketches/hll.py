@@ -185,3 +185,100 @@ class HyperLogLog(MergeableSketch):
 
     def _arrays(self) -> Dict[str, np.ndarray]:
         return {"registers": self.registers}
+
+
+@register_sketch
+class SparseHLL(MergeableSketch):
+    """Sparse-register HLL (the vendored ``sparse.h`` ``SparseHLL`` /
+    ``SparseHLL32`` contract): registers stored as sorted encoded pairs
+    ``(index << 6) | value`` (``sparse.h:19-27`` — value in the low
+    SHIFT=6 bits, so a plain max over an index's encodings IS the
+    register max), not a dense ``2^p`` byte array. The representation
+    for SMALL sets — per-key sketches over millions of keys are mostly
+    tiny, and 9-ish bytes per NONZERO register beats ``m`` bytes per
+    key until ~m/8 registers are hit (the caller densifies past that,
+    as in the reference, which keeps SparseHLL a query/conversion-time
+    object: ``sparse.h``'s constructor takes a dense ``hll_t``).
+
+    Index/rank math is shared verbatim with :class:`HyperLogLog`
+    (same hash, same bit split), so ``to_dense()`` is REGISTER-EXACT
+    against a dense sketch fed the same items — tested. Merge =
+    keep-max per index over the union of pair lists (associative /
+    commutative / idempotent like the dense max-merge)."""
+
+    kind = "sparse_hll"
+    SHIFT = np.uint64(6)   # sparse.h:19 — low 6 bits carry the value
+
+    def __init__(self, p: int = 14, seedseed: int = 137,
+                 prehashed: bool = False,
+                 estimator: str = "ertl_improved"):
+        self.p = int(p)
+        self.seedseed = int(seedseed)
+        self.prehashed = bool(prehashed)
+        self.estimator = estimator
+        self.m = 1 << self.p
+        self.encoded = np.empty(0, dtype=np.uint64)  # sorted, unique idx
+
+    # ---- update ------------------------------------------------------------
+    def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
+        items = np.asarray(items).astype(U64, copy=False)
+        if items.size == 0:
+            return
+        if items.size > 4096:
+            items = np.unique(items)
+        h = items if self.prehashed else wanghash(items ^ U64(self.seedseed))
+        idx = h >> U64(64 - self.p)
+        rest = h << U64(self.p)
+        rank = (64 - _bit_length_u64(rest >> U64(self.p))
+                - self.p + 1).astype(np.uint64)
+        enc = (idx << self.SHIFT) | rank
+        self._absorb(enc)
+
+    def _absorb(self, enc: np.ndarray) -> None:
+        """Fold encoded pairs into the sorted-unique state: one sort,
+        keep the max encoding per index (== max value, by layout)."""
+        both = np.sort(np.concatenate([self.encoded, enc]))
+        idx = both >> self.SHIFT
+        last = np.concatenate([idx[1:] != idx[:-1], [True]])
+        self.encoded = both[last]
+
+    # ---- conversions / estimate ---------------------------------------------
+    def to_dense(self) -> HyperLogLog:
+        """Scatter the pairs into a dense sketch (``sparse.h``'s
+        conversion direction inverted); register-exact vs a dense HLL
+        fed the same stream."""
+        out = HyperLogLog(self.p, self.seedseed, self.prehashed,
+                          self.estimator)
+        if len(self.encoded):
+            out.registers[(self.encoded >> self.SHIFT).astype(np.int64)] = \
+                (self.encoded & ((U64(1) << self.SHIFT) - U64(1))).astype(np.uint8)
+        return out
+
+    def estimate(self) -> float:
+        return self.to_dense().estimate()
+
+    def n_registers_set(self) -> int:
+        return int(len(self.encoded))
+
+    # ---- set algebra (sparse.h jaccard/union vs dense or sparse) -----------
+    def union_size(self, other) -> float:
+        o = other.to_dense() if isinstance(other, SparseHLL) else other
+        return self.to_dense().union_size(o)
+
+    def jaccard_index(self, other) -> float:
+        o = other.to_dense() if isinstance(other, SparseHLL) else other
+        return self.to_dense().jaccard_index(o)
+
+    # ---- merge / io ---------------------------------------------------------
+    def merge(self, other: "SparseHLL") -> "SparseHLL":
+        assert self.p == other.p and self.seedseed == other.seedseed, \
+            "geometry mismatch"
+        self._absorb(other.encoded)
+        return self
+
+    def _params(self) -> Dict:
+        return dict(p=self.p, seedseed=self.seedseed,
+                    prehashed=self.prehashed, estimator=self.estimator)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        return {"encoded": self.encoded}

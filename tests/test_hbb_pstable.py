@@ -174,3 +174,71 @@ def test_pstable_draws_are_thresholded_and_deterministic():
     x = np.ones(512)
     np.testing.assert_array_equal(pstable_compress(x, 4, 5),
                                   pstable_compress(x, 4, 5))
+
+
+# ------------------------------------------------------------------ SparseHLL
+
+def test_sparse_hll_register_exact_vs_dense():
+    """sparse.h contract: the sparse pair list scattered dense must be
+    BIT-IDENTICAL to a dense HLL fed the same stream (same hash, same
+    index/rank split), at any batch split, and the merge law holds."""
+    from ocm_ray.sketches.hll import HyperLogLog, SparseHLL
+
+    rng = np.random.default_rng(17)
+    # small distinct set (the sparse regime): ~500 of m=16384 registers
+    items = rng.integers(0, 500, size=3000, dtype=np.uint64)
+
+    dense = HyperLogLog(p=14)
+    dense.update(items)
+    for nsplit in (1, 4):
+        sp = SparseHLL(p=14)
+        for chunk in np.array_split(items, nsplit):
+            sp.update(chunk)
+        np.testing.assert_array_equal(sp.to_dense().registers,
+                                      dense.registers)
+        assert sp.estimate() == dense.estimate()
+
+    # merge(a, b) == sketch(a + b), and the sparse state stays compact
+    a, b = items[:1500], items[1500:]
+    sa, sb = SparseHLL(p=14), SparseHLL(p=14)
+    sa.update(a)
+    sb.update(b)
+    sa.merge(sb)
+    np.testing.assert_array_equal(sa.to_dense().registers, dense.registers)
+    assert sa.n_registers_set() <= 500
+    assert sa.nbytes < dense.registers.nbytes  # the point of sparse
+
+    # mixed algebra vs a dense sketch + roundtrip
+    from ocm_ray.sketches.base import MergeableSketch
+
+    assert sa.jaccard_index(dense) == 1.0 or \
+        abs(sa.jaccard_index(dense) - 1.0) < 1e-9
+    back = MergeableSketch.from_bytes(sa.to_bytes())
+    np.testing.assert_array_equal(back.encoded, sa.encoded)
+
+
+def test_sparse_hll_in_grouped_build():
+    """Per-key sparse sketches through the registry build path — the
+    use case sparse registers exist for."""
+    import pyarrow as pa
+    import ray.data
+
+    from ocm_ray.engine.build import grouped_sketches
+    from ocm_ray.sketches.hll import HyperLogLog, SparseHLL
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    tbl = pa.table({
+        "source": [f"s{i % 40}" for i in range(n)],
+        "token": rng.integers(0, 500, n),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    per_key = grouped_sketches(ds, "source", lambda: SparseHLL(p=12),
+                               column="token")
+    dense_per_key = grouped_sketches(ds, "source",
+                                     lambda: HyperLogLog(p=12),
+                                     column="token")
+    assert set(per_key) == set(dense_per_key) and len(per_key) == 40
+    for k, sp in per_key.items():
+        np.testing.assert_array_equal(sp.to_dense().registers,
+                                      dense_per_key[k].registers)
