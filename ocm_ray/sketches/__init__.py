@@ -22,7 +22,7 @@ from ocm_ray.sketches.modvac import ModSketch, VACSketch
 from ocm_ray.sketches.ddsketch import DDSketch
 from ocm_ray.sketches.heavykeeper import HeavyKeeper, HeavyKeeperTopK
 from ocm_ray.sketches.hbb import HyperBitBit
-from ocm_ray.sketches.hll import HyperLogLog
+from ocm_ray.sketches.hll import HyperLogLog, SparseHLL
 from ocm_ray.sketches.hyperminhash import HyperMinHash
 from ocm_ray.sketches.kll import KLL
 from ocm_ray.sketches.minhash import BottomKMinHash, CountingBottomKMinHash
@@ -39,5 +39,5 @@ __all__ = [
     "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
     "HyperMinHash", "BBitMinHash", "SetSketch", "WeightedMinHash",
     "ProbMinHash", "CountingBottomKMinHash",
-    "ModSketch", "VACSketch", "HyperBitBit",
+    "ModSketch", "VACSketch", "HyperBitBit", "SparseHLL",
 ]
