@@ -1953,16 +1953,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("doc_id").reset_index(drop=True)
     q["doc_signals"] = doc_signals
 
-    def pmi_top50(sf_dir):
-        """Collocations: top-50 adjacent pairs by PMI over the bigram
-        stream (marginals from the same stream), count >= 5."""
-        from ocm_ray.ops.text import top_pmi_pairs
-
-        return top_pmi_pairs(
-            _read(sf_dir, "documents", columns=["text"]),
-            k=50, min_count=5)
-
-
     def source_similarity(sf_dir):
         """Per-source-pair similarity, exact-integer-oracled: bottom-k
         MinHash (set Jaccard numerator/denominator) JOINED with the

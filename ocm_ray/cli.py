@@ -39,6 +39,19 @@ def _init_ray(num_cpus):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _parquet_rows(out_dir: str) -> int:
+    """Row count of a written parquet dir from FILE METADATA (free) —
+    never .count() a lazy Dataset after write_parquet: Ray re-executes
+    the full plan per consumption."""
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    return sum(_pq.read_metadata(f).num_rows for f in
+               _g.glob(os.path.join(out_dir, "**", "*.parquet"),
+                       recursive=True))
+
+
 def _input_files(path: str):
     if os.path.isdir(path):
         return sorted(glob.glob(os.path.join(path, "*.parquet")))
@@ -223,7 +236,9 @@ def cmd_dedup(args) -> int:
                                         id_col=args.id_col,
                                         text_col=args.text_col)
         rewritten.write_parquet(args.output)
-        n = rewritten.count()
+        # count the WRITTEN files — .count() on the lazy Dataset would
+        # re-execute the whole rewrite (Ray re-runs the plan per consumer)
+        n = _parquet_rows(args.output)
         print(json.dumps({"mode": "spanremove", "n_docs": n,
                           "wall_sec": round(time.time() - t0, 3),
                           "out": args.output}))
@@ -362,7 +377,7 @@ def cmd_bpe(args) -> int:
     enc = bpe_encode_documents(ds, merges, id_col=args.id_col,
                                text_col=args.text_col)
     enc.write_parquet(args.output)
-    n = enc.count()
+    n = _parquet_rows(args.output)
     print(json.dumps({"action": "encode", "n_docs": n,
                       "wall_sec": round(time.time() - t0, 3),
                       "out": args.output}))

@@ -1194,7 +1194,7 @@ def _span_cover(hit_row: np.ndarray, hit_pos: np.ndarray, lens: np.ndarray,
 
 
 def _rewrite_text_rows(texts, hit_row: np.ndarray, hit_pos: np.ndarray,
-                       k: int, min_span: int) -> dict:
+                       k: int, min_span: int, out_col: str = "text") -> dict:
     """Rebuild a string column with covered words removed: one split,
     one flat gather of kept words, one ListArray join — no per-row
     Python. Words are the SAME single-space split the gram hashes used
@@ -1216,13 +1216,14 @@ def _rewrite_text_rows(texts, hit_row: np.ndarray, hit_pos: np.ndarray,
     kept_offs = np.concatenate([[0], np.cumsum(lens - n_removed)])
     out = pc.binary_join(
         pa.ListArray.from_arrays(pa.array(kept_offs, pa.int32()), kept), " ")
-    return {"text": out, "n_words": pa.array(lens),
+    return {out_col: out, "n_words": pa.array(lens),
             "n_removed_words": pa.array(n_removed),
             "n_spans_removed": pa.array(n_spans)}
 
 
 def _rewrite_token_rows(col, hit_row: np.ndarray, hit_pos: np.ndarray,
-                        k: int, min_span: int) -> dict:
+                        k: int, min_span: int,
+                        out_col: str = "tokens") -> dict:
     """Tokens-domain sibling: rebuild a ``list<int>`` column with covered
     token positions removed (axis B — no text anywhere)."""
     from ocm_ray.engine.tokens import list_column_values
@@ -1237,7 +1238,7 @@ def _rewrite_token_rows(col, hit_row: np.ndarray, hit_pos: np.ndarray,
     out = pa.ListArray.from_arrays(
         pa.array(kept_offs, pa.int32()),
         pa.array(flat[~covered]))
-    return {"tokens": out, "n_tokens": pa.array(lens),
+    return {out_col: out, "n_tokens": pa.array(lens),
             "n_removed_tokens": pa.array(n_removed),
             "n_spans_removed": pa.array(n_spans)}
 
@@ -1258,7 +1259,8 @@ def remove_dup_spans(ds: Dataset, k: int = 5, min_docs: int = 2,
                      text_col: str = "text", tokens_col: str = None,
                      lowercase: bool = True, seed: int = 137,
                      n_shards: int = 64, max_broadcast: int = 8_000_000,
-                     distributed: bool = None) -> Dataset:
+                     distributed: bool = None,
+                     keep_cols: tuple = ()) -> Dataset:
     """Exact-substring span removal (Lee et al. 2021, the ExactSubstr
     REWRITE step — :func:`dup_ngram_stats` measures, this one edits):
     every maximal run of consecutive k-grams occurring in >=
@@ -1283,8 +1285,12 @@ def remove_dup_spans(ds: Dataset, k: int = 5, min_docs: int = 2,
         raise ValueError(f"min_span {min_span} < k {k}: every dup gram "
                          "already spans k units")
     payload_col = tokens_col if tokens_col is not None else text_col
-    rewrite_rows = _rewrite_token_rows if tokens_col is not None \
-        else _rewrite_text_rows
+    import functools
+
+    rewrite_rows = functools.partial(
+        _rewrite_token_rows if tokens_col is not None
+        else _rewrite_text_rows, out_col=payload_col)
+    keep_cols = tuple(keep_cols)
     grams_of = _gram_fn(text_col, tokens_col, k, lowercase, seed)
     dup_ds = dup_gram_table(ds, k, min_docs, text_col, lowercase, seed,
                             n_shards, tokens_col=tokens_col)
@@ -1293,7 +1299,7 @@ def remove_dup_spans(ds: Dataset, k: int = 5, min_docs: int = 2,
     if distributed:
         return _remove_spans_exchange(ds, dup_ds, grams_of, id_col,
                                       payload_col, rewrite_rows, k,
-                                      min_span, n_shards)
+                                      min_span, n_shards, keep_cols)
 
     from ocm_ray.ops.retrieval import _sorted_member
 
@@ -1311,14 +1317,17 @@ def remove_dup_spans(ds: Dataset, k: int = 5, min_docs: int = 2,
         pos = _gram_positions(rowid, len(g))
         cols = rewrite_rows(batch.column(payload_col), rowid[hit],
                             pos[hit], k, min_span)
-        return pa.table({id_col: batch.column(id_col), **cols})
+        passthrough = {c: batch.column(c) for c in keep_cols}
+        return pa.table({id_col: batch.column(id_col), **cols,
+                         **passthrough})
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
 
 
 def _remove_spans_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
                            id_col: str, payload_col: str, rewrite_rows,
-                           k: int, min_span: int, n_shards: int) -> Dataset:
+                           k: int, min_span: int, n_shards: int,
+                           keep_cols: tuple = ()) -> Dataset:
     """Unbounded-dup-vocabulary rewrite: the :func:`_positional_hits`
     mark exchange with the payload carried on the meta rows, then a
     doc-sharded second exchange rebuilds each shard's docs in one
@@ -1327,7 +1336,7 @@ def _remove_spans_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
 
     hits, meta, shard_by_dkey = _positional_hits(
         ds, dup_ds, grams_of, id_col, n_shards,
-        payload_cols=(payload_col,))
+        payload_cols=(payload_col,) + tuple(keep_cols))
 
     def scan_doc(hit_tbl: pa.Table, meta_tbl: pa.Table) -> pa.Table:
         if meta_tbl.num_rows and hit_tbl.num_rows:
@@ -1338,7 +1347,9 @@ def _remove_spans_exchange(ds: Dataset, dup_ds: Dataset, grams_of,
             pos = np.empty(0, np.int64)
         cols = rewrite_rows(meta_tbl.column(payload_col), row, pos,
                             k, min_span)
-        return pa.table({id_col: meta_tbl.column(id_col), **cols})
+        passthrough = {c: meta_tbl.column(c) for c in keep_cols}
+        return pa.table({id_col: meta_tbl.column(id_col), **cols,
+                         **passthrough})
 
     return shard_scan2(hits, meta, shard_by_dkey, shard_by_dkey,
                        scan_doc, n_shards)

@@ -156,17 +156,26 @@ def shard_scan(ds: Dataset, shard_fn, scan_fn, n_shards: int) -> Dataset:
     # the block exists, so the exchange's split wave overlaps the
     # upstream map instead of barriering behind a full to_arrow_refs()
     # materialization. The driver still holds only refs.
-    block_refs, split_refs = _streamed_splits(ds, split_task)
-    if not block_refs:
-        sch = ds.schema()
-        arrow_sch = getattr(sch, "base_schema", sch)
-        return rd.from_arrow(scan_fn(arrow_sch.empty_table()))
     if n_shards == 1:
+        # single shard needs no split wave at all — launching split
+        # tasks would ray.put-copy every block for nothing
+        block_refs = [bref for bundle in ds.iter_internal_ref_bundles()
+                      for bref in bundle.block_refs]
+        if not block_refs:
+            sch = ds.schema()
+            arrow_sch = getattr(sch, "base_schema", sch)
+            return rd.from_arrow(scan_fn(arrow_sch.empty_table()))
+
         def scan_all(*blocks):
             nonempty = [b for b in map(_as_arrow, blocks) if b.num_rows]
             return scan_fn(pa.concat_tables(nonempty) if nonempty
                            else _as_arrow(blocks[0]))
         return rd.from_arrow_refs([ray.remote(scan_all).remote(*block_refs)])
+    block_refs, split_refs = _streamed_splits(ds, split_task)
+    if not block_refs:
+        sch = ds.schema()
+        arrow_sch = getattr(sch, "base_schema", sch)
+        return rd.from_arrow(scan_fn(arrow_sch.empty_table()))
     per_block = ray.get(split_refs)
     out = [scan_task.remote([per_block[b][s]
                              for b in range(len(per_block))])

@@ -250,7 +250,14 @@ def broadcast_join(large: Dataset, small_df: pd.DataFrame, key: str,
     small table ONCE as an Arrow table; every map task joins against the
     shared zero-copy object-store copy with ``pa.Table.join`` (Arrow's
     native hash join — no pandas conversion of the probe side, VERDICT
-    r3 #6 minor). Stateless tasks, no shuffle of the probe side."""
+    r3 #6 minor). Stateless tasks, no shuffle of the probe side.
+
+    Contract (differs from a pandas merge in two ways): duplicate
+    NON-KEY column names RAISE (Arrow does not suffix _x/_y — pass
+    ``select`` to project the build side first), and row order within a
+    probe batch is not guaranteed (hash-join output order; sort
+    downstream when order matters — every in-repo caller already
+    aggregates or sorts)."""
     if select is not None:
         small_df = small_df[[key] + [c for c in select if c != key]]
     small_tbl = small_df if isinstance(small_df, pa.Table) else \
@@ -259,8 +266,8 @@ def broadcast_join(large: Dataset, small_df: pd.DataFrame, key: str,
 
     def probe(batch: pa.Table) -> pa.Table:
         small = ray.get(ref)  # zero-copy from the shared object store
-        # Arrow joins reject duplicate non-key columns instead of
-        # silently suffixing — same contract as the callers relied on
+        # Arrow joins REJECT duplicate non-key columns (no _x/_y
+        # suffixing) — loud beats silent; see the docstring contract
         return batch.join(small, keys=key, join_type="inner")
 
     return large.map_batches(probe, batch_format="pyarrow")

@@ -341,7 +341,10 @@ def token_budget_sample(ds: Dataset, budgets: Dict[str, int],
 
         df = pd.DataFrame({"g": g, "b": b, "w": w}) \
             .groupby(["g", "b"], sort=False, as_index=False)["w"].sum()
-        return pa.table({group_col: pa.array(df["g"].astype(str)),
+        # keep the group column's ORIGINAL dtype: coercing to str would
+        # desync the histogram keys from the caller's budgets dict and
+        # from the pc.index_in value_set in the filter pass
+        return pa.table({group_col: pa.array(df["g"]),
                          "bucket": pa.array(df["b"].astype(np.int64)),
                          "w": pa.array(df["w"].astype(np.int64))})
 

@@ -432,8 +432,13 @@ def _pq_fit(x: np.ndarray, n_codes: int, iters: int = 8,
         c[nonempty] = sums[nonempty] / counts[nonempty, None]
         empty = ~nonempty
         if empty.any():
-            worst = np.argsort(-d2[np.arange(n), code])[: int(empty.sum())]
-            c[empty] = x[worst]
+            # reseed at most n empties from the worst-reconstructed rows
+            # (a tiny sample can leave more empty codes than rows — the
+            # padded-duplicate init guarantees they stay duplicates of a
+            # live code, which is harmless)
+            k = min(int(empty.sum()), n)
+            worst = np.argsort(-d2[np.arange(n), code])[:k]
+            c[np.flatnonzero(empty)[:k]] = x[worst]
     return c
 
 
@@ -518,6 +523,10 @@ def ivfpq_topk(queries: np.ndarray, k: int = 10, n_probe: int = 4,
     probe = np.unique(
         np.argpartition(-coarse, min(n_probe, coarse.shape[1]) - 1,
                         axis=1)[:, :n_probe].ravel())
+    # ADC lookup tables are CELL-independent — build them once per query
+    # up front: T[qi, j, c] = q_sub_j · codebook[j, c]  (nq, m, n_codes)
+    qsub = q.reshape(len(q), m, d_sub)
+    T = np.einsum("qjd,jcd->qjc", qsub, books)
     rows = []
     id_col = meta["id_col"]
     for c in probe.tolist():
@@ -530,11 +539,8 @@ def ivfpq_topk(queries: np.ndarray, k: int = 10, n_probe: int = 4,
                            .flatten().to_numpy(zero_copy_only=False)
                            ).reshape(len(ids), m)
         for qi in range(len(q)):
-            # per-(query, subspace) dot tables against this cell's codes
-            sims = np.full(len(ids), float(coarse[qi, c]))
-            for j in range(m):
-                T = books[j] @ q[qi, j * d_sub:(j + 1) * d_sub]
-                sims += T[codes[:, j]]
+            sims = coarse[qi, c] + \
+                T[qi, np.arange(m)[None, :], codes].sum(axis=1)
             rows.append(pd.DataFrame({"query_idx": qi, "vec_id": ids,
                                       "sim": sims}))
     if not rows:

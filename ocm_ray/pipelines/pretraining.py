@@ -79,17 +79,18 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     if remove_spans:
         from ocm_ray.ops.dedup import remove_dup_spans
 
-        rewritten = remove_dup_spans(ds.select_columns(["doc_id", "text"]),
-                                     k=5, min_span=remove_spans)
-        other = [c for c in ds.schema().names if c not in ("doc_id", "text")]
-        if other:
-            from ocm_ray.ops.relational import shuffle_join
-
-            rewritten = shuffle_join(
-                rewritten.select_columns(["doc_id", "text"]),
-                ds.select_columns(["doc_id"] + other),
-                on="doc_id", right_on="doc_id")
-        ds = rewritten
+        other = [c for c in ds.schema().names
+                 if c not in ("doc_id", "text")]
+        # k <= min_span (gram width can't exceed the removable span);
+        # non-text columns ride the op's keep_cols passthrough — both
+        # the broadcast pass and the exchange's meta rows carry them,
+        # no second shuffle
+        ds = remove_dup_spans(ds, k=min(5, int(remove_spans)),
+                              min_span=int(remove_spans),
+                              keep_cols=tuple(other)) \
+            .select_columns(["doc_id", "text"] + other)
+        # (the rewrite's n_words/... stats are dropped — add_text_stats
+        # recomputes them on the rewritten text)
 
     # 1. per-doc stats + quality (actor pool), filter
     scored = add_text_stats(ds, concurrency=concurrency)
