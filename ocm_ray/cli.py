@@ -184,16 +184,50 @@ def cmd_sketch(args) -> int:
         "modsketch": lambda: ModSketch(args.p),
         "counting-bottomk": lambda: CountingBottomKMinHash(args.k),
     }
+    factories["sparse-hll"] = lambda: __import__(
+        "ocm_ray.sketches.hll", fromlist=["SparseHLL"]).SparseHLL(args.p)
     _init_ray(args.num_cpus)
     files = _input_files(args.input)
     t0 = time.time()
+    if args.group_col:
+        # per-key sketch fleet: one npz per key + a manifest (the
+        # SparseHLL use case — most keys set few registers)
+        import re as _re
+
+        import ray.data as rd
+
+        from ocm_ray.engine.build import grouped_sketches
+
+        ds = rd.read_parquet(files, columns=[args.group_col, args.column])
+        per_key = grouped_sketches(ds, args.group_col,
+                                   factories[args.kind],
+                                   column=args.column, kgram=args.kgram)
+        os.makedirs(args.output, exist_ok=True)
+        manifest = {}
+        for key, sk in sorted(per_key.items()):
+            safe = _re.sub(r"[^A-Za-z0-9._-]", "_", str(key))
+            path = os.path.join(args.output, f"{safe}.sk")
+            with open(path, "wb") as f:
+                f.write(sk.to_bytes())
+            entry = {"file": os.path.basename(path), "bytes": sk.nbytes}
+            if hasattr(sk, "estimate"):
+                entry["estimate"] = round(float(sk.estimate()), 1)
+            manifest[str(key)] = entry
+        with open(os.path.join(args.output, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        print(json.dumps({"kind": args.kind, "n_keys": len(manifest),
+                          "total_bytes": sum(m["bytes"]
+                                             for m in manifest.values()),
+                          "wall_sec": round(time.time() - t0, 3),
+                          "out": args.output}))
+        return 0
     sk = build_sketch_sharded(files, factories[args.kind], column=args.column,
                               kgram=args.kgram, shards=args.parallelism)
     with open(args.output, "wb") as f:
         f.write(sk.to_bytes())
     info = {"kind": args.kind, "wall_sec": round(time.time() - t0, 3),
             "bytes": sk.nbytes}
-    if args.kind in ("hll", "pcsa", "hmh", "setsketch"):
+    if args.kind in ("hll", "pcsa", "hmh", "setsketch", "sparse-hll"):
         info["estimate"] = round(sk.estimate())
     elif args.kind == "modsketch":
         info["estimate"] = round(sk.cardinality_estimate())
@@ -436,7 +470,7 @@ def main(argv=None) -> int:
                             "countsketch", "countsketch4w", "topk",
                             "heavykeeper", "heavykeeper-topk", "ddsketch",
                             "cm-pow2", "pcsa", "hmh", "setsketch", "bbmh",
-                            "modsketch", "counting-bottomk"])
+                            "modsketch", "counting-bottomk", "sparse-hll"])
     s.add_argument("-p", type=int, default=14)
     s.add_argument("--nh", type=int, default=5)
     s.add_argument("-k", type=int, default=1024)
@@ -444,6 +478,9 @@ def main(argv=None) -> int:
     s.add_argument("--kgram", type=int, default=1)
     s.add_argument("--input", required=True)
     s.add_argument("--column", default="tokens")
+    s.add_argument("--group-col", help="build ONE sketch PER KEY of this "
+                                       "column (output becomes a dir of "
+                                       ".sk files + manifest.json)")
     s.add_argument("-o", "--output", required=True)
     s.add_argument("--parallelism", type=int)
     s.add_argument("--num-cpus", type=int)
