@@ -244,3 +244,32 @@ def test_dedup_against_empty_reference_keeps_all():
                         ray.data.from_pandas(empty_ref),
                         n_shards=4).to_pandas()
     assert sorted(out.doc_id) == sorted(new.doc_id)
+
+
+def test_remove_dup_spans_keep_cols_both_paths():
+    """Non-payload columns ride both plans unchanged (curate uses this
+    instead of a second corpus shuffle)."""
+    import ray.data
+
+    from ocm_ray.ops.dedup import remove_dup_spans
+
+    df = _twin_corpus(60, seed=4)
+    df["source"] = ["web" if i % 2 else "code" for i in range(len(df))]
+    df["n_orig"] = df.text.str.count(" ") + 1
+    ds = ray.data.from_pandas(df).repartition(4)
+    outs = {}
+    for dist in (False, True):
+        out = remove_dup_spans(ds, k=K, min_docs=2, min_span=K,
+                               keep_cols=("source", "n_orig"),
+                               distributed=dist, n_shards=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(out.columns) == ["doc_id", "text", "n_words",
+                                     "n_removed_words", "n_spans_removed",
+                                     "source", "n_orig"]
+        merged = out.merge(df[["doc_id", "source", "n_orig"]],
+                           on="doc_id", suffixes=("", "_want"))
+        assert (merged.source == merged.source_want).all()
+        assert (merged.n_orig == merged.n_orig_want).all()
+        assert (out.n_words == out.n_orig).all()
+        outs[dist] = out
+    pd.testing.assert_frame_equal(outs[False], outs[True])
