@@ -184,3 +184,59 @@ def bm25_topk(docs_ds, query_terms: list[str], topk: int = 10,
                               ascending=[False, True],
                               kind="mergesort").head(topk)
     return pa.Table.from_pandas(small.reset_index(drop=True))
+
+
+def hybrid_search(docs_ds, query_text: str, topk: int = 10,
+                  recall_k: int = 50, alpha: float = 0.5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  dim: int = 64, seed: int = 137,
+                  encode_fn=None) -> "pd.DataFrame":
+    """Two-stage retrieval: distributed BM25 RECALL over the corpus
+    (``recall_k`` candidates — the only stage that touches every doc),
+    then a dense RERANK on the candidate set only. Final score =
+    ``alpha * cosine + (1 - alpha) * bm25_minmax`` with min-max
+    normalization inside the candidate pool (the standard hybrid
+    convex combination); ties break on id for a deterministic order.
+
+    Scale shape: stage 1 is :func:`bm25_topk` (two stateless passes,
+    driver collect bounded at recall_k x n_blocks); stage 2 embeds ONLY
+    the candidates — their texts come back via a broadcast-id semi-join
+    filter (output-sized) and both candidates and query run through the
+    same :class:`ocm_ray.ops.text.TextEmbedder` kernel driver-side
+    (recall_k rows; a real encoder plugs in via ``encode_fn``)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocm_ray.ops.relational import semi_join_filter
+    from ocm_ray.ops.text import TextEmbedder
+
+    query_terms = [w for w in query_text.split(" ") if w]
+    cand = bm25_topk(docs_ds, query_terms, topk=recall_k, id_col=id_col,
+                     text_col=text_col, seed=seed)
+    cand = cand if isinstance(cand, pd.DataFrame) else cand.to_pandas()
+    if not len(cand):
+        return pd.DataFrame({id_col: [], "bm25": [], "cosine": [],
+                             "score": [], "rank": []})
+    texts = semi_join_filter(docs_ds, np.asarray(cand[id_col]), id_col) \
+        .to_pandas()[[id_col, text_col]]
+    merged = cand.merge(texts, on=id_col)
+
+    emb = TextEmbedder(dim=dim, seedseed=seed, text_col=text_col,
+                       encode_fn=encode_fn)
+    both = pa.table({id_col: pa.array(
+        ["__query__"] + merged[id_col].astype(str).tolist()),
+        text_col: pa.array([query_text] + merged[text_col].tolist())})
+    vecs = np.stack(emb(both).column("embedding").to_pylist())
+    qv, dv = vecs[0], vecs[1:]
+    cos = dv @ qv  # TextEmbedder L2-normalizes -> dot == cosine
+    bm = merged["score"].to_numpy(dtype=np.float64)
+    lo, hi = bm.min(), bm.max()
+    bm_norm = (bm - lo) / (hi - lo) if hi > lo else np.ones_like(bm)
+    merged["bm25"] = bm
+    merged["cosine"] = cos
+    merged["score"] = alpha * cos + (1.0 - alpha) * bm_norm
+    out = merged.sort_values(["score", id_col],
+                             ascending=[False, True]).head(topk) \
+        .reset_index(drop=True)[[id_col, "bm25", "cosine", "score"]]
+    out["rank"] = np.arange(len(out))
+    return out

@@ -136,3 +136,37 @@ def test_curate_with_scrub_stages(tmp_path):
     assert set(outs.columns) >= {"doc_id", "text"}
     # partitioned layout by source proves the non-text column survived
     assert glob.glob(out_dir + "/source=web/*.parquet")
+
+
+def test_hybrid_search_two_stage():
+    """BM25 recall -> dense rerank: a doc lexically matching the query
+    AND near-duplicating a semantically-close passage must outrank a
+    purely lexical match at alpha=0.5; alpha=0 reduces to BM25 order."""
+    import ray.data
+
+    from ocm_ray.ops.retrieval import bm25_topk, hybrid_search
+
+    rng = np.random.default_rng(12)
+    filler = [f"f{i}" for i in range(500)]
+    query = "vector index probe"
+    rows = [{"doc_id": f"b{i:03d}",
+             "text": " ".join(rng.choice(filler, 30))} for i in range(80)]
+    # lexical-only match: query words buried in noise
+    rows.append({"doc_id": "lex", "text":
+                 "vector index probe " + " ".join(rng.choice(filler, 60))})
+    # lexical + semantic match: query words and mostly query-like words
+    rows.append({"doc_id": "both", "text":
+                 "vector index probe vector index probe index vector"})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    out = hybrid_search(ds, query, topk=5, recall_k=20, alpha=0.5)
+    assert list(out.doc_id[:1]) == ["both"]
+    assert {"lex", "both"} <= set(out.doc_id)
+    assert (out.score.values[:-1] >= out.score.values[1:]).all()
+
+    # alpha=0: pure (normalized) BM25 — order equals bm25_topk's ids
+    out0 = hybrid_search(ds, query, topk=5, recall_k=20, alpha=0.0)
+    bm = bm25_topk(ds, query.split(" "), topk=5)
+    bm = bm if isinstance(bm, pd.DataFrame) else bm.to_pandas()
+    assert list(out0.doc_id) == list(bm.doc_id)
