@@ -1912,15 +1912,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_size=20).to_pandas()
         return out.sort_values("doc_id", ignore_index=True)
 
+    def nb_quality(sf_dir):
+        """Trainable NB quality classifier (ops/classifier.py) over the
+        documents corpus, labels = source membership (the wiki-vs-web
+        shape): distributed integer count-table training, broadcast
+        log-odds scoring. Oracled exactly in SQL (alpha=1 Laplace
+        terms over integer counts, ROUND(4) on both sides)."""
+        from ocm_ray.ops.classifier import nb_scores, train_quality_classifier
+
+        docs = _read(sf_dir, "documents",
+                     columns=["doc_id", "text", "source"])
+
+        def add_label(batch):
+            # local imports: this module is loaded by file path, so
+            # worker-side closures can't resolve its globals (rule 10b)
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            lab = _pc.is_in(batch.column("source"), value_set=_pa.array(
+                ["src0", "src1", "src2", "src3", "src4"]))
+            return batch.drop_columns(["source"]).append_column("label", lab)
+
+        labeled = docs.map_batches(add_label, batch_format="pyarrow")
+        model = train_quality_classifier(labeled)
+        out = nb_scores(labeled, model).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+
     def doc_signals(sf_dir):
         """ONE row per document joining every per-document signal
         operator — token counts, text stats, char entropy, Gopher
         quality + repetition rules, unigram/bigram LM scores, SimHash
-        fingerprint, DSIR importance, vocab encoding (merged r4 to fit
-        the driver's query budget; the SQL oracle composes the parts'
-        original oracles with USING(doc_id) joins). Columns that two
-        parts compute independently (n_tokens 3x, n_chars 2x) are
-        asserted identical and emitted once."""
+        fingerprint, DSIR importance, vocab encoding, NB quality-
+        classifier log-odds (merged r4 to fit the driver's query
+        budget; the SQL oracle composes the parts' original oracles
+        with USING(doc_id) joins). Columns that two parts compute
+        independently (n_tokens 3x, n_chars 2x) are asserted identical
+        and emitted once."""
         def P(x):
             return x if isinstance(x, pd.DataFrame) else x.to_pandas()
 
@@ -1937,11 +1964,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sh = P(simhash_fingerprints(sf_dir))
         dsir = P(dsir_importance(sf_dir))
         en = P(encoded_docs(sf_dir))
+        nb = P(nb_quality(sf_dir))
 
         out = tc
         for part, dup in [(ts, ["n_tokens"]), (ce, []), (gq, []),
                           (gr, ["n_chars"]), (ul, []), (bl, []), (sh, []),
-                          (dsir, []), (en, ["n_tokens"])]:
+                          (dsir, []), (en, ["n_tokens"]), (nb, [])]:
             m = out.merge(part, on="doc_id", how="inner",
                           suffixes=("", "__dup"))
             assert len(m) == len(out) == len(part), "doc_id sets differ"
@@ -3128,6 +3156,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY doc_id
         """
+    # NB quality classifier (ops/classifier.py): alpha=1 Laplace terms
+    # over integer (word, class) counts; labels = source IN src0..src4;
+    # ROUND(4) on both sides absorbs summation-order ulps (same contract
+    # as the unigram LM). MATERIALIZED: words/cnts feed 2+ references.
+    _nb = """
+            WITH lab AS MATERIALIZED (
+                SELECT doc_id, text,
+                       source IN ('src0','src1','src2','src3','src4') AS y
+                FROM documents
+            ),
+            words AS MATERIALIZED (
+                SELECT doc_id, y, unnest(string_split(text, ' ')) AS w
+                FROM lab
+            ),
+            cnts AS MATERIALIZED (
+                SELECT w,
+                       SUM(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+                       SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+                FROM words GROUP BY w
+            ),
+            tot AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+                       CAST(SUM(cp) AS DOUBLE) AS tp,
+                       CAST(SUM(cn) AS DOUBLE) AS tn
+                FROM cnts
+            ),
+            pri AS (
+                SELECT log2(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END)
+                                 AS DOUBLE) / COUNT(*))
+                     - log2(CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END)
+                                 AS DOUBLE) / COUNT(*)) AS p
+                FROM lab
+            ),
+            s AS (
+                SELECT doc_id,
+                       SUM(log2((cp + 1.0) / (tp + v))
+                         - log2((cn + 1.0) / (tn + v))) AS t
+                FROM words JOIN cnts USING (w), tot
+                GROUP BY doc_id
+            )
+            SELECT doc_id, ROUND(p + t, 4) AS nb_logodds,
+                   (ROUND(p + t, 4) > 0) AS nb_keep
+            FROM s, pri
+        """
     _sh = _simhash_sql()
     _ds = _dsir_sql()
     _en = """
@@ -3396,7 +3468,7 @@ def oracle_sql() -> dict[str, str]:
     _doc_signals = f"""
         WITH tc AS ({_tc}), ts AS ({_ts}), ce AS ({_ce}), gq AS ({_gq}),
              gr AS ({_gr}), ul AS ({_ul}), bl AS ({_bl}), sh AS ({_sh}),
-             ds AS ({_ds}), en AS ({_en})
+             ds AS ({_ds}), en AS ({_en}), nb AS ({_nb})
         SELECT tc.doc_id, tc.n_tokens,
                ts.n_chars_text, ts.n_stop,
                ce.n_chars, ce.char_entropy,
@@ -3411,12 +3483,13 @@ def oracle_sql() -> dict[str, str]:
                bl.logprob AS bigram_logprob,
                sh.simhash,
                ds.n_feats, ds.n_target_heavy, ds.dsir_score,
-               en.ids, en.n_oov
+               en.ids, en.n_oov,
+               nb.nb_logodds, nb.nb_keep
         FROM tc JOIN ts USING (doc_id) JOIN ce USING (doc_id)
              JOIN gq USING (doc_id) JOIN gr USING (doc_id)
              JOIN ul USING (doc_id) JOIN bl USING (doc_id)
              JOIN sh USING (doc_id) JOIN ds USING (doc_id)
-             JOIN en USING (doc_id)
+             JOIN en USING (doc_id) JOIN nb USING (doc_id)
     """
     return {
         "doc_signals": _doc_signals,

@@ -418,6 +418,68 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_classify(args) -> int:
+    """NB quality-classifier lifecycle (ops/classifier.py): train a
+    model over a labeled documents table (distributed integer count
+    tables, vocab-bounded driver model), or score/filter documents with
+    a saved one."""
+    import ray.data as rd
+
+    _init_ray(args.num_cpus)
+    from ocm_ray.ops.classifier import (NBModel, nb_filter, nb_scores,
+                                        train_quality_classifier)
+
+    t0 = time.time()
+    files = _input_files(args.input)
+    if not files:
+        print(f"no parquet files under {args.input}", file=sys.stderr)
+        return 2
+    if args.action == "train":
+        if args.pos_values:
+            pos = [v for v in args.pos_values.split(",") if v]
+            ds = rd.read_parquet(
+                files, columns=[args.text_col, args.key_col])
+
+            def add_label(batch):
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                lab = _pc.is_in(batch.column(args.key_col),
+                                value_set=_pa.array(pos))
+                return (batch.drop_columns([args.key_col])
+                        .append_column("label", lab))
+
+            ds = ds.map_batches(add_label, batch_format="pyarrow")
+            label_col = "label"
+        else:
+            label_col = args.label_col
+            ds = rd.read_parquet(files, columns=[args.text_col, label_col])
+        model = train_quality_classifier(
+            ds, label_col=label_col, text_col=args.text_col,
+            alpha=args.alpha, lowercase=args.lowercase)
+        model.save(args.model)
+        print(json.dumps({
+            "action": "train", "vocab_size": model.vocab_size,
+            "n_pos_docs": model.n_pos_docs, "n_neg_docs": model.n_neg_docs,
+            "prior_logodds": round(model.prior, 6),
+            "wall_sec": round(time.time() - t0, 3), "out": args.model}))
+        return 0
+    model = NBModel.load(args.model)
+    ds = rd.read_parquet(files)
+    if args.action == "filter":
+        out = nb_filter(ds, model, text_col=args.text_col,
+                        threshold=args.threshold)
+    else:
+        out = nb_scores(ds, model, id_col=args.id_col,
+                        text_col=args.text_col, threshold=args.threshold)
+    out.write_parquet(args.output)
+    n = _parquet_rows(args.output)
+    print(json.dumps({"action": args.action, "n_rows": n,
+                      "wall_sec": round(time.time() - t0, 3),
+                      "out": args.output}))
+    return 0
+
+
 def cmd_epoch(args) -> int:
     """Training-epoch export: exclusion dedup → deterministic shuffle →
     fixed-length packing → Parquet (see pipelines.pretraining)."""
@@ -546,6 +608,27 @@ def main(argv=None) -> int:
     t.add_argument("-o", "--output", help="parquet dir (encode)")
     t.add_argument("--num-cpus", type=int)
     t.set_defaults(fn=cmd_bpe)
+
+    cl = sub.add_parser("classify",
+                        help="train / apply an NB quality classifier")
+    cl.add_argument("action", choices=["train", "score", "filter"])
+    cl.add_argument("--input", required=True, help="parquet dir or glob")
+    cl.add_argument("--model", required=True,
+                    help="model npz (written by train, read by score/filter)")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--label-col", default="label",
+                    help="boolean label column (train)")
+    cl.add_argument("--key-col", default="source",
+                    help="categorical column matched against --pos-values")
+    cl.add_argument("--pos-values",
+                    help="comma list: label = key-col IN these (train)")
+    cl.add_argument("--alpha", type=float, default=1.0)
+    cl.add_argument("--lowercase", action="store_true")
+    cl.add_argument("--threshold", type=float, default=0.0)
+    cl.add_argument("-o", "--output", help="parquet dir (score/filter)")
+    cl.add_argument("--num-cpus", type=int)
+    cl.set_defaults(fn=cmd_classify)
 
     e = sub.add_parser("epoch", help="export one deterministic training "
                                      "epoch (shuffle + pack)")

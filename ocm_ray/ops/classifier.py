@@ -1,0 +1,235 @@
+"""Trainable Naive-Bayes text quality classifier (fasttext-style filter).
+
+The standard LLM-curation quality filter shape (GPT-3 / CCNet /
+RefinedWeb): train a bag-of-words classifier with "high-quality"
+documents as positives (e.g. wiki/books vs raw web) and keep or
+down-sample documents by classifier score. Multinomial Naive Bayes is
+the one-pass, exactly-mergeable member of that family, which makes it
+the right fit for this engine's UDAF discipline:
+
+* **training** is two grouped INTEGER count tables — ``(word, label) →
+  occurrences`` and ``label → documents`` — built with the same salted
+  two-phase aggregation as ``ops.text.token_count_table`` (per-block
+  local ``value_counts`` partials, then the tiny ``ops/agg.grouped_sum``
+  tree). Partials merge exactly, so training is deterministic and
+  partition-invariant, and the only shuffle is vocab-bounded (the model
+  table, never the corpus).
+* **scoring** is one stateless broadcast pass: the vocab-sized
+  ``(word hash → per-word log-likelihood-ratio)`` table ships once via
+  ``ray.put`` and each batch is scored with a ``searchsorted`` lookup +
+  ``reduceat`` row sum — no per-row Python, no shuffle.
+
+Like the unigram LM (``ops.text.unigram_logprob``) the model is
+word-vocab-bounded and driver-held — the documented contract for
+vocabulary-sized state in this engine. The corpus itself never lands on
+the driver.
+
+Scores are exact-SQL-mirrorable: with ``alpha=1`` the per-word term is
+``log2((cp+1)/(tp+V)) - log2((cn+1)/(tn+V))`` over integer counts, so a
+DuckDB oracle reproduces the rounded log-odds (the ``doc_signals``
+query hash-matches the ``nb_logodds`` / ``nb_keep`` columns).
+
+Words are split on single spaces (DuckDB ``string_split`` semantics,
+empties kept) and matched through the engine's stable string codec
+(``engine.tokens.hash_string_array``) — equal to string-keyed grouping
+absent 64-bit hash collisions, the same documented contract as the LM
+and dedup operators.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+
+@dataclass
+class NBModel:
+    """Binary multinomial-NB model over space-split words.
+
+    ``keys`` are SORTED uint64 word hashes; ``lp_diff[i]`` is the per-
+    occurrence log2 likelihood ratio of ``keys[i]``; ``lp_oov`` is the
+    ratio for a word unseen in training (the smoothing floor, nonzero
+    whenever class totals differ); ``prior`` is the document-frequency
+    log-odds added once per document.
+    """
+
+    keys: np.ndarray
+    lp_diff: np.ndarray
+    lp_oov: float
+    prior: float
+    vocab_size: int
+    alpha: float
+    lowercase: bool
+    n_pos_docs: int
+    n_neg_docs: int
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, keys=self.keys, lp_diff=self.lp_diff,
+            scalars=np.array([self.lp_oov, self.prior,
+                              float(self.vocab_size), self.alpha,
+                              float(self.lowercase),
+                              float(self.n_pos_docs),
+                              float(self.n_neg_docs)], dtype=np.float64))
+
+    @classmethod
+    def load(cls, path: str) -> "NBModel":
+        z = np.load(path)
+        s = z["scalars"]
+        return cls(keys=z["keys"], lp_diff=z["lp_diff"], lp_oov=float(s[0]),
+                   prior=float(s[1]), vocab_size=int(s[2]), alpha=float(s[3]),
+                   lowercase=bool(s[4]), n_pos_docs=int(s[5]),
+                   n_neg_docs=int(s[6]))
+
+
+def train_quality_classifier(ds, label_col: str = "label",
+                             text_col: str = "text", alpha: float = 1.0,
+                             lowercase: bool = False) -> NBModel:
+    """Train a binary multinomial NB on a labeled corpus.
+
+    ``label_col`` must be boolean (True = positive / high quality). Two
+    corpus passes by necessity (word counts need the text, priors only
+    the label column — the second pass is projection-pruned to the label
+    column); pass a deterministic dataset (a read, or ``materialize()``
+    first if the upstream samples/shuffles).
+
+    Scale shape: per-block ``(word, label)`` ``value_counts`` partials
+    (bounded at one row per distinct word per block — Zipf-proof) fold
+    through the ``grouped_sum`` tree; the driver holds only the
+    vocab-sized model table.
+    """
+    from ocm_ray.engine.tokens import hash_string_array
+    from ocm_ray.ops.agg import grouped_sum
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "token": pl.from_arrow(batch.column(text_col)),
+            "y": pl.from_arrow(batch.column(label_col)),
+        })
+        if lowercase:
+            df = df.with_columns(pl.col("token").str.to_lowercase())
+        vc = (df.with_columns(pl.col("token").str.split(" "))
+                .explode("token")
+                .group_by(["token", "y"]).len("cnt"))
+        return pa.table({"token": vc["token"].to_arrow(),
+                         "y": vc["y"].to_arrow(),
+                         "cnt": vc["cnt"].cast(pl.Int64).to_arrow()})
+
+    counts = grouped_sum(
+        ds.map_batches(local_counts, batch_size=None,
+                       batch_format="pyarrow"),
+        ["token", "y"], ["cnt"]).to_pandas()
+
+    def local_docs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        vc = pl.DataFrame(
+            {"y": pl.from_arrow(batch.column(label_col))}
+        ).group_by("y").len("docs")
+        return pa.table({"y": vc["y"].to_arrow(),
+                         "docs": vc["docs"].cast(pl.Int64).to_arrow()})
+
+    docs = grouped_sum(
+        ds.select_columns([label_col]).map_batches(
+            local_docs, batch_size=None, batch_format="pyarrow"),
+        ["y"], ["docs"]).to_pandas()
+    n_pos = int(docs.loc[docs["y"], "docs"].sum())
+    n_neg = int(docs.loc[~docs["y"].astype(bool), "docs"].sum())
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"both classes need documents (pos={n_pos}, neg={n_neg})")
+
+    import pandas as pd
+
+    piv = counts.pivot_table(index="token", columns="y", values="cnt",
+                             fill_value=0, aggfunc="sum")
+    words = pd.Index(piv.index).astype(str)
+    cp = (piv[True].to_numpy(dtype=np.float64) if True in piv.columns
+          else np.zeros(len(piv)))
+    cn = (piv[False].to_numpy(dtype=np.float64) if False in piv.columns
+          else np.zeros(len(piv)))
+    vocab = len(piv)
+    tp, tn = float(cp.sum()), float(cn.sum())
+    # per-occurrence log-likelihood ratio, Laplace(alpha)-smoothed —
+    # identical expression shape to the SQL oracle (cp+a)/(tp+a*V)
+    dp, dn = float(tp + alpha * vocab), float(tn + alpha * vocab)
+    lp_diff = np.log2((cp + alpha) / dp) - np.log2((cn + alpha) / dn)
+    lp_oov = float(np.log2(alpha / dp) - np.log2(alpha / dn))
+
+    keys = hash_string_array(pa.array(words))
+    order = np.argsort(keys)
+    total = float(n_pos + n_neg)
+    prior = float(np.log2(n_pos / total) - np.log2(n_neg / total))
+    return NBModel(keys=keys[order], lp_diff=lp_diff[order], lp_oov=lp_oov,
+                   prior=prior, vocab_size=vocab, alpha=alpha,
+                   lowercase=lowercase, n_pos_docs=n_pos, n_neg_docs=n_neg)
+
+
+def nb_scores(ds, model: NBModel, id_col: str = "doc_id",
+              text_col: str = "text", ndigits: int = 4,
+              threshold: float = 0.0):
+    """Score every document: ``nb_logodds`` (rounded sum of per-word
+    log-likelihood ratios + prior) and ``nb_keep`` (rounded log-odds
+    > ``threshold`` — computed on the ROUNDED value so the flag is
+    reproducible by an oracle that rounds identically). One stateless
+    broadcast pass; OOV words take the smoothing floor ``lp_oov``."""
+    import ray
+
+    from ocm_ray.engine.tokens import split_words_hashed
+
+    ref = ray.put((model.keys, model.lp_diff))
+    lp_oov, prior, lc = model.lp_oov, model.prior, model.lowercase
+
+    def score(batch: pa.Table) -> pa.Table:
+        k, lp = ray.get(ref)
+        flat, lens = split_words_hashed(batch.column(text_col),
+                                        lowercase=lc)
+        if len(flat):
+            idx = np.searchsorted(k, flat)
+            idx_c = np.minimum(idx, len(k) - 1)
+            vals = np.where(k[idx_c] == flat, lp[idx_c], lp_oov)
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            sums = np.add.reduceat(vals, offs[:-1])
+            sums[lens == 0] = 0.0
+        else:
+            sums = np.zeros(len(lens))
+        logodds = np.round(prior + sums, ndigits)
+        return pa.table({id_col: batch.column(id_col),
+                         "nb_logodds": pa.array(logodds),
+                         "nb_keep": pa.array(logodds > threshold)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def nb_filter(ds, model: NBModel, text_col: str = "text",
+              threshold: float = 0.0, ndigits: int = 4):
+    """Keep only rows the classifier scores above ``threshold`` —
+    the curation-pipeline filter stage (all input columns pass
+    through)."""
+    import ray
+
+    from ocm_ray.engine.tokens import split_words_hashed
+
+    ref = ray.put((model.keys, model.lp_diff))
+    lp_oov, prior, lc = model.lp_oov, model.prior, model.lowercase
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k, lp = ray.get(ref)
+        flat, lens = split_words_hashed(batch.column(text_col),
+                                        lowercase=lc)
+        if len(flat):
+            idx = np.searchsorted(k, flat)
+            idx_c = np.minimum(idx, len(k) - 1)
+            vals = np.where(k[idx_c] == flat, lp[idx_c], lp_oov)
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            sums = np.add.reduceat(vals, offs[:-1])
+            sums[lens == 0] = 0.0
+        else:
+            sums = np.zeros(len(lens))
+        mask = np.round(prior + sums, ndigits) > threshold
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,133 @@
+"""Naive-Bayes quality classifier (ops/classifier.py): brute-force
+parity, partition invariance of training, OOV smoothing, filter stage,
+model persistence."""
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+POS = [
+    "good clean prose with facts",
+    "good tidy prose and facts",
+    "clean facts good prose",
+    "tidy good and clean prose",
+]
+NEG = [
+    "spam junk click buy now",
+    "junk spam buy click",
+    "click buy spam junk now now",
+    "buy now junk click spam",
+]
+
+
+def _docs_table(texts_pos=POS, texts_neg=NEG):
+    texts = texts_pos + texts_neg
+    return pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+        "label": pa.array([True] * len(texts_pos) + [False] * len(texts_neg)),
+    })
+
+
+def _brute_nb(texts, labels, alpha=1.0):
+    """Pure-python multinomial NB with the exact engine formula."""
+    from collections import Counter
+
+    cp, cn = Counter(), Counter()
+    for t, y in zip(texts, labels):
+        (cp if y else cn).update(t.split(" "))
+    vocab = set(cp) | set(cn)
+    tp, tn = sum(cp.values()), sum(cn.values())
+    dp, dn = tp + alpha * len(vocab), tn + alpha * len(vocab)
+    n_pos, n_neg = sum(labels), len(labels) - sum(labels)
+    prior = math.log2(n_pos / len(labels)) - math.log2(n_neg / len(labels))
+    lp = {w: math.log2((cp[w] + alpha) / dp) - math.log2((cn[w] + alpha) / dn)
+          for w in vocab}
+    oov = math.log2(alpha / dp) - math.log2(alpha / dn)
+
+    def score(text):
+        return prior + sum(lp.get(w, oov) for w in text.split(" "))
+
+    return score
+
+
+def test_nb_matches_bruteforce(ray_session):
+    from ocm_ray.ops.classifier import nb_scores, train_quality_classifier
+
+    tbl = _docs_table()
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    model = train_quality_classifier(ds)
+    out = (nb_scores(ds, model).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    score = _brute_nb(tbl.column("text").to_pylist(),
+                      tbl.column("label").to_pylist())
+    expected = [round(score(t), 4) for t in tbl.column("text").to_pylist()]
+    assert np.allclose(out["nb_logodds"].to_numpy(), expected, atol=1e-9)
+    # separable corpus: positives above 0, negatives below
+    assert out["nb_keep"].tolist() == [True] * 4 + [False] * 4
+
+
+def test_nb_training_partition_invariant(ray_session):
+    from ocm_ray.ops.classifier import train_quality_classifier
+
+    tbl = _docs_table()
+    m1 = train_quality_classifier(ray.data.from_arrow(tbl).repartition(1))
+    m7 = train_quality_classifier(ray.data.from_arrow(tbl).repartition(7))
+    assert np.array_equal(m1.keys, m7.keys)
+    assert np.array_equal(m1.lp_diff, m7.lp_diff)
+    assert (m1.lp_oov, m1.prior, m1.vocab_size) == \
+        (m7.lp_oov, m7.prior, m7.vocab_size)
+
+
+def test_nb_oov_scoring_heldout(ray_session):
+    """Held-out docs with unseen words take the smoothing floor; an
+    all-OOV doc scores exactly prior + n_words * lp_oov."""
+    from ocm_ray.ops.classifier import nb_scores, train_quality_classifier
+
+    model = train_quality_classifier(ray.data.from_arrow(_docs_table()))
+    held = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["zzz qqq xxx", "good facts zzz"]),
+    })
+    out = (nb_scores(ray.data.from_arrow(held), model).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "nb_logodds"] == pytest.approx(
+        round(model.prior + 3 * model.lp_oov, 4), abs=1e-9)
+    # two positive-class words dominate one OOV word
+    assert out.loc[1, "nb_logodds"] > 0
+
+
+def test_nb_filter_and_roundtrip(ray_session, tmp_path):
+    from ocm_ray.ops.classifier import (NBModel, nb_filter,
+                                        train_quality_classifier)
+
+    tbl = _docs_table()
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    model = train_quality_classifier(ds)
+    kept = nb_filter(ds, model).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [0, 1, 2, 3]
+    assert set(kept.columns) == {"doc_id", "text", "label"}  # passthrough
+
+    p = str(tmp_path / "nb.npz")
+    model.save(p)
+    m2 = NBModel.load(p)
+    assert np.array_equal(model.keys, m2.keys)
+    assert np.array_equal(model.lp_diff, m2.lp_diff)
+    assert (model.lp_oov, model.prior, model.vocab_size, model.alpha,
+            model.lowercase, model.n_pos_docs, model.n_neg_docs) == \
+        (m2.lp_oov, m2.prior, m2.vocab_size, m2.alpha,
+         m2.lowercase, m2.n_pos_docs, m2.n_neg_docs)
+
+
+def test_nb_single_class_raises(ray_session):
+    from ocm_ray.ops.classifier import train_quality_classifier
+
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a b", "c d"]),
+                    "label": pa.array([True, True])})
+    with pytest.raises(ValueError, match="both classes"):
+        train_quality_classifier(ray.data.from_arrow(tbl))

@@ -1,0 +1,68 @@
+"""classify subcommand: train (label from --pos-values) → score →
+filter, each in its own subprocess Ray session."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=240):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run([sys.executable, "-m", "ocm_ray", *args],
+                          capture_output=True, text=True, timeout=timeout,
+                          env=env, cwd=REPO)
+
+
+@pytest.fixture(scope="module")
+def labeled_docs(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    good, bad = ["fact", "prose", "clean", "cite"], ["spam", "click", "buy"]
+    rows = []
+    for i in range(80):
+        pool = good if i % 2 == 0 else bad
+        rows.append({
+            "doc_id": i,
+            "text": " ".join(rng.choice(pool + ["the", "and"], size=30)),
+            "source": "wiki" if i % 2 == 0 else "web",
+        })
+    path = str(tmp_path_factory.mktemp("cls") / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows),
+                                        preserve_index=False), path)
+    return path
+
+
+def test_cli_classify_train_score_filter(labeled_docs, tmp_path):
+    model = str(tmp_path / "nb.npz")
+    r = _run(["classify", "train", "--input", labeled_docs, "--model", model,
+              "--pos-values", "wiki", "--key-col", "source",
+              "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert meta["n_pos_docs"] == 40 and meta["n_neg_docs"] == 40
+    assert meta["vocab_size"] == 9
+
+    scores_dir = str(tmp_path / "scores")
+    r = _run(["classify", "score", "--input", labeled_docs, "--model", model,
+              "-o", scores_dir, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    scores = pq.read_table(scores_dir).to_pandas().sort_values("doc_id")
+    assert len(scores) == 80
+    # separable corpus: the classifier recovers the source split
+    assert (scores["nb_keep"].to_numpy()
+            == (scores["doc_id"].to_numpy() % 2 == 0)).all()
+
+    kept_dir = str(tmp_path / "kept")
+    r = _run(["classify", "filter", "--input", labeled_docs, "--model",
+              model, "-o", kept_dir, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = pq.read_table(kept_dir).to_pandas()
+    assert sorted(kept["doc_id"]) == list(range(0, 80, 2))
+    assert set(kept.columns) == {"doc_id", "text", "source"}
