@@ -52,10 +52,15 @@ def _default_parallelism() -> int:
     return max(2, n // 2)
 
 
-# One full CPU per accumulator, but only ncpus/2 accumulators by default
-# (see _default_parallelism) — reserving every CPU for consumers deadlocks
-# the read operator; oversubscribing with fractional CPUs thrashes caches.
-@ray.remote(num_cpus=1)
+# ncpus/2 accumulators (see _default_parallelism) declared at HALF a CPU
+# each (rule-1 shape): a full-CPU reservation per consumer lets any stray
+# fractional actor (e.g. a 0.5-CPU map pool still draining from an earlier
+# pipeline) wedge the whole split — p consumers + 0.5 stray > ncpus−1 and
+# the read task never schedules. At 0.5 the consumers fit alongside the
+# capped read budget (_cap_split_pipeline_cpus) with slack; the perf note
+# about full-CPU consumers was about POOL WIDTH (P=ncpus/2 beats P=ncpus),
+# which is unchanged.
+@ray.remote(num_cpus=0.5)
 def _consume_split(it, factory: SketchFactory, column: str, kgram: int):
     sk = factory()
     for batch in it.iter_batches(batch_format="pyarrow", batch_size=None,
@@ -90,10 +95,28 @@ def _cap_consumers(p: int) -> int:
     return max(1, min(p, n - max(1, n // 4)))
 
 
+def _cap_split_pipeline_cpus(ds: Dataset, p: int) -> None:
+    """Cap the split pipeline's own CPU budget at ncpus − P.
+
+    The P consumer tasks are raw 1-CPU Ray tasks the Dataset executor
+    knows nothing about: if its read tasks grab every CPU first, they
+    pause on output backpressure WITHOUT releasing their CPUs (streaming
+    generators stay RUNNING while paused), the consumers can never
+    schedule, and the pipeline deadlocks silently (CLAUDE.md rule 1 —
+    the race fired in a 4-CPU test session). ``ds.context`` is a
+    per-dataset copy, so this never leaks into other pipelines."""
+    from ray.data import ExecutionResources
+
+    n = int(ray.cluster_resources().get("CPU", 8))
+    opts = ds.context.execution_options
+    opts.resource_limits = ExecutionResources.for_limits(cpu=max(1, n - p))
+
+
 def build_sketch(ds: Dataset, factory: SketchFactory, column: str = "tokens",
                  parallelism: Optional[int] = None, kgram: int = 1) -> MergeableSketch:
     """Stream the Dataset through P accumulator tasks → tree-merged sketch."""
     p = _cap_consumers(parallelism or _default_parallelism())
+    _cap_split_pipeline_cpus(ds, p)
     splits = ds.streaming_split(p, equal=False)
     refs = [_consume_split.remote(it, factory, column, kgram) for it in splits]
     return tree_merge(refs)

@@ -37,7 +37,8 @@ from typing import Callable, Optional
 import ray
 from ray.data import Dataset
 
-from ocm_ray.engine.build import _default_parallelism, tree_merge
+from ocm_ray.engine.build import (_cap_split_pipeline_cpus,
+                                  _default_parallelism, tree_merge)
 from ocm_ray.engine.tokens import items_from_batch
 from ocm_ray.sketches.countmin import OfflineCountMin
 
@@ -59,8 +60,10 @@ def _apply_pass(sk: OfflineCountMin, items, mode: str, round_no: int,
         sk.update_count_collision(items, round_no, total_round)
 
 
-# one full CPU, capped count — same tuning as build._consume_split
-@ray.remote(num_cpus=1)
+# half a CPU, capped count — same deadlock-proof shape as
+# build._consume_split (full-CPU consumers + any stray fractional actor
+# can starve the capped read task)
+@ray.remote(num_cpus=0.5)
 def _round_pass(it, np_bits: int, nh: int, seedseed: int, conservative: bool,
                 mode: str, round_no: int, total_round: int,
                 frozen_core, frozen_coll, column: str, kgram: int,
@@ -231,7 +234,9 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
                                               partial_counter_dtype)
                     for grp in groups_of_refs]
         else:
-            splits = dataset_factory().streaming_split(p, equal=False)
+            pass_ds = dataset_factory()
+            _cap_split_pipeline_cpus(pass_ds, p)
+            splits = pass_ds.streaming_split(p, equal=False)
             refs = [_round_pass.remote(it, np_bits, nh, seedseed, conservative,
                                        mode, r, rounds, core_ref, coll_ref,
                                        column, kgram, partial_counter_dtype)

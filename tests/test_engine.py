@@ -471,3 +471,39 @@ def test_occm_paper_collision_pass_is_noop(seq_dir):
     assert np.array_equal(eff.core, paper.core)
     assert np.array_equal(eff.collision, paper.collision)
     assert eff.n_items == paper.n_items
+
+
+def test_streaming_split_survives_stray_fractional_actor(seq_dir, truth):
+    """Deadlock regression (round 4): full-CPU split consumers + ANY stray
+    fractional-CPU actor (e.g. a map-pool worker still draining from an
+    earlier pipeline) used to leave < 1 CPU for the capped read task —
+    reads paused on output backpressure hold their CPU, consumers wait on
+    reads, and the pipeline wedges silently. Consumers now declare 0.5
+    CPU and the split pipeline's own read budget is capped
+    (_cap_split_pipeline_cpus), so this completes with the stray alive."""
+    import ray
+    import ray.data as rd
+
+    from ocm_ray.engine.build import build_sketch
+    from ocm_ray.engine.rounds import build_ocm
+    from ocm_ray.sketches import CountMin
+
+    @ray.remote(num_cpus=0.5)
+    class _Stray:
+        def ping(self):
+            return 1
+
+    stray = _Stray.remote()
+    ray.get(stray.ping.remote())  # holds 0.5 of the 4 fixture CPUs
+    try:
+        cm = build_sketch(rd.read_parquet(seq_dir, columns=["tokens"]),
+                          lambda: CountMin(14, 3), parallelism=3)
+        est = cm.estimate(truth.token.values.astype(np.uint64))
+        assert (est >= truth.true_count.values).all()
+        factory = lambda: rd.read_parquet(seq_dir, columns=["tokens"])
+        oc = build_ocm(factory, np_bits=13, nh=3, rounds=2,
+                       conservative=False, parallelism=4)
+        est = oc.estimate(truth.token.values.astype(np.uint64))
+        assert (est >= truth.true_count.values).all()
+    finally:
+        ray.kill(stray)
