@@ -275,6 +275,25 @@ def run_bench() -> dict:
     timed_q("span_removal", lambda: remove_dup_spans(
         docs_ds(), k=5, min_span=6).count())
 
+    # 20. round-4-session op: trainable NB quality classifier — train
+    # (two distributed integer count tables) + broadcast scoring pass
+    from ocm_ray.ops.classifier import nb_scores, train_quality_classifier
+
+    def run_nb():
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        def lab(t):
+            y = _pc.is_in(t.column("source"),
+                          value_set=_pa.array(["src0", "src1"]))
+            return t.drop_columns(["source"]).append_column("label", y)
+
+        labeled = docs_src_ds().map_batches(lab, batch_format="pyarrow")
+        model = train_quality_classifier(labeled)
+        return nb_scores(labeled, model).count()
+
+    timed_q("nb_classifier", run_nb)
+
     ray.shutdown()
 
     total = sum(queries.values())

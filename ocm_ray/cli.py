@@ -480,6 +480,24 @@ def cmd_classify(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Flagship curation pipeline: stats → heuristic quality filter →
+    optional trained-classifier filter → exact + near dedup →
+    partitioned Parquet (see pipelines.pretraining.curate)."""
+    _init_ray(args.num_cpus)
+    from ocm_ray.pipelines.pretraining import curate
+
+    summary = curate(args.input, args.output,
+                     quality_min=args.quality_min,
+                     near_dup_threshold=args.near_dup_threshold,
+                     overwrite=args.overwrite, redact=args.redact,
+                     remove_spans=args.remove_spans,
+                     classifier=args.classifier,
+                     classifier_threshold=args.classifier_threshold)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_epoch(args) -> int:
     """Training-epoch export: exclusion dedup → deterministic shuffle →
     fixed-length packing → Parquet (see pipelines.pretraining)."""
@@ -629,6 +647,26 @@ def main(argv=None) -> int:
     cl.add_argument("-o", "--output", help="parquet dir (score/filter)")
     cl.add_argument("--num-cpus", type=int)
     cl.set_defaults(fn=cmd_classify)
+
+    cu = sub.add_parser("curate", help="run the end-to-end curation "
+                                       "pipeline (quality + dedup)")
+    cu.add_argument("--input", required=True,
+                    help="documents parquet file/dir")
+    cu.add_argument("-o", "--output", required=True,
+                    help="partitioned parquet out dir")
+    cu.add_argument("--quality-min", type=float, default=0.3)
+    cu.add_argument("--near-dup-threshold", type=float, default=0.85)
+    cu.add_argument("--redact", action="store_true",
+                    help="PII scrub ahead of scoring/dedup")
+    cu.add_argument("--remove-spans", type=int, default=0, metavar="N",
+                    help="cut cross-doc duplicated spans of >= N words")
+    cu.add_argument("--classifier",
+                    help="trained NB model npz (classify train) — adds "
+                         "the model-based quality stage")
+    cu.add_argument("--classifier-threshold", type=float, default=0.0)
+    cu.add_argument("--overwrite", action="store_true")
+    cu.add_argument("--num-cpus", type=int)
+    cu.set_defaults(fn=cmd_curate)
 
     e = sub.add_parser("epoch", help="export one deterministic training "
                                      "epoch (shuffle + pack)")

@@ -23,9 +23,14 @@ import pyarrow.compute as pc
 def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
            near_dup_threshold: float = 0.85,
            concurrency: int = 4, overwrite: bool = False,
-           redact: bool = False, remove_spans: int = 0) -> dict:
+           redact: bool = False, remove_spans: int = 0,
+           classifier=None, classifier_threshold: float = 0.0) -> dict:
     """Run the curation flow over a documents Parquet table; returns a
     summary dict (counts per stage, per-source distincts).
+
+    ``classifier`` (an ``ops.classifier.NBModel`` or a path to a saved
+    ``.npz``) adds the model-based quality stage after the heuristic
+    filter — ``n_after_quality`` then counts survivors of BOTH filters.
 
     ``out_dir`` must not already hold Parquet (``write_parquet`` appends
     uniquely-named files, so a re-run into a dirty sink would double-count
@@ -98,6 +103,14 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
         lambda t: t.filter(pc.greater_equal(t.column("quality"),
                                             pa.scalar(quality_min))),
         batch_format="pyarrow")
+    # 1.5 optional model-based quality stage (trained NB classifier):
+    # one broadcast of the vocab-sized log-odds table, stateless pass
+    if classifier is not None:
+        from ocm_ray.ops.classifier import NBModel, nb_filter
+
+        model = (NBModel.load(classifier) if isinstance(classifier, str)
+                 else classifier)
+        kept = nb_filter(kept, model, threshold=classifier_threshold)
     kept = kept.materialize()  # reused by three consumers below
     n_quality = kept.count()
     if n_quality == 0:

@@ -131,3 +131,40 @@ def test_nb_single_class_raises(ray_session):
                     "label": pa.array([True, True])})
     with pytest.raises(ValueError, match="both classes"):
         train_quality_classifier(ray.data.from_arrow(tbl))
+
+
+def test_curate_with_classifier_stage(ray_session, tmp_path):
+    """curate(classifier=) composes the trained NB filter after the
+    heuristic quality stage: junk-vocabulary docs are gone from the
+    written corpus even when they pass the heuristic filter, and a
+    saved-model path works the same as the in-memory model."""
+    import pyarrow.parquet as pq
+
+    from ocm_ray.ops.classifier import train_quality_classifier
+    from ocm_ray.pipelines.pretraining import curate
+
+    rng = np.random.default_rng(11)
+    good_words = ["fact", "clean", "prose", "clear", "tidy", "plain"]
+    junk_words = ["spam", "junk", "click", "buy", "scam", "win"]
+    rows = []
+    for i in range(120):
+        junky = i % 3 == 0
+        words = rng.choice(junk_words if junky else good_words, 30)
+        rows.append({"doc_id": i, "text": " ".join(words),
+                     "source": "web" if junky else "wiki",
+                     "label": not junky})
+    tbl = pa.Table.from_pylist(rows)
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(tbl, src)
+
+    model = train_quality_classifier(ray.data.from_arrow(tbl))
+    mpath = str(tmp_path / "m.npz")
+    model.save(mpath)
+
+    out_dir = str(tmp_path / "curated")
+    summary = curate(src, out_dir, quality_min=0.0,
+                     near_dup_threshold=1.01, classifier=mpath)
+    got = pq.read_table(out_dir).to_pandas()
+    assert summary["n_input"] == 120
+    assert summary["n_after_quality"] == 80  # the 40 junky docs dropped
+    assert set(got["doc_id"]) == {i for i in range(120) if i % 3 != 0}

@@ -66,3 +66,23 @@ def test_cli_classify_train_score_filter(labeled_docs, tmp_path):
     kept = pq.read_table(kept_dir).to_pandas()
     assert sorted(kept["doc_id"]) == list(range(0, 80, 2))
     assert set(kept.columns) == {"doc_id", "text", "source"}
+
+
+def test_cli_curate_with_classifier(labeled_docs, tmp_path):
+    """curate subcommand composes the trained model as the stage-1.5
+    quality filter: only the positive-class docs reach the sink."""
+    model = str(tmp_path / "nb.npz")
+    r = _run(["classify", "train", "--input", labeled_docs, "--model", model,
+              "--pos-values", "wiki", "--key-col", "source",
+              "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    out_dir = str(tmp_path / "curated")
+    r = _run(["curate", "--input", labeled_docs, "-o", out_dir,
+              "--quality-min", "0.0", "--near-dup-threshold", "1.01",
+              "--classifier", model, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_input"] == 80 and summary["n_after_quality"] == 40
+    got = pq.read_table(out_dir).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(0, 80, 2))
