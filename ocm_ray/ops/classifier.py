@@ -88,16 +88,14 @@ def train_quality_classifier(ds, label_col: str = "label",
                              lowercase: bool = False) -> NBModel:
     """Train a binary multinomial NB on a labeled corpus.
 
-    ``label_col`` must be boolean (True = positive / high quality). Two
-    corpus passes by necessity (word counts need the text, priors only
-    the label column — the second pass is projection-pruned to the label
-    column); pass a deterministic dataset (a read, or ``materialize()``
+    ``label_col`` must be boolean (True = positive / high quality).
+    ONE corpus pass: each block emits its ``(word, label)``
+    ``value_counts`` partials (bounded at one row per distinct word per
+    block — Zipf-proof) PLUS two per-label document-count rows, tagged
+    by a ``kind`` discriminator so both aggregates ride the same
+    ``grouped_sum`` tree; the driver holds only the vocab-sized model
+    table. Pass a deterministic dataset (a read, or ``materialize()``
     first if the upstream samples/shuffles).
-
-    Scale shape: per-block ``(word, label)`` ``value_counts`` partials
-    (bounded at one row per distinct word per block — Zipf-proof) fold
-    through the ``grouped_sum`` tree; the driver holds only the
-    vocab-sized model table.
     """
     from ocm_ray.engine.tokens import hash_string_array
     from ocm_ray.ops.agg import grouped_sum
@@ -114,28 +112,32 @@ def train_quality_classifier(ds, label_col: str = "label",
         vc = (df.with_columns(pl.col("token").str.split(" "))
                 .explode("token")
                 .group_by(["token", "y"]).len("cnt"))
-        return pa.table({"token": vc["token"].to_arrow(),
-                         "y": vc["y"].to_arrow(),
-                         "cnt": vc["cnt"].cast(pl.Int64).to_arrow()})
+        dc = df.group_by("y").len("cnt")  # per-label doc counts (kind=1)
+        nw = len(vc)
 
-    counts = grouped_sum(
+        def _arr(a, typ):
+            a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            return a.cast(typ)
+
+        return pa.table({
+            "kind": pa.array([0] * nw + [1] * len(dc), pa.int8()),
+            "token": pa.concat_arrays([
+                _arr(vc["token"].to_arrow(), pa.string()),
+                pa.array([""] * len(dc), pa.string())]),
+            "y": pa.concat_arrays([
+                _arr(vc["y"].to_arrow(), pa.bool_()),
+                _arr(dc["y"].to_arrow(), pa.bool_())]),
+            "cnt": pa.concat_arrays([
+                _arr(vc["cnt"].to_arrow(), pa.int64()),
+                _arr(dc["cnt"].to_arrow(), pa.int64())]),
+        })
+
+    both = grouped_sum(
         ds.map_batches(local_counts, batch_size=None,
                        batch_format="pyarrow"),
-        ["token", "y"], ["cnt"]).to_pandas()
-
-    def local_docs(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        vc = pl.DataFrame(
-            {"y": pl.from_arrow(batch.column(label_col))}
-        ).group_by("y").len("docs")
-        return pa.table({"y": vc["y"].to_arrow(),
-                         "docs": vc["docs"].cast(pl.Int64).to_arrow()})
-
-    docs = grouped_sum(
-        ds.select_columns([label_col]).map_batches(
-            local_docs, batch_size=None, batch_format="pyarrow"),
-        ["y"], ["docs"]).to_pandas()
+        ["kind", "token", "y"], ["cnt"]).to_pandas()
+    counts = both[both["kind"] == 0]
+    docs = both[both["kind"] == 1].rename(columns={"cnt": "docs"})
     n_pos = int(docs.loc[docs["y"], "docs"].sum())
     n_neg = int(docs.loc[~docs["y"].astype(bool), "docs"].sum())
     if n_pos == 0 or n_neg == 0:
