@@ -493,7 +493,8 @@ def cmd_curate(args) -> int:
                      overwrite=args.overwrite, redact=args.redact,
                      remove_spans=args.remove_spans,
                      classifier=args.classifier,
-                     classifier_threshold=args.classifier_threshold)
+                     classifier_threshold=args.classifier_threshold,
+                     classifier_top_frac=args.classifier_top_frac)
     print(json.dumps(summary))
     return 0
 
@@ -664,6 +665,10 @@ def main(argv=None) -> int:
                     help="trained NB model npz (classify train) — adds "
                          "the model-based quality stage")
     cu.add_argument("--classifier-threshold", type=float, default=0.0)
+    cu.add_argument("--classifier-top-frac", type=float,
+                    help="keep the top FRACTION by classifier score "
+                         "(quantile threshold via KLL) instead of a "
+                         "fixed --classifier-threshold")
     cu.add_argument("--overwrite", action="store_true")
     cu.add_argument("--num-cpus", type=int)
     cu.set_defaults(fn=cmd_curate)

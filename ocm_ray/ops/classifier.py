@@ -170,14 +170,11 @@ def train_quality_classifier(ds, label_col: str = "label",
                    lowercase=lowercase, n_pos_docs=n_pos, n_neg_docs=n_neg)
 
 
-def nb_scores(ds, model: NBModel, id_col: str = "doc_id",
-              text_col: str = "text", ndigits: int = 4,
-              threshold: float = 0.0):
-    """Score every document: ``nb_logodds`` (rounded sum of per-word
-    log-likelihood ratios + prior) and ``nb_keep`` (rounded log-odds
-    > ``threshold`` — computed on the ROUNDED value so the flag is
-    reproducible by an oracle that rounds identically). One stateless
-    broadcast pass; OOV words take the smoothing floor ``lp_oov``."""
+def _score_kernel(model: NBModel, text_col: str, ndigits: int):
+    """Shared batch→rounded-log-odds closure: the (sorted-hash →
+    log-likelihood-ratio) table rides the object store ONCE via
+    ``ray.put``; each batch is one searchsorted lookup + reduceat row
+    sum (no per-row Python). OOV words take the smoothing floor."""
     import ray
 
     from ocm_ray.engine.tokens import split_words_hashed
@@ -185,7 +182,7 @@ def nb_scores(ds, model: NBModel, id_col: str = "doc_id",
     ref = ray.put((model.keys, model.lp_diff))
     lp_oov, prior, lc = model.lp_oov, model.prior, model.lowercase
 
-    def score(batch: pa.Table) -> pa.Table:
+    def scores(batch: pa.Table) -> np.ndarray:
         k, lp = ray.get(ref)
         flat, lens = split_words_hashed(batch.column(text_col),
                                         lowercase=lc)
@@ -198,7 +195,23 @@ def nb_scores(ds, model: NBModel, id_col: str = "doc_id",
             sums[lens == 0] = 0.0
         else:
             sums = np.zeros(len(lens))
-        logodds = np.round(prior + sums, ndigits)
+        return np.round(prior + sums, ndigits)
+
+    return scores
+
+
+def nb_scores(ds, model: NBModel, id_col: str = "doc_id",
+              text_col: str = "text", ndigits: int = 4,
+              threshold: float = 0.0):
+    """Score every document: ``nb_logodds`` (rounded sum of per-word
+    log-likelihood ratios + prior) and ``nb_keep`` (rounded log-odds
+    > ``threshold`` — computed on the ROUNDED value so the flag is
+    reproducible by an oracle that rounds identically). One stateless
+    broadcast pass."""
+    scores = _score_kernel(model, text_col, ndigits)
+
+    def score(batch: pa.Table) -> pa.Table:
+        logodds = scores(batch)
         return pa.table({id_col: batch.column(id_col),
                          "nb_logodds": pa.array(logodds),
                          "nb_keep": pa.array(logodds > threshold)})
@@ -211,27 +224,52 @@ def nb_filter(ds, model: NBModel, text_col: str = "text",
     """Keep only rows the classifier scores above ``threshold`` —
     the curation-pipeline filter stage (all input columns pass
     through)."""
-    import ray
-
-    from ocm_ray.engine.tokens import split_words_hashed
-
-    ref = ray.put((model.keys, model.lp_diff))
-    lp_oov, prior, lc = model.lp_oov, model.prior, model.lowercase
+    scores = _score_kernel(model, text_col, ndigits)
 
     def keep(batch: pa.Table) -> pa.Table:
-        k, lp = ray.get(ref)
-        flat, lens = split_words_hashed(batch.column(text_col),
-                                        lowercase=lc)
-        if len(flat):
-            idx = np.searchsorted(k, flat)
-            idx_c = np.minimum(idx, len(k) - 1)
-            vals = np.where(k[idx_c] == flat, lp[idx_c], lp_oov)
-            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-            sums = np.add.reduceat(vals, offs[:-1])
-            sums[lens == 0] = 0.0
-        else:
-            sums = np.zeros(len(lens))
-        mask = np.round(prior + sums, ndigits) > threshold
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(scores(batch) > threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def nb_keep_top_fraction(ds, model: NBModel, frac: float,
+                         text_col: str = "text", ndigits: int = 4,
+                         sketch_k: int = 400):
+    """Keep (approximately) the top ``frac`` of documents by classifier
+    score — the FineWeb-Edu-style curation policy ("keep the top X%"),
+    with the threshold discovered distributedly instead of hand-tuned.
+
+    Two stateless broadcast passes, no shuffle, nothing corpus-sized on
+    the driver: pass 1 folds the rounded scores into a mergeable KLL
+    sketch (per-block partials, one row each, driver merge); the
+    threshold is the sketch's ``1 - frac`` quantile. Pass 2 re-scores
+    and filters with ``score >= threshold`` — since scores live on the
+    ``10^-ndigits`` grid, this is expressed exactly through
+    ``nb_filter``'s strict ``>`` at ``threshold - grid/2``. The kept
+    fraction is approximate at the quantile boundary (KLL(k) rank error
+    plus ties on the grid); re-scoring beats materializing the scored
+    corpus at 100 TB. Returns ``(filtered_ds, threshold)``."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    from ocm_ray.sketches.base import MergeableSketch
+    from ocm_ray.sketches.kll import KLL
+
+    scores = _score_kernel(model, text_col, ndigits)
+
+    def part(batch: pa.Table) -> pa.Table:
+        sk = KLL(sketch_k)
+        sk.update_values(scores(batch))
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    merged = KLL(sketch_k)
+    for b in (ds.map_batches(part, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for raw in b.column("sk"):
+            merged.merge(MergeableSketch.from_bytes(raw.as_py()))
+    if merged.n[0] == 0:
+        return ds, float("-inf")
+    threshold = float(merged.quantile(1.0 - frac)[0])
+    grid = 10.0 ** (-ndigits)
+    return (nb_filter(ds, model, text_col=text_col,
+                      threshold=threshold - grid / 2, ndigits=ndigits),
+            threshold)

@@ -24,13 +24,17 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
            near_dup_threshold: float = 0.85,
            concurrency: int = 4, overwrite: bool = False,
            redact: bool = False, remove_spans: int = 0,
-           classifier=None, classifier_threshold: float = 0.0) -> dict:
+           classifier=None, classifier_threshold: float = 0.0,
+           classifier_top_frac: Optional[float] = None) -> dict:
     """Run the curation flow over a documents Parquet table; returns a
     summary dict (counts per stage, per-source distincts).
 
     ``classifier`` (an ``ops.classifier.NBModel`` or a path to a saved
     ``.npz``) adds the model-based quality stage after the heuristic
     filter — ``n_after_quality`` then counts survivors of BOTH filters.
+    ``classifier_top_frac`` switches that stage from the fixed
+    ``classifier_threshold`` to the quantile policy (keep the top
+    fraction by score, threshold discovered via a KLL sketch).
 
     ``out_dir`` must not already hold Parquet (``write_parquet`` appends
     uniquely-named files, so a re-run into a dirty sink would double-count
@@ -106,11 +110,20 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     # 1.5 optional model-based quality stage (trained NB classifier):
     # one broadcast of the vocab-sized log-odds table, stateless pass
     if classifier is not None:
-        from ocm_ray.ops.classifier import NBModel, nb_filter
+        from ocm_ray.ops.classifier import (NBModel, nb_filter,
+                                            nb_keep_top_fraction)
 
         model = (NBModel.load(classifier) if isinstance(classifier, str)
                  else classifier)
-        kept = nb_filter(kept, model, threshold=classifier_threshold)
+        if classifier_top_frac is not None:
+            # the quantile policy scores twice (sketch pass + filter
+            # pass) — pin the upstream once so the stats/filter stages
+            # don't re-execute under it
+            kept = kept.materialize()
+            kept, _ = nb_keep_top_fraction(kept, model,
+                                           classifier_top_frac)
+        else:
+            kept = nb_filter(kept, model, threshold=classifier_threshold)
     kept = kept.materialize()  # reused by three consumers below
     n_quality = kept.count()
     if n_quality == 0:

@@ -168,3 +168,83 @@ def test_curate_with_classifier_stage(ray_session, tmp_path):
     assert summary["n_input"] == 120
     assert summary["n_after_quality"] == 80  # the 40 junky docs dropped
     assert set(got["doc_id"]) == {i for i in range(120) if i % 3 != 0}
+
+
+def test_nb_keep_top_fraction(ray_session):
+    """Quantile-threshold curation: keep the top 25% by score. At this
+    size the KLL sketch holds every value exactly, so the kept set must
+    equal the brute-force top 25% (ties on the rounded grid included)."""
+    from ocm_ray.ops.classifier import (nb_keep_top_fraction,
+                                        train_quality_classifier)
+
+    rng = np.random.default_rng(5)
+    good, bad = ["fact", "prose", "clean", "cite"], ["spam", "click", "buy"]
+    rows = []
+    for i in range(200):
+        n_good = int(rng.integers(0, 20))
+        words = list(rng.choice(good, n_good)) + \
+            list(rng.choice(bad, 20 - n_good))
+        rng.shuffle(words)
+        rows.append({"doc_id": i, "text": " ".join(words),
+                     "label": n_good >= 10})
+    tbl = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    model = train_quality_classifier(ds)
+
+    kept_ds, threshold = nb_keep_top_fraction(ds, model, 0.25)
+    kept = kept_ds.to_pandas()
+
+    score = _brute_nb([r["text"] for r in rows], [r["label"] for r in rows])
+    brute = np.round([score(r["text"]) for r in rows], 4)
+    expect = {i for i in range(200) if brute[i] >= threshold}
+    assert set(kept["doc_id"]) == expect
+    # the kept fraction brackets the request (ties can push it past 25%)
+    assert 0.15 <= len(kept) / 200 <= 0.40
+    # threshold lands within one grid-adjacent pair of the exact quantile
+    assert abs(threshold - np.quantile(brute, 0.75,
+                                       method="inverted_cdf")) <= \
+        np.diff(np.sort(brute)).max()
+
+    # frac=1.0 keeps everything
+    all_ds, th_all = nb_keep_top_fraction(ds, model, 1.0)
+    assert all_ds.count() == 200
+
+
+def test_curate_classifier_top_fraction(ray_session, tmp_path):
+    """curate(classifier_top_frac=) keeps the requested share of the
+    quality-filtered corpus via the sketch-discovered threshold."""
+    import pyarrow.parquet as pq
+
+    from ocm_ray.ops.classifier import train_quality_classifier
+    from ocm_ray.pipelines.pretraining import curate
+
+    rng = np.random.default_rng(3)
+    good, bad = ["fact", "prose", "clean", "cite"], ["spam", "click", "buy"]
+    rows = []
+    for i in range(100):
+        n_good = int(rng.integers(0, 21))
+        words = list(rng.choice(good, n_good)) + \
+            list(rng.choice(bad, 20 - n_good))
+        rng.shuffle(words)
+        rows.append({"doc_id": i, "text": " ".join(words),
+                     "source": "s0", "label": n_good >= 10})
+    tbl = pa.Table.from_pylist(rows)
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(tbl, src)
+    model = train_quality_classifier(ray.data.from_arrow(tbl))
+
+    out_dir = str(tmp_path / "curated")
+    summary = curate(src, out_dir, quality_min=0.0,
+                     near_dup_threshold=1.01, classifier=model,
+                     classifier_top_frac=0.3)
+    got = pq.read_table(out_dir).to_pandas()
+    # ~30% kept (quantile grid / ties give slack), and they are the
+    # highest-scoring docs: every kept score >= every dropped score
+    assert 20 <= len(got) <= 40 and summary["n_after_quality"] == len(got)
+    from ocm_ray.ops.classifier import nb_scores
+
+    sc = (nb_scores(ray.data.from_arrow(tbl), model).to_pandas()
+          .set_index("doc_id")["nb_logodds"])
+    kept_ids = set(got["doc_id"])
+    dropped = [i for i in range(100) if i not in kept_ids]
+    assert sc[list(kept_ids)].min() >= sc[dropped].max()
