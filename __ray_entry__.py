@@ -1938,14 +1938,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = nb_scores(labeled, model).to_pandas()
         return out.sort_values("doc_id", ignore_index=True)
 
+    def ppl_bucket_part(sf_dir):
+        """CCNet head/middle/tail tiers (ops/sampling.py:
+        perplexity_buckets): per-source quantile_disc terciles of the
+        rounded unigram-LM score; exact SQL mirror (the same
+        quantile_disc semantics proven by value_quantiles_by_type)."""
+        from ocm_ray.ops.sampling import perplexity_buckets
+
+        out = perplexity_buckets(
+            _read(sf_dir, "documents",
+                  columns=["doc_id", "text", "source"])).to_pandas()
+        return (out[["doc_id", "ppl_bucket"]]
+                .sort_values("doc_id", ignore_index=True))
+
     def doc_signals(sf_dir):
         """ONE row per document joining every per-document signal
         operator — token counts, text stats, char entropy, Gopher
         quality + repetition rules, unigram/bigram LM scores, SimHash
         fingerprint, DSIR importance, vocab encoding, NB quality-
-        classifier log-odds (merged r4 to fit the driver's query
-        budget; the SQL oracle composes the parts' original oracles
-        with USING(doc_id) joins). Columns that two parts compute
+        classifier log-odds, CCNet perplexity tier (merged r4 to fit
+        the driver's query budget; the SQL oracle composes the parts'
+        original oracles with USING(doc_id) joins). Columns that two parts compute
         independently (n_tokens 3x, n_chars 2x) are asserted identical
         and emitted once."""
         def P(x):
@@ -1965,11 +1978,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dsir = P(dsir_importance(sf_dir))
         en = P(encoded_docs(sf_dir))
         nb = P(nb_quality(sf_dir))
+        ppl = P(ppl_bucket_part(sf_dir))
 
         out = tc
         for part, dup in [(ts, ["n_tokens"]), (ce, []), (gq, []),
                           (gr, ["n_chars"]), (ul, []), (bl, []), (sh, []),
-                          (dsir, []), (en, ["n_tokens"]), (nb, [])]:
+                          (dsir, []), (en, ["n_tokens"]), (nb, []),
+                          (ppl, [])]:
             m = out.merge(part, on="doc_id", how="inner",
                           suffixes=("", "__dup"))
             assert len(m) == len(out) == len(part), "doc_id sets differ"
@@ -3200,6 +3215,35 @@ def oracle_sql() -> dict[str, str]:
                    (ROUND(p + t, 4) > 0) AS nb_keep
             FROM s, pri
         """
+    # CCNet perplexity tier (ops/sampling.py:perplexity_buckets):
+    # per-source quantile_disc terciles of the ROUNDED unigram-LM score
+    # (engine grouped_quantiles == DuckDB quantile_disc, proven by
+    # value_quantiles_by_type); comparisons on the same rounded grid on
+    # both sides. MATERIALIZED: lp feeds ls which feeds th + the select.
+    _ppl = """
+            WITH w AS MATERIALIZED (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            cnts AS MATERIALIZED (
+                SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+            tot AS (SELECT SUM(c) AS t FROM cnts),
+            lp AS MATERIALIZED (
+                SELECT doc_id,
+                       ROUND(AVG(log2(CAST(c AS DOUBLE) / t)), 4) AS lp
+                FROM w JOIN cnts USING (w), tot GROUP BY doc_id),
+            ls AS MATERIALIZED (
+                SELECT d.doc_id, d.source, lp.lp
+                FROM documents d JOIN lp USING (doc_id)),
+            th AS (SELECT source,
+                          quantile_disc(lp, 1.0/3) AS q1,
+                          quantile_disc(lp, 2.0/3) AS q2
+                   FROM ls GROUP BY source)
+            SELECT doc_id, CASE WHEN lp <= q1 THEN 'tail'
+                                WHEN lp <= q2 THEN 'middle'
+                                ELSE 'head' END AS ppl_bucket
+            FROM ls JOIN th USING (source)
+        """
     _sh = _simhash_sql()
     _ds = _dsir_sql()
     _en = """
@@ -3468,7 +3512,8 @@ def oracle_sql() -> dict[str, str]:
     _doc_signals = f"""
         WITH tc AS ({_tc}), ts AS ({_ts}), ce AS ({_ce}), gq AS ({_gq}),
              gr AS ({_gr}), ul AS ({_ul}), bl AS ({_bl}), sh AS ({_sh}),
-             ds AS ({_ds}), en AS ({_en}), nb AS ({_nb})
+             ds AS ({_ds}), en AS ({_en}), nb AS ({_nb}),
+             ppl AS ({_ppl})
         SELECT tc.doc_id, tc.n_tokens,
                ts.n_chars_text, ts.n_stop,
                ce.n_chars, ce.char_entropy,
@@ -3484,12 +3529,14 @@ def oracle_sql() -> dict[str, str]:
                sh.simhash,
                ds.n_feats, ds.n_target_heavy, ds.dsir_score,
                en.ids, en.n_oov,
-               nb.nb_logodds, nb.nb_keep
+               nb.nb_logodds, nb.nb_keep,
+               ppl.ppl_bucket
         FROM tc JOIN ts USING (doc_id) JOIN ce USING (doc_id)
              JOIN gq USING (doc_id) JOIN gr USING (doc_id)
              JOIN ul USING (doc_id) JOIN bl USING (doc_id)
              JOIN sh USING (doc_id) JOIN ds USING (doc_id)
              JOIN en USING (doc_id) JOIN nb USING (doc_id)
+             JOIN ppl USING (doc_id)
     """
     return {
         "doc_signals": _doc_signals,

@@ -389,3 +389,56 @@ def token_budget_sample(ds: Dataset, budgets: Dict[str, int],
         return batch.filter(pa.array(b <= thr))
 
     return ds.map_batches(keep, batch_format="pyarrow"), summary
+
+
+def perplexity_buckets(ds: Dataset, id_col: str = "doc_id",
+                       text_col: str = "text", source_col: str = "source",
+                       qs: tuple = (1 / 3, 2 / 3), ndigits: int = 4,
+                       n_shards: int = 16) -> Dataset:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3,
+    the perplexity-tier data-selection stage): per-``source_col``
+    quantile terciles of the corpus-trained unigram-LM mean log2-prob
+    (``ops.text.unigram_logprob`` — the engine's fluency/perplexity
+    proxy; HIGHER logprob = more fluent = ``head``).
+
+    Three bounded stages: (1) LM scoring (vocab-table broadcast, two
+    stateless passes); (2) exact per-source thresholds at ``qs`` via
+    :func:`ocm_ray.ops.relational.grouped_quantiles` — ``quantile_disc``
+    semantics over the rounded scores, so the bucket rule is
+    SQL-mirrorable exactly; the exchange ships compact (source, score)
+    pairs, never the corpus; (3) ONE ``ray.put`` of the sources-bounded
+    threshold table + a stateless assignment pass.
+
+    Returns ``(id_col, source_col, logprob, ppl_bucket)`` rows with
+    ``ppl_bucket`` = ``tail`` if ``logprob <= q_lo``, ``middle`` if
+    ``<= q_hi``, else ``head``.
+    """
+    import ray
+
+    from ocm_ray.ops.relational import grouped_quantiles
+    from ocm_ray.ops.text import unigram_logprob
+
+    q_lo, q_hi = qs
+    scored = unigram_logprob(ds, id_col=id_col, text_col=text_col,
+                             ndigits=ndigits,
+                             keep_cols=(source_col,)).materialize()
+    th = grouped_quantiles(scored, source_col, "logprob", qs=list(qs),
+                           n_shards=n_shards).to_pandas()
+    lo_map = th[th["q"] == q_lo].set_index(source_col)["logprob"].to_dict()
+    hi_map = th[th["q"] == q_hi].set_index(source_col)["logprob"].to_dict()
+    ref = ray.put((lo_map, hi_map))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lo_map, hi_map = ray.get(ref)
+        src = batch.column(source_col).to_pandas()
+        lp = batch.column("logprob").to_numpy(zero_copy_only=False)
+        lo = src.map(lo_map).to_numpy(dtype=np.float64)
+        hi = src.map(hi_map).to_numpy(dtype=np.float64)
+        bucket = np.where(lp <= lo, "tail",
+                          np.where(lp <= hi, "middle", "head"))
+        return batch.append_column("ppl_bucket",
+                                   pa.array(bucket.astype(object)))
+
+    return scored.map_batches(assign, batch_format="pyarrow")

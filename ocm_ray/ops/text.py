@@ -404,7 +404,7 @@ def gopher_quality_flags(ds, min_words: int = 50, max_words: int = 100_000,
 
 
 def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
-                    ndigits: int = 4):
+                    ndigits: int = 4, keep_cols: tuple = ()):
     """Per-document mean log2 probability of its tokens under the
     corpus-wide unigram distribution — the CCNet-style fluency proxy
     (a perplexity stand-in with the unigram LM trained on the corpus
@@ -438,8 +438,11 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
         sums = (np.add.reduceat(lps, offs[:-1]) if len(flat)
                 else np.zeros(len(lens)))
         mean = np.round(sums / np.maximum(lens, 1), ndigits)
-        return pa.table({id_col: batch.column(id_col),
-                         "logprob": pa.array(mean)})
+        cols = {id_col: batch.column(id_col),
+                "logprob": pa.array(mean)}
+        for c in keep_cols:  # passthrough (e.g. the bucketing key)
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
 

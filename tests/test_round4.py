@@ -539,3 +539,56 @@ def test_text_embedder_custom_encode_fn():
     bad = TextEmbedder(dim=7, encode_fn=len_encoder)
     with pytest.raises(AssertionError):
         bad(pa.table({"text": ["x y"]}))
+
+
+def test_perplexity_buckets_matches_duckdb(ray_session):
+    """CCNet head/middle/tail tiers: engine buckets == DuckDB recompute
+    (quantile_disc terciles of the rounded unigram-LM score per source),
+    partition-invariant, roughly balanced thirds per source."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from ocm_ray.ops.sampling import perplexity_buckets
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, rng.integers(5, 40))),
+             "source": f"s{i % 3}"} for i in range(300)]
+    tbl = pa.Table.from_pylist(rows)
+
+    got = (perplexity_buckets(ray.data.from_arrow(tbl).repartition(7))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute("""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        cnts AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+        tot AS (SELECT SUM(c) AS t FROM cnts),
+        lp AS (SELECT doc_id,
+                      ROUND(AVG(log2(CAST(c AS DOUBLE) / t)), 4) AS lp
+               FROM w JOIN cnts USING (w), tot GROUP BY doc_id),
+        ls AS (SELECT d.doc_id, d.source, lp.lp
+               FROM documents d JOIN lp USING (doc_id)),
+        th AS (SELECT source, quantile_disc(lp, 1.0/3) AS q1,
+                              quantile_disc(lp, 2.0/3) AS q2
+               FROM ls GROUP BY source)
+        SELECT doc_id, lp AS logprob,
+               CASE WHEN lp <= q1 THEN 'tail'
+                    WHEN lp <= q2 THEN 'middle'
+                    ELSE 'head' END AS ppl_bucket
+        FROM ls JOIN th USING (source) ORDER BY doc_id
+    """).df()
+    assert np.allclose(got["logprob"], want["logprob"], atol=1e-12)
+    assert got["ppl_bucket"].tolist() == want["ppl_bucket"].tolist()
+    # tiers are value-based, so each source's split is near thirds
+    per = got.groupby("source")["ppl_bucket"].value_counts().unstack()
+    assert (per.min(axis=1) >= 20).all()
+
+    # partition invariance
+    got1 = (perplexity_buckets(ray.data.from_arrow(tbl).repartition(1))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got1["ppl_bucket"].tolist() == got["ppl_bucket"].tolist()
