@@ -1888,6 +1888,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", columns=["doc_id", "text"])) \
             .to_pandas().sort_values("doc_id", ignore_index=True)
 
+    def kn_logprob_q(sf_dir):
+        """Interpolated Kneser-Ney bigram LM scoring (Chen & Goodman
+        eq. 4.17, fixed D=0.75) — the standard smoothing past the MLE;
+        all four count statistics derive from the one distributed
+        bigram-type table, exact float expression mirrored in SQL."""
+        from ocm_ray.ops.text import kn_bigram_logprob
+
+        return kn_bigram_logprob(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])) \
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+
     def sample_per_source(sf_dir):
         """Deterministic per-key reservoir (n smallest seeded id
         hashes per source — stable across runs/partitionings); rides
@@ -1974,6 +1985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns={"logprob": "unigram_logprob"})
         bl = P(bigram_logprob_q(sf_dir)).rename(
             columns={"logprob": "bigram_logprob"})
+        kn = P(kn_logprob_q(sf_dir)).rename(
+            columns={"logprob": "kn_logprob"})
         sh = P(simhash_fingerprints(sf_dir))
         dsir = P(dsir_importance(sf_dir))
         en = P(encoded_docs(sf_dir))
@@ -1982,9 +1995,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         out = tc
         for part, dup in [(ts, ["n_tokens"]), (ce, []), (gq, []),
-                          (gr, ["n_chars"]), (ul, []), (bl, []), (sh, []),
-                          (dsir, []), (en, ["n_tokens"]), (nb, []),
-                          (ppl, [])]:
+                          (gr, ["n_chars"]), (ul, []), (bl, []), (kn, []),
+                          (sh, []), (dsir, []), (en, ["n_tokens"]),
+                          (nb, []), (ppl, [])]:
             m = out.merge(part, on="doc_id", how="inner",
                           suffixes=("", "__dup"))
             assert len(m) == len(out) == len(part), "doc_id sets differ"
@@ -3171,6 +3184,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY doc_id
         """
+    # Interpolated Kneser-Ney bigram LM (ops/text.py:kn_bigram_logprob):
+    # fixed D=0.75; type counts n1f/n1b and totals all from the one
+    # bigram-type table; identical float expression shape, ROUND(4)
+    # both sides. MATERIALIZED: bgo/bg feed multiple references.
+    _kn = """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            bgo AS MATERIALIZED (
+                SELECT doc_id, ws[j] AS w1, ws[j + 1] AS w2
+                FROM t, UNNEST(range(1, len(ws))) AS r(j)),
+            bg AS MATERIALIZED (
+                SELECT w1, w2, COUNT(*) AS c FROM bgo GROUP BY w1, w2),
+            ctx AS (SELECT w1, SUM(c) AS ctx, COUNT(*) AS n1f
+                    FROM bg GROUP BY w1),
+            cont AS (SELECT w2, COUNT(*) AS n1b FROM bg GROUP BY w2),
+            tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM bg)
+            SELECT doc_id,
+                   ROUND(AVG(log2((GREATEST(c - 0.75, 0)
+                                   + 0.75 * n1f * (n1b / t)) / ctx)),
+                         4) AS logprob
+            FROM bgo JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+                 JOIN cont USING (w2), tt
+            GROUP BY doc_id
+        """
     # NB quality classifier (ops/classifier.py): alpha=1 Laplace terms
     # over integer (word, class) counts; labels = source IN src0..src4;
     # ROUND(4) on both sides absorbs summation-order ulps (same contract
@@ -3513,7 +3550,7 @@ def oracle_sql() -> dict[str, str]:
         WITH tc AS ({_tc}), ts AS ({_ts}), ce AS ({_ce}), gq AS ({_gq}),
              gr AS ({_gr}), ul AS ({_ul}), bl AS ({_bl}), sh AS ({_sh}),
              ds AS ({_ds}), en AS ({_en}), nb AS ({_nb}),
-             ppl AS ({_ppl})
+             ppl AS ({_ppl}), kn AS ({_kn})
         SELECT tc.doc_id, tc.n_tokens,
                ts.n_chars_text, ts.n_stop,
                ce.n_chars, ce.char_entropy,
@@ -3526,6 +3563,7 @@ def oracle_sql() -> dict[str, str]:
                gr.keep AS keep_repetition,
                ul.logprob AS unigram_logprob,
                bl.logprob AS bigram_logprob,
+               kn.logprob AS kn_logprob,
                sh.simhash,
                ds.n_feats, ds.n_target_heavy, ds.dsir_score,
                en.ids, en.n_oov,
@@ -3536,7 +3574,7 @@ def oracle_sql() -> dict[str, str]:
              JOIN ul USING (doc_id) JOIN bl USING (doc_id)
              JOIN sh USING (doc_id) JOIN ds USING (doc_id)
              JOIN en USING (doc_id) JOIN nb USING (doc_id)
-             JOIN ppl USING (doc_id)
+             JOIN ppl USING (doc_id) JOIN kn USING (doc_id)
     """
     return {
         "doc_signals": _doc_signals,

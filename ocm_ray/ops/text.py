@@ -601,10 +601,10 @@ def chunk_documents(ds, size: int = 64, stride: int = 32,
 
 def _doc_bigrams(batch: pa.Table, text_col: str):
     """Within-doc word bigram hashes with attribution: ``(g, first,
-    rowid, lens)`` — ``g`` the chained-WangHash of (w0, w1) (the
-    ``engine.tokens.kgram_reduce`` chain at k=2), ``first`` the k=1
-    hash of w0 (the LM context), ``rowid`` the doc index of each
-    bigram."""
+    second, rowid, lens)`` — ``g`` the chained-WangHash of (w0, w1)
+    (the ``engine.tokens.kgram_reduce`` chain at k=2), ``first`` /
+    ``second`` the k=1 hashes of w0 (the LM context) and w1 (the
+    continuation), ``rowid`` the doc index of each bigram."""
     from ocm_ray.core.hashing import wanghash
     from ocm_ray.engine.tokens import split_words_hashed
 
@@ -613,11 +613,12 @@ def _doc_bigrams(batch: pa.Table, text_col: str):
     n = len(flat)
     if n < 2:
         z = np.empty(0, dtype=np.uint64)
-        return z, z, np.empty(0, dtype=np.int64), lens
+        return z, z, z, np.empty(0, dtype=np.int64), lens
     rowid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     g = wanghash(wanghash(flat[:-1]) ^ flat[1:])
     valid = rowid[:-1] == rowid[1:]
-    return g[valid], flat[:-1][valid], rowid[:-1][valid], lens
+    return (g[valid], flat[:-1][valid], flat[1:][valid],
+            rowid[:-1][valid], lens)
 
 
 def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -640,7 +641,7 @@ def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
     from ocm_ray.ops.agg import grouped_sum
 
     def local(batch: pa.Table) -> pa.Table:
-        g, first, _, _ = _doc_bigrams(batch, text_col)
+        g, first, _, _, _ = _doc_bigrams(batch, text_col)
         ug, idx, cnt = np.unique(g, return_index=True, return_counts=True)
         return pa.table({"g": pa.array(ug.view(np.int64)),
                          "h1": pa.array(first[idx].view(np.int64)),
@@ -659,7 +660,74 @@ def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def score(batch: pa.Table) -> pa.Table:
         k, l = ray.get(ref)
-        g, _, rowid, lens = _doc_bigrams(batch, text_col)
+        g, _, _, rowid, lens = _doc_bigrams(batch, text_col)
+        nb = np.maximum(lens - 1, 0)
+        has = nb > 0
+        if not has.any():
+            return pa.table({id_col: batch.column(id_col).slice(0, 0),
+                             "logprob": pa.array([], pa.float64())})
+        sums = np.bincount(rowid, weights=l[np.searchsorted(k, g)],
+                           minlength=len(lens))
+        mean = np.round(sums[has] / nb[has], ndigits)
+        return pa.table({id_col: batch.column(id_col)
+                         .filter(pa.array(has)),
+                         "logprob": pa.array(mean)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def kn_bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                      ndigits: int = 4, discount: float = 0.75):
+    """Per-document mean log2 probability under an interpolated
+    Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.17
+    with a fixed ``discount``) — the standard smoothing step past the
+    MLE :func:`bigram_logprob`:
+
+        p_kn(w1|w0) = (max(c(w0w1) − D, 0)
+                       + D · N1+(w0·) · N1+(·w1)/T) / c(w0)
+
+    with ``N1+(w0·)`` / ``N1+(·w1)`` the distinct-continuation /
+    distinct-context type counts and ``T`` the total bigram types.
+    Unlike the MLE this scores HELD-OUT text too (every seen context
+    backs off to the continuation distribution); docs with fewer than
+    2 words are omitted.
+
+    Same scale shape as :func:`bigram_logprob`: one distributed
+    counting pass to a distinct-bigram-bounded table, all four count
+    vectors derived driver-side from that one table, one broadcast of
+    the sorted (g, log2 p) table, one stateless scoring pass."""
+    import ray
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        g, first, second, _, _ = _doc_bigrams(batch, text_col)
+        ug, idx, cnt = np.unique(g, return_index=True, return_counts=True)
+        return pa.table({"g": pa.array(ug.view(np.int64)),
+                         "h1": pa.array(first[idx].view(np.int64)),
+                         "h2": pa.array(second[idx].view(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    bg = grouped_sum(ds.map_batches(local, batch_format="pyarrow"),
+                     ["g", "h1", "h2"], ["cnt"]).to_pandas()
+    # all four statistics fall out of the one bigram-type table
+    ctx = bg.groupby("h1")["cnt"].sum()          # c(w0)
+    n1f = bg.groupby("h1")["cnt"].size()         # N1+(w0, .)
+    n1b = bg.groupby("h2")["cnt"].size()         # N1+(., w1)
+    T = float(len(bg))
+    c = bg["cnt"].to_numpy(dtype=np.float64)
+    ctx_v = ctx.loc[bg["h1"]].to_numpy(dtype=np.float64)
+    n1f_v = n1f.loc[bg["h1"]].to_numpy(dtype=np.float64)
+    n1b_v = n1b.loc[bg["h2"]].to_numpy(dtype=np.float64)
+    D = float(discount)
+    lp = np.log2((np.maximum(c - D, 0.0) + D * n1f_v * (n1b_v / T)) / ctx_v)
+    keys = bg["g"].to_numpy().view(np.uint64)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], lp[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        k, l = ray.get(ref)
+        g, _, _, rowid, lens = _doc_bigrams(batch, text_col)
         nb = np.maximum(lens - 1, 0)
         has = nb > 0
         if not has.any():

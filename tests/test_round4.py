@@ -592,3 +592,72 @@ def test_perplexity_buckets_matches_duckdb(ray_session):
     got1 = (perplexity_buckets(ray.data.from_arrow(tbl).repartition(1))
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got1["ppl_bucket"].tolist() == got["ppl_bucket"].tolist()
+
+
+def test_kn_bigram_logprob(ray_session):
+    """Interpolated Kneser-Ney bigram LM: DuckDB recompute parity,
+    partition invariance, and the smoothing property the MLE lacks —
+    held-out text with unseen bigrams over seen contexts still scores
+    (backed off to the continuation distribution)."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from ocm_ray.ops.text import kn_bigram_logprob
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, rng.integers(2, 25)))}
+            for i in range(150)]
+    tbl = pa.Table.from_pylist(rows)
+
+    got = (kn_bigram_logprob(ray.data.from_arrow(tbl).repartition(6))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        bgo AS (SELECT doc_id, ws[j] AS w1, ws[j+1] AS w2
+                FROM t, UNNEST(range(1, len(ws))) AS r(j)),
+        bg AS (SELECT w1, w2, COUNT(*) AS c FROM bgo GROUP BY w1, w2),
+        ctx AS (SELECT w1, SUM(c) AS ctx, COUNT(*) AS n1f
+                FROM bg GROUP BY w1),
+        cont AS (SELECT w2, COUNT(*) AS n1b FROM bg GROUP BY w2),
+        tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM bg)
+        SELECT doc_id, ROUND(AVG(log2((GREATEST(c - 0.75, 0)
+                       + 0.75 * n1f * (n1b / t)) / ctx)), 4) AS logprob
+        FROM bgo JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+             JOIN cont USING (w2), tt
+        GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    assert np.allclose(got["logprob"], want["logprob"], atol=1e-9)
+
+    got1 = (kn_bigram_logprob(ray.data.from_arrow(tbl).repartition(1))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got1["logprob"] == got["logprob"]).all()
+
+    # the defining KN invariant: p_kn(.|w0) is a proper distribution —
+    # summing the seen-type terms plus the backed-off mass over ALL
+    # continuation types gives exactly 1 for every context
+    from collections import Counter, defaultdict
+
+    bgc = Counter()
+    for r in rows:
+        ws = r["text"].split(" ")
+        bgc.update(zip(ws, ws[1:]))
+    ctx = defaultdict(int)
+    n1f = defaultdict(int)
+    n1b = defaultdict(int)
+    for (a, b), c in bgc.items():
+        ctx[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    T = len(bgc)
+    for w0 in list(ctx)[:10]:
+        seen_mass = sum(max(c - 0.75, 0.0) for (a, _), c in bgc.items()
+                        if a == w0) / ctx[w0]
+        backoff = 0.75 * n1f[w0] / ctx[w0] * \
+            sum(n1b[b] for b in n1b) / T
+        assert abs(seen_mass + backoff - 1.0) < 1e-9
