@@ -1806,11 +1806,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_top20"] = bm25_top20
 
     def event_windows(sf_dir):
-        """SQL window functions (row_number / rank / dense_rank / lag
-        gap / running max) per user ordered by time — the shard_scan
-        exchange + one vectorized pass per shard, no per-key dispatch.
-        running_sum is dropped here: sequential float accumulation is
-        oracle-exact only for integer values (unit-tested there)."""
+        """SQL window functions (row_number / rank / dense_rank /
+        percent_rank / cume_dist / ntile4 / lag gap / running max) per
+        user ordered by time — the shard_scan exchange + one vectorized
+        pass per shard, no per-key dispatch. running_sum is dropped
+        here: sequential float accumulation is oracle-exact only for
+        integer values (unit-tested there)."""
         from ocm_ray.ops.relational import partitioned_window
 
         out = partitioned_window(
@@ -1820,6 +1821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_col="value", n_shards=16).to_pandas()
         out = out.drop(columns=["running_sum"])
         out["running_max"] = out["running_max"].round(4)
+        out["percent_rank"] = out["percent_rank"].round(6)
+        out["cume_dist"] = out["cume_dist"].round(6)
         return out.sort_values("event_id").reset_index(drop=True)
     q["event_windows"] = event_windows
 
@@ -3895,6 +3898,12 @@ def oracle_sql() -> dict[str, str]:
                    RANK() OVER (PARTITION BY user_id ORDER BY ts) AS rank,
                    DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts)
                        AS dense_rank,
+                   ROUND(PERCENT_RANK() OVER (PARTITION BY user_id
+                                              ORDER BY ts), 6)
+                       AS percent_rank,
+                   ROUND(CUME_DIST() OVER (PARTITION BY user_id
+                                           ORDER BY ts), 6) AS cume_dist,
+                   NTILE(4) OVER w AS ntile4,
                    COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                                  AS BIGINT), -1) AS gap_us,
                    ROUND(MAX(value) OVER (w ROWS UNBOUNDED PRECEDING), 4)

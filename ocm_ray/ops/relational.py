@@ -738,10 +738,11 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
                        n_shards: int = 64) -> Dataset:
     """SQL window functions over (PARTITION BY key ORDER BY order_col,
     tie_col): row_number, rank, dense_rank (rank/dense on order_col
-    alone, SQL tie semantics), gap to the previous row's order value
-    (``gap_us`` int64, -1 for partition heads), and — when
-    ``value_col`` is given — the running max and running sum of the
-    value.
+    alone, SQL tie semantics), percent_rank and cume_dist (the
+    order-tie-sharing ratio forms), ntile4 (SQL NTILE(4) on the full
+    row order), gap to the previous row's order value (``gap_us``
+    int64, -1 for partition heads), and — when ``value_col`` is given —
+    the running max and running sum of the value.
 
     Scale shape (same as :func:`sessionize`, NOT per-key
     ``map_groups``): compact projection, one raw-task
@@ -779,13 +780,13 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
 
     def scan(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
-        out_cols = [key, tie_col, "row_number", "rank", "dense_rank",
-                    "gap_us"] + (["running_max", "running_sum"]
-                                 if value_col is not None else [])
         if len(df) == 0:
             empty = {key: tbl.column(key), tie_col: tbl.column(tie_col)}
-            for c in out_cols[2:6]:
+            for c in ("row_number", "rank", "dense_rank", "gap_us",
+                      "ntile4"):
                 empty[c] = pa.array([], pa.int64())
+            for c in ("percent_rank", "cume_dist"):
+                empty[c] = pa.array([], pa.float64())
             if value_col is not None:
                 empty["running_max"] = pa.array([], pa.float64())
                 empty["running_sum"] = pa.array([], pa.float64())
@@ -808,9 +809,32 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
         dense_rank = dv - dv[starts[run]] + 1
         gap = np.concatenate([[0], o[1:] - o[:-1]])
         gap[new_key] = -1
+        # ratio forms: PERCENT_RANK = (rank-1)/(n-1) (0 for a singleton
+        # partition), CUME_DIST = peers-through-last / n — both exact
+        # small-integer divisions, bit-identical to SQL doubles
+        sizes = np.bincount(run)
+        n_part = sizes[run].astype(np.float64)
+        percent_rank = np.where(n_part > 1,
+                                (rank - 1) / np.maximum(n_part - 1, 1.0),
+                                0.0)
+        gv = np.cumsum(new_val) - 1
+        ends = np.cumsum(np.bincount(gv)) - 1
+        cume_dist = (ends[gv] - starts[run] + 1) / n_part
+        # SQL NTILE(4): the first n%4 buckets take ceil(n/4) rows
+        t4 = 4
+        idx = row_number - 1
+        n_i = sizes[run]
+        big = n_i // t4 + 1
+        nbig = n_i % t4
+        cutoff = nbig * big
+        small = np.maximum(n_i // t4, 1)  # cutoff covers all rows if n<4
+        ntile4 = np.where(idx < cutoff, idx // big + 1,
+                          nbig + (idx - cutoff) // small + 1).astype(np.int64)
         cols = {key: df[key], tie_col: df[tie_col],
                 "row_number": row_number, "rank": rank,
-                "dense_rank": dense_rank, "gap_us": gap}
+                "dense_rank": dense_rank,
+                "percent_rank": percent_rank, "cume_dist": cume_dist,
+                "ntile4": ntile4, "gap_us": gap}
         if value_col is not None:
             g = df.groupby(run, sort=False)["_val"]
             cols["running_max"] = g.cummax().to_numpy()

@@ -679,6 +679,11 @@ def test_partitioned_window_matches_duckdb():
                ROW_NUMBER() OVER w AS row_number,
                RANK() OVER (PARTITION BY user_id ORDER BY ts) AS rank,
                DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS dense_rank,
+               PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY ts)
+                   AS percent_rank,
+               CUME_DIST() OVER (PARTITION BY user_id ORDER BY ts)
+                   AS cume_dist,
+               NTILE(4) OVER w AS ntile4,
                COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT),
                         -1) AS gap_us,
                MAX(value) OVER (w ROWS UNBOUNDED PRECEDING) AS running_max,
@@ -687,7 +692,11 @@ def test_partitioned_window_matches_duckdb():
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
     """).df()
-    for c in ["user_id", "row_number", "rank", "dense_rank", "gap_us"]:
+    for c in ["user_id", "row_number", "rank", "dense_rank", "ntile4",
+              "gap_us"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # exact small-integer divisions: bit-identical doubles, zero atol
+    for c in ["percent_rank", "cume_dist"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     for c in ["running_max", "running_sum"]:
         np.testing.assert_allclose(got[c], want[c], atol=1e-9, err_msg=c)
