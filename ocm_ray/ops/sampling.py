@@ -108,14 +108,26 @@ def stratified_sample(ds: Dataset, key_col: str,
 
 
 def sample_n_per_key(ds: Dataset, key_col: str, id_col: str = "doc_id",
-                     n: int = 10, seed: int = 137) -> Dataset:
-    """Deterministic uniform sample of exactly min(n, group size) rows
-    per key: keep the n smallest ``wanghash(id ^ salt ^ seed)`` within
-    each key — a seeded reservoir whose membership is a pure function
-    of the ids (stable across runs, partitionings and cluster sizes,
-    unlike an RNG reservoir). Rides :func:`ocm_ray.ops.agg.grouped_topk`
-    (per-block partial top-k + repartition tree — no shuffle); output
-    is bounded by n × |keys|."""
+                     n: int = 10, seed: int = 137,
+                     weight_col: Optional[str] = None) -> Dataset:
+    """Deterministic sample of exactly min(n, group size) rows per key.
+
+    Uniform (default): keep the n smallest ``wanghash(id ^ salt ^
+    seed)`` within each key — a seeded reservoir whose membership is a
+    pure function of the ids (stable across runs, partitionings and
+    cluster sizes, unlike an RNG reservoir).
+
+    Weighted (``weight_col=``): the Efraimidis-Spirakis A-ES scheme —
+    keep the n LARGEST ``ln(u) / w`` with ``u = (hash + 1) / 2^64``
+    (selection probability ∝ weight, same determinism contract); rows
+    with ``w <= 0`` are excluded.
+
+    Either way it rides :func:`ocm_ray.ops.agg.grouped_topk` (per-block
+    partial top-k + repartition tree — no shuffle); output is bounded
+    by n × |keys|.
+    """
+    import pyarrow.compute as pc
+
     from ocm_ray.core.hashing import wanghash
     from ocm_ray.engine.tokens import hash_string_array
     from ocm_ray.ops.agg import grouped_topk
@@ -127,11 +139,18 @@ def sample_n_per_key(ds: Dataset, key_col: str, id_col: str = "doc_id",
                          ^ U64(_SPLIT_SALT) ^ U64(seed))
         else:
             h = hash_string_array(col, seed=seed ^ (_SPLIT_SALT & 0x7FFFFFFF))
-        return batch.append_column("_h", pa.array(h, pa.uint64()))
+        if weight_col is None:
+            return batch.append_column("_h", pa.array(h, pa.uint64()))
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        key = np.where(w > 0, np.log(u) / np.maximum(w, 1e-300), -np.inf)
+        batch = batch.append_column("_h", pa.array(key, pa.float64()))
+        return batch.filter(pa.array(w > 0))
 
     out = grouped_topk(ds.map_batches(add_h, batch_format="pyarrow"),
                        [key_col], "_h", n, tie_cols=[id_col],
-                       descending=False)
+                       descending=weight_col is not None)
 
     def drop(batch: pa.Table) -> pa.Table:
         return batch.drop_columns(["_h"])

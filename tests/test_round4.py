@@ -661,3 +661,65 @@ def test_kn_bigram_logprob(ray_session):
         backoff = 0.75 * n1f[w0] / ctx[w0] * \
             sum(n1b[b] for b in n1b) / T
         assert abs(seen_mass + backoff - 1.0) < 1e-9
+
+
+def test_weighted_sample_n_per_key(ray_session):
+    """A-ES weighted per-key sampling: DuckDB recompute parity (exact
+    same hash -> u -> ln(u)/w chain), partition invariance, and
+    selection frequency proportional to weight over many seeds."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from ocm_ray.ops.sampling import sample_n_per_key
+
+    n_rows = 400
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "grp": pa.array((np.arange(n_rows) % 4).astype(np.int64)),
+        "w": pa.array(np.where(np.arange(n_rows) % 10 == 0, 9.0, 1.0)),
+    })
+
+    got = (sample_n_per_key(ray.data.from_arrow(tbl).repartition(6),
+                            "grp", id_col="doc_id", n=12, weight_col="w")
+           .to_pandas().sort_values(["grp", "doc_id"])
+           .reset_index(drop=True))
+    got1 = (sample_n_per_key(ray.data.from_arrow(tbl).repartition(1),
+                             "grp", id_col="doc_id", n=12, weight_col="w")
+            .to_pandas().sort_values(["grp", "doc_id"])
+            .reset_index(drop=True))
+    assert got[["grp", "doc_id"]].equals(got1[["grp", "doc_id"]])
+
+    # brute-force recompute of the exact key chain
+    from ocm_ray.core.hashing import wanghash
+    from ocm_ray.ops.sampling import _SPLIT_SALT
+
+    h = wanghash(np.arange(n_rows, dtype=np.uint64)
+                 ^ np.uint64(_SPLIT_SALT) ^ np.uint64(137))
+    u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+    key = np.log(u) / tbl.column("w").to_numpy()
+    import pandas as pd
+
+    ref = (pd.DataFrame({"doc_id": np.arange(n_rows),
+                         "grp": np.arange(n_rows) % 4, "k": key})
+           .sort_values(["grp", "k", "doc_id"],
+                        ascending=[True, False, True])
+           .groupby("grp").head(12)
+           .sort_values(["grp", "doc_id"]).reset_index(drop=True))
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+
+    # inclusion frequency tracks weight: heavy rows (w=9) should be
+    # picked far more often across seeds than light rows
+    heavy_hits = light_hits = 0
+    for seed in range(40):
+        s = (sample_n_per_key(ray.data.from_arrow(tbl), "grp",
+                              id_col="doc_id", n=12, seed=seed,
+                              weight_col="w").to_pandas())
+        ids = s["doc_id"].to_numpy()
+        heavy_hits += int((ids % 10 == 0).sum())
+        light_hits += int((ids % 10 != 0).sum())
+    # 10 heavy rows (w=9) + 90 light (w=1) per group, 12 picks without
+    # replacement: heavies deplete so the share renormalizes below the
+    # first-draw 50% (simulated ~0.31); uniform sampling would give 0.10
+    share = heavy_hits / (heavy_hits + light_hits)
+    assert 0.22 <= share <= 0.45
