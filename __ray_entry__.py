@@ -1823,6 +1823,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["running_max"] = out["running_max"].round(4)
         out["percent_rank"] = out["percent_rank"].round(6)
         out["cume_dist"] = out["cume_dist"].round(6)
+        # partition-edge NaNs -> 0 sentinel (COALESCE on the SQL side):
+        # exact copies otherwise, so ROUND(4) matches the source values
+        out["lag_value"] = out["lag_value"].fillna(0.0).round(4)
+        out["lead_value"] = out["lead_value"].fillna(0.0).round(4)
         return out.sort_values("event_id").reset_index(drop=True)
     q["event_windows"] = event_windows
 
@@ -3907,7 +3911,9 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                                  AS BIGINT), -1) AS gap_us,
                    ROUND(MAX(value) OVER (w ROWS UNBOUNDED PRECEDING), 4)
-                       AS running_max
+                       AS running_max,
+                   ROUND(COALESCE(LAG(value) OVER w, 0), 4) AS lag_value,
+                   ROUND(COALESCE(LEAD(value) OVER w, 0), 4) AS lead_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id

@@ -742,7 +742,8 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
     order-tie-sharing ratio forms), ntile4 (SQL NTILE(4) on the full
     row order), gap to the previous row's order value (``gap_us``
     int64, -1 for partition heads), and — when ``value_col`` is given —
-    the running max and running sum of the value.
+    the running max and running sum of the value plus ``lag_value`` /
+    ``lead_value`` (shifted copies, NaN at partition edges).
 
     Scale shape (same as :func:`sessionize`, NOT per-key
     ``map_groups``): compact projection, one raw-task
@@ -788,8 +789,9 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
             for c in ("percent_rank", "cume_dist"):
                 empty[c] = pa.array([], pa.float64())
             if value_col is not None:
-                empty["running_max"] = pa.array([], pa.float64())
-                empty["running_sum"] = pa.array([], pa.float64())
+                for c in ("running_max", "running_sum", "lag_value",
+                          "lead_value"):
+                    empty[c] = pa.array([], pa.float64())
             return pa.table(empty)
         df = df.sort_values([key, "_ord", tie_col], kind="mergesort",
                             ignore_index=True)
@@ -839,6 +841,15 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
             g = df.groupby(run, sort=False)["_val"]
             cols["running_max"] = g.cummax().to_numpy()
             cols["running_sum"] = g.cumsum().to_numpy()
+            # LAG/LEAD of the value over the full row order — pure
+            # shifted copies (null at partition edges), oracle-exact
+            v = df["_val"].to_numpy()
+            lag_v = np.concatenate([[np.nan], v[:-1]])
+            lag_v[new_key] = np.nan
+            lead_v = np.concatenate([v[1:], [np.nan]])
+            lead_v[np.concatenate([new_key[1:], [True]])] = np.nan
+            cols["lag_value"] = lag_v
+            cols["lead_value"] = lead_v
         return pa.Table.from_pandas(pd.DataFrame(cols),
                                     preserve_index=False)
 

@@ -687,7 +687,9 @@ def test_partitioned_window_matches_duckdb():
                COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT),
                         -1) AS gap_us,
                MAX(value) OVER (w ROWS UNBOUNDED PRECEDING) AS running_max,
-               SUM(value) OVER (w ROWS UNBOUNDED PRECEDING) AS running_sum
+               SUM(value) OVER (w ROWS UNBOUNDED PRECEDING) AS running_sum,
+               LAG(value) OVER w AS lag_value,
+               LEAD(value) OVER w AS lead_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
@@ -700,6 +702,9 @@ def test_partitioned_window_matches_duckdb():
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     for c in ["running_max", "running_sum"]:
         np.testing.assert_allclose(got[c], want[c], atol=1e-9, err_msg=c)
+    for c in ["lag_value", "lead_value"]:  # exact copies, NaN at edges
+        ge, we = got[c].to_numpy(), want[c].to_numpy()
+        assert ((ge == we) | (np.isnan(ge) & np.isnan(we))).all(), c
 
 
 def test_grouped_topk_partition_invariance_and_ties():
