@@ -425,6 +425,10 @@ def cmd_classify(args) -> int:
     a saved one."""
     import ray.data as rd
 
+    if args.action != "train" and not args.output:
+        print("classify score/filter requires -o/--output", file=sys.stderr)
+        return 2
+
     _init_ray(args.num_cpus)
     from ocm_ray.ops.classifier import (NBModel, nb_filter, nb_scores,
                                         train_quality_classifier)

@@ -95,31 +95,46 @@ def _cap_consumers(p: int) -> int:
     return max(1, min(p, n - max(1, n // 4)))
 
 
-def _cap_split_pipeline_cpus(ds: Dataset, p: int) -> None:
-    """Cap the split pipeline's own CPU budget at ncpus − P.
+class _cap_split_pipeline_cpus:
+    """Context manager: cap the split pipeline's OWN CPU budget at
+    ``ncpus − ceil(P/2)`` (the P consumers reserve 0.5 CPU each) for
+    the duration of the build, then restore.
 
-    The P consumer tasks are raw 1-CPU Ray tasks the Dataset executor
-    knows nothing about: if its read tasks grab every CPU first, they
-    pause on output backpressure WITHOUT releasing their CPUs (streaming
+    The consumer tasks are raw Ray tasks the Dataset executor knows
+    nothing about: if its read tasks grab every CPU first, they pause
+    on output backpressure WITHOUT releasing their CPUs (streaming
     generators stay RUNNING while paused), the consumers can never
     schedule, and the pipeline deadlocks silently (CLAUDE.md rule 1 —
-    the race fired in a 4-CPU test session). ``ds.context`` is a
-    per-dataset copy, so this never leaks into other pipelines."""
-    from ray.data import ExecutionResources
+    the race fired in a 4-CPU test session). ``ds.context`` is
+    per-dataset but persists across re-executions of the SAME dataset
+    object, so the limit is restored on exit rather than left behind."""
 
-    n = int(ray.cluster_resources().get("CPU", 8))
-    opts = ds.context.execution_options
-    opts.resource_limits = ExecutionResources.for_limits(cpu=max(1, n - p))
+    def __init__(self, ds: Dataset, p: int):
+        from ray.data import ExecutionResources
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+        self._opts = ds.context.execution_options
+        self._old = self._opts.resource_limits
+        self._opts.resource_limits = ExecutionResources.for_limits(
+            cpu=max(1, n - (p + 1) // 2))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._opts.resource_limits = self._old
+        return False
 
 
 def build_sketch(ds: Dataset, factory: SketchFactory, column: str = "tokens",
                  parallelism: Optional[int] = None, kgram: int = 1) -> MergeableSketch:
     """Stream the Dataset through P accumulator tasks → tree-merged sketch."""
     p = _cap_consumers(parallelism or _default_parallelism())
-    _cap_split_pipeline_cpus(ds, p)
-    splits = ds.streaming_split(p, equal=False)
-    refs = [_consume_split.remote(it, factory, column, kgram) for it in splits]
-    return tree_merge(refs)
+    with _cap_split_pipeline_cpus(ds, p):
+        splits = ds.streaming_split(p, equal=False)
+        refs = [_consume_split.remote(it, factory, column, kgram)
+                for it in splits]
+        return tree_merge(refs)  # blocks until the stream is drained
 
 
 @ray.remote(num_cpus=1)

@@ -235,12 +235,17 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
                     for grp in groups_of_refs]
         else:
             pass_ds = dataset_factory()
-            _cap_split_pipeline_cpus(pass_ds, p)
-            splits = pass_ds.streaming_split(p, equal=False)
-            refs = [_round_pass.remote(it, np_bits, nh, seedseed, conservative,
-                                       mode, r, rounds, core_ref, coll_ref,
-                                       column, kgram, partial_counter_dtype)
-                    for it in splits]
+            # hold the read-budget cap until the consumers drain the
+            # stream (the tree merge blocks on them), then restore
+            with _cap_split_pipeline_cpus(pass_ds, p):
+                splits = pass_ds.streaming_split(p, equal=False)
+                refs = [_round_pass.remote(it, np_bits, nh, seedseed,
+                                           conservative, mode, r, rounds,
+                                           core_ref, coll_ref, column,
+                                           kgram, partial_counter_dtype)
+                        for it in splits]
+                return (tree_merge_collision(refs) if mode == "collision"
+                        else tree_merge(refs))
         if mode == "collision":
             merged = tree_merge_collision(refs)
         else:

@@ -65,13 +65,18 @@ class NBModel:
     n_neg_docs: int
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path, keys=self.keys, lp_diff=self.lp_diff,
-            scalars=np.array([self.lp_oov, self.prior,
-                              float(self.vocab_size), self.alpha,
-                              float(self.lowercase),
-                              float(self.n_pos_docs),
-                              float(self.n_neg_docs)], dtype=np.float64))
+        # write through a file handle: np.savez_compressed(path=str)
+        # appends '.npz' to suffix-less paths, which would break the
+        # save(path) -> load(path) round trip for e.g. --model /tmp/m
+        with open(path, "wb") as fh:
+            np.savez_compressed(
+                fh, keys=self.keys, lp_diff=self.lp_diff,
+                scalars=np.array([self.lp_oov, self.prior,
+                                  float(self.vocab_size), self.alpha,
+                                  float(self.lowercase),
+                                  float(self.n_pos_docs),
+                                  float(self.n_neg_docs)],
+                                 dtype=np.float64))
 
     @classmethod
     def load(cls, path: str) -> "NBModel":
@@ -102,13 +107,20 @@ def train_quality_classifier(ds, label_col: str = "label",
 
     def local_counts(batch: pa.Table) -> pa.Table:
         import polars as pl
+        import pyarrow.compute as pc
 
+        txt = batch.column(text_col)
+        if lowercase:
+            # MUST be the same kernel the scoring pass uses
+            # (split_words_hashed → pc.utf8_lower): polars
+            # str.to_lowercase special-cases some codepoints (e.g.
+            # 'İ') differently, which would silently train words the
+            # scorer can never look up
+            txt = pc.utf8_lower(txt)
         df = pl.DataFrame({
-            "token": pl.from_arrow(batch.column(text_col)),
+            "token": pl.from_arrow(txt),
             "y": pl.from_arrow(batch.column(label_col)),
         })
-        if lowercase:
-            df = df.with_columns(pl.col("token").str.to_lowercase())
         vc = (df.with_columns(pl.col("token").str.split(" "))
                 .explode("token")
                 .group_by(["token", "y"]).len("cnt"))

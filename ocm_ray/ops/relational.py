@@ -782,12 +782,15 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
     def scan(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
         if len(df) == 0:
+            # column ORDER must equal the non-empty branch's — divergent
+            # block schemas in one Dataset break strict concat consumers
             empty = {key: tbl.column(key), tie_col: tbl.column(tie_col)}
-            for c in ("row_number", "rank", "dense_rank", "gap_us",
-                      "ntile4"):
+            for c in ("row_number", "rank", "dense_rank"):
                 empty[c] = pa.array([], pa.int64())
             for c in ("percent_rank", "cume_dist"):
                 empty[c] = pa.array([], pa.float64())
+            empty["ntile4"] = pa.array([], pa.int64())
+            empty["gap_us"] = pa.array([], pa.int64())
             if value_col is not None:
                 for c in ("running_max", "running_sum", "lag_value",
                           "lead_value"):
@@ -819,7 +822,7 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
         percent_rank = np.where(n_part > 1,
                                 (rank - 1) / np.maximum(n_part - 1, 1.0),
                                 0.0)
-        gv = np.cumsum(new_val) - 1
+        gv = dv - 1  # order-value group ids (dv computed for dense_rank)
         ends = np.cumsum(np.bincount(gv)) - 1
         cume_dist = (ends[gv] - starts[run] + 1) / n_part
         # SQL NTILE(4): the first n%4 buckets take ceil(n/4) rows

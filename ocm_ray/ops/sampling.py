@@ -126,8 +126,6 @@ def sample_n_per_key(ds: Dataset, key_col: str, id_col: str = "doc_id",
     partial top-k + repartition tree — no shuffle); output is bounded
     by n × |keys|.
     """
-    import pyarrow.compute as pc
-
     from ocm_ray.core.hashing import wanghash
     from ocm_ray.engine.tokens import hash_string_array
     from ocm_ray.ops.agg import grouped_topk

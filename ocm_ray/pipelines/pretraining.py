@@ -45,6 +45,12 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
 
     import ray.data as rd
 
+    if classifier is None and (classifier_top_frac is not None
+                               or classifier_threshold != 0.0):
+        raise ValueError(
+            "classifier_top_frac / classifier_threshold require "
+            "classifier= (a model or saved-model path) — without it the "
+            "model-quality stage would be silently skipped")
     stale = _glob.glob(os.path.join(out_dir, "**", "*.parquet"),
                        recursive=True)
     if stale:

@@ -248,3 +248,34 @@ def test_curate_classifier_top_fraction(ray_session, tmp_path):
     kept_ids = set(got["doc_id"])
     dropped = [i for i in range(100) if i not in kept_ids]
     assert sc[list(kept_ids)].min() >= sc[dropped].max()
+
+
+def test_nb_lowercase_train_score_consistent(ray_session, tmp_path):
+    """lowercase=True must use the SAME kernel at train and score time
+    (Arrow utf8_lower) — words with special-cased codepoints ('İ') used
+    to train under one form and score as OOV under the other. Also:
+    save/load round-trips through a suffix-less path."""
+    from ocm_ray.ops.classifier import (NBModel, nb_scores,
+                                        train_quality_classifier)
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["İstanbul GOOD Facts", "GOOD istanbul facts",
+                          "SPAM Junk buy", "junk SPAM BUY"]),
+        "label": pa.array([True, True, False, False]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    model = train_quality_classifier(ds, lowercase=True)
+    out = (nb_scores(ds, model).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # every word (incl. the İ variants) must resolve to a trained
+    # weight, never the OOV floor: an all-OOV doc would score exactly
+    # prior + 3*lp_oov
+    floor = round(model.prior + 3 * model.lp_oov, 4)
+    assert (out["nb_logodds"] != floor).all()
+    assert out["nb_keep"].tolist() == [True, True, False, False]
+
+    p = str(tmp_path / "model_no_suffix")  # no .npz
+    model.save(p)
+    m2 = NBModel.load(p)
+    assert np.array_equal(model.keys, m2.keys)

@@ -1367,3 +1367,27 @@ def test_y4m_video_decode_real():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         sample_video_frames(mp4, fake=False)
+
+
+def test_partitioned_window_empty_shards_schema_stable():
+    """Few keys + many shards leaves most shard tasks empty: every
+    block must carry the SAME column order/schema (a divergent empty
+    branch used to emit ntile4/gap_us in a different position) and the
+    result must equal the single-shard run."""
+    import ray.data as rd
+
+    from ocm_ray.ops.relational import partitioned_window
+
+    df = pd.DataFrame({
+        "event_id": np.arange(40, dtype=np.int64),
+        "user_id": np.arange(40) % 2,
+        "ts": pd.to_datetime((np.arange(40) // 3) * 1_000_000, unit="us"),
+        "value": np.arange(40, dtype=float),
+    })
+    wide = (partitioned_window(rd.from_pandas(df, override_num_blocks=4),
+                               n_shards=16)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    one = (partitioned_window(rd.from_pandas(df), n_shards=1)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert list(wide.columns) == list(one.columns)
+    pd.testing.assert_frame_equal(wide, one)
