@@ -498,7 +498,9 @@ def cmd_curate(args) -> int:
                      remove_spans=args.remove_spans,
                      classifier=args.classifier,
                      classifier_threshold=args.classifier_threshold,
-                     classifier_top_frac=args.classifier_top_frac)
+                     classifier_top_frac=args.classifier_top_frac,
+                     ppl_tiers=(tuple(t for t in args.ppl_tiers.split(",")
+                                      if t) if args.ppl_tiers else None))
     print(json.dumps(summary))
     return 0
 
@@ -673,6 +675,10 @@ def main(argv=None) -> int:
                     help="keep the top FRACTION by classifier score "
                          "(quantile threshold via KLL) instead of a "
                          "fixed --classifier-threshold")
+    cu.add_argument("--ppl-tiers",
+                    help="comma list of CCNet tiers to KEEP (e.g. "
+                         "head,middle) by per-source unigram-LM score "
+                         "terciles")
     cu.add_argument("--overwrite", action="store_true")
     cu.add_argument("--num-cpus", type=int)
     cu.set_defaults(fn=cmd_curate)

@@ -459,3 +459,69 @@ def perplexity_buckets(ds: Dataset, id_col: str = "doc_id",
                                    pa.array(bucket.astype(object)))
 
     return scored.map_batches(assign, batch_format="pyarrow")
+
+
+def perplexity_tier_filter(ds: Dataset, tiers=("head", "middle"),
+                           text_col: str = "text",
+                           source_col: str = "source",
+                           qs: tuple = (1 / 3, 2 / 3), ndigits: int = 4,
+                           n_shards: int = 16) -> Dataset:
+    """Apply the CCNet selection policy: KEEP only rows whose
+    :func:`perplexity_buckets` tier is in ``tiers`` (CCNet trains on
+    head+middle and drops the tail). All input columns pass through.
+
+    Scale shape: the threshold discovery is exactly
+    :func:`perplexity_buckets`'s (compact (source, score) exchange);
+    the filter is ONE additional stateless pass that RE-SCORES each
+    batch against the broadcast LM table and compares to the broadcast
+    per-source thresholds — no corpus-sized id broadcast, no join, no
+    shuffle of the payload."""
+    import ray
+
+    from ocm_ray.engine.tokens import hash_string_array, split_words_hashed
+    from ocm_ray.ops.relational import grouped_quantiles
+    from ocm_ray.ops.text import token_count_table, unigram_logprob
+
+    keep = frozenset(tiers)
+    bad = keep - {"head", "middle", "tail"}
+    if bad:
+        raise ValueError(f"unknown tiers: {sorted(bad)}")
+    q_lo, q_hi = qs
+
+    counts = token_count_table(ds, text_col).to_pandas()
+    scored = unigram_logprob(ds, id_col=source_col, text_col=text_col,
+                             ndigits=ndigits, counts=counts)
+    # (id_col=source_col: the quantile stage only needs (source, score))
+    th = grouped_quantiles(scored, source_col, "logprob", qs=list(qs),
+                           n_shards=n_shards).to_pandas()
+    lo_map = th[th["q"] == q_lo].set_index(source_col)["logprob"].to_dict()
+    hi_map = th[th["q"] == q_hi].set_index(source_col)["logprob"].to_dict()
+
+    # the SAME broadcast LM table unigram_logprob used, so the filter's
+    # re-score reproduces the rounded values bit-for-bit
+    keys = hash_string_array(pa.array(counts["token"].astype(str)))
+    total = float(counts["cnt"].sum())
+    lp = np.log2(counts["cnt"].to_numpy().astype(np.float64) / total)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], lp[order], lo_map, hi_map))
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k, l, lo_map, hi_map = ray.get(ref)
+        flat, lens = split_words_hashed(batch.column(text_col),
+                                        lowercase=False)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        lps = l[np.searchsorted(k, flat)]
+        sums = (np.add.reduceat(lps, offs[:-1]) if len(flat)
+                else np.zeros(len(lens)))
+        score = np.round(sums / np.maximum(lens, 1), ndigits)
+        src = batch.column(source_col).to_pandas()
+        lo = src.map(lo_map).to_numpy(dtype=np.float64)
+        hi = src.map(hi_map).to_numpy(dtype=np.float64)
+        tier = np.where(score <= lo, "tail",
+                        np.where(score <= hi, "middle", "head"))
+        mask = np.isin(tier, list(keep))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

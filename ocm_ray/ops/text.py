@@ -404,7 +404,8 @@ def gopher_quality_flags(ds, min_words: int = 50, max_words: int = 100_000,
 
 
 def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
-                    ndigits: int = 4, keep_cols: tuple = ()):
+                    ndigits: int = 4, keep_cols: tuple = (),
+                    counts=None):
     """Per-document mean log2 probability of its tokens under the
     corpus-wide unigram distribution — the CCNet-style fluency proxy
     (a perplexity stand-in with the unigram LM trained on the corpus
@@ -422,7 +423,8 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
 
     from ocm_ray.engine.tokens import hash_string_array, split_words_hashed
 
-    counts = token_count_table(ds, text_col).to_pandas()
+    if counts is None:  # callers holding the table already pass it in
+        counts = token_count_table(ds, text_col).to_pandas()
     keys = hash_string_array(pa.array(counts["token"].astype(str)))
     total = float(counts["cnt"].sum())
     lp = np.log2(counts["cnt"].to_numpy().astype(np.float64) / total)

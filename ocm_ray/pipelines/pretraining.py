@@ -25,7 +25,8 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
            concurrency: int = 4, overwrite: bool = False,
            redact: bool = False, remove_spans: int = 0,
            classifier=None, classifier_threshold: float = 0.0,
-           classifier_top_frac: Optional[float] = None) -> dict:
+           classifier_top_frac: Optional[float] = None,
+           ppl_tiers: Optional[tuple] = None) -> dict:
     """Run the curation flow over a documents Parquet table; returns a
     summary dict (counts per stage, per-source distincts).
 
@@ -35,6 +36,9 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     ``classifier_top_frac`` switches that stage from the fixed
     ``classifier_threshold`` to the quantile policy (keep the top
     fraction by score, threshold discovered via a KLL sketch).
+    ``ppl_tiers`` (e.g. ``("head", "middle")``) adds the CCNet
+    perplexity-tier selection — keep only rows in those per-source
+    unigram-LM score terciles.
 
     ``out_dir`` must not already hold Parquet (``write_parquet`` appends
     uniquely-named files, so a re-run into a dirty sink would double-count
@@ -130,6 +134,14 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
                                            classifier_top_frac)
         else:
             kept = nb_filter(kept, model, threshold=classifier_threshold)
+    # 1.6 optional CCNet tier selection: drop low-fluency tiers by
+    # per-source unigram-LM score terciles (threshold discovery on the
+    # compact (source, score) exchange; one re-scoring filter pass)
+    if ppl_tiers is not None:
+        from ocm_ray.ops.sampling import perplexity_tier_filter
+
+        kept = kept.materialize()  # scored twice (thresholds + filter)
+        kept = perplexity_tier_filter(kept, tiers=tuple(ppl_tiers))
     kept = kept.materialize()  # reused by three consumers below
     n_quality = kept.count()
     if n_quality == 0:

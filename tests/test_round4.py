@@ -723,3 +723,43 @@ def test_weighted_sample_n_per_key(ray_session):
     # first-draw 50% (simulated ~0.31); uniform sampling would give 0.10
     share = heavy_hits / (heavy_hits + light_hits)
     assert 0.22 <= share <= 0.45
+
+
+def test_perplexity_tier_filter_and_curate(ray_session, tmp_path):
+    """The CCNet selection policy applied: perplexity_tier_filter keeps
+    exactly the rows perplexity_buckets labels with the kept tiers (the
+    re-scoring filter pass reproduces the bucketing bit-for-bit), and
+    curate(ppl_tiers=) composes it into the flagship pipeline."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ocm_ray.ops.sampling import perplexity_buckets, perplexity_tier_filter
+    from ocm_ray.pipelines.pretraining import curate
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, rng.integers(5, 40))),
+             "source": f"s{i % 2}"} for i in range(200)]
+    tbl = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    buckets = perplexity_buckets(ds).to_pandas()
+    expect = set(buckets.loc[buckets["ppl_bucket"] != "tail", "doc_id"])
+    kept = perplexity_tier_filter(ds, tiers=("head", "middle")).to_pandas()
+    assert set(kept["doc_id"]) == expect
+    assert list(kept.columns) == ["doc_id", "text", "source"]  # passthrough
+
+    with pytest.raises(ValueError, match="unknown tiers"):
+        perplexity_tier_filter(ds, tiers=("best",))
+
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(tbl, src)
+    out_dir = str(tmp_path / "curated")
+    summary = curate(src, out_dir, quality_min=0.0,
+                     near_dup_threshold=1.01, ppl_tiers=("head", "middle"))
+    got = pq.read_table(out_dir).to_pandas()
+    # curate's own tier thresholds are computed AFTER the heuristic
+    # quality stage; with quality_min=0 that's the same corpus
+    assert set(got["doc_id"]) == expect
+    assert summary["n_after_quality"] == len(expect)
