@@ -505,6 +505,122 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Corpus health report: one JSON over a documents table — size,
+    token/char totals, per-source mix, Gopher quality keep-rates, exact
+    duplicate mass, and (with --tiers) the CCNet perplexity-tier
+    distribution. Every aggregate is a per-block partial folded
+    driver-side (source/flag-bounded); the corpus never lands on the
+    driver."""
+    import ray.data as rd
+
+    _init_ray(args.num_cpus)
+    import pyarrow as pa
+
+    t0 = time.time()
+    files = _input_files(args.input)
+    if not files:
+        print(f"no parquet files under {args.input}", file=sys.stderr)
+        return 2
+    cols = [args.id_col, args.text_col] + \
+        ([args.source_col] if args.source_col else [])
+    ds = rd.read_parquet(files, columns=cols)
+
+    id_col, text_col, source_col = args.id_col, args.text_col, args.source_col
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        from ocm_ray.ops.text import gopher_quality_flags  # noqa: F401
+        from ocm_ray.engine.tokens import split_words_hashed
+
+        flat, lens = split_words_hashed(batch.column(text_col))
+        txt = batch.column(text_col)
+        if isinstance(txt, _pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        import pyarrow.compute as _pc
+
+        n_chars = int(_pc.sum(_pc.utf8_length(txt.fill_null(""))).as_py()
+                      or 0)
+        srcs = {}
+        if source_col:
+            import polars as _pl
+
+            vc = _pl.DataFrame({"s": _pl.from_arrow(
+                batch.column(source_col))}).group_by("s").len("n")
+            srcs = dict(zip(vc["s"].to_list(),
+                            (int(x) for x in vc["n"].to_list())))
+        return _pa.table({"part": [_json.dumps({
+            "n_docs": batch.num_rows,
+            "n_tokens": int(lens.sum()),
+            "n_chars": n_chars,
+            "min_tokens": int(lens.min()) if len(lens) else 0,
+            "max_tokens": int(lens.max()) if len(lens) else 0,
+            "sources": srcs,
+        })]})
+
+    import json as _json
+
+    agg = {"n_docs": 0, "n_tokens": 0, "n_chars": 0,
+           "min_tokens": None, "max_tokens": 0, "sources": {}}
+    for b in ds.map_batches(partials, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow", batch_size=None):
+        for raw in b.column("part"):
+            p = _json.loads(raw.as_py())
+            agg["n_docs"] += p["n_docs"]
+            agg["n_tokens"] += p["n_tokens"]
+            agg["n_chars"] += p["n_chars"]
+            agg["max_tokens"] = max(agg["max_tokens"], p["max_tokens"])
+            agg["min_tokens"] = p["min_tokens"] if agg["min_tokens"] is None \
+                else min(agg["min_tokens"], p["min_tokens"])
+            for s, n in p["sources"].items():
+                agg["sources"][s] = agg["sources"].get(s, 0) + n
+
+    # Gopher quality keep-rate (flag-bounded aggregate of the op)
+    from ocm_ray.ops.text import gopher_quality_flags
+
+    gq = gopher_quality_flags(ds.select_columns([id_col, text_col]),
+                              id_col=id_col, text_col=text_col)
+    n_keep = int(gq.map_batches(
+        lambda t: pa.table({"k": [int(sum(t.column("keep").to_pylist()))]}),
+        batch_format="pyarrow").sum("k") or 0)
+
+    # exact duplicate mass: surplus copies per duplicated content hash
+    from ocm_ray.ops.dedup import exact_dedup_groups
+
+    import pyarrow.compute as pc
+
+    dup = (exact_dedup_groups(ds.select_columns([id_col, text_col]),
+                              id_col=id_col, text_col=text_col)
+           .map_batches(lambda t: t.filter(
+               pc.greater(t.column("n_copies"), pa.scalar(1))),
+               batch_format="pyarrow")
+           .to_pandas())  # only DUPLICATED hashes reach the driver
+    n_surplus = int((dup["n_copies"] - 1).sum()) if len(dup) else 0
+
+    report = {
+        **{k: v for k, v in agg.items() if k != "sources"},
+        "mean_tokens": round(agg["n_tokens"] / max(agg["n_docs"], 1), 2),
+        "sources": dict(sorted(agg["sources"].items())),
+        "gopher_keep_rate": round(n_keep / max(agg["n_docs"], 1), 4),
+        "exact_dup_surplus": n_surplus,
+        "exact_dup_rate": round(n_surplus / max(agg["n_docs"], 1), 4),
+    }
+    if args.tiers and source_col:
+        from ocm_ray.ops.sampling import perplexity_buckets
+
+        bk = perplexity_buckets(ds, id_col=id_col, text_col=text_col,
+                                source_col=source_col).to_pandas()
+        report["ppl_tiers"] = \
+            bk["ppl_bucket"].value_counts().sort_index().to_dict()
+    report["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_epoch(args) -> int:
     """Training-epoch export: exclusion dedup → deterministic shuffle →
     fixed-length packing → Parquet (see pipelines.pretraining)."""
@@ -682,6 +798,17 @@ def main(argv=None) -> int:
     cu.add_argument("--overwrite", action="store_true")
     cu.add_argument("--num-cpus", type=int)
     cu.set_defaults(fn=cmd_curate)
+
+    rp = sub.add_parser("report", help="one-JSON corpus health report")
+    rp.add_argument("--input", required=True, help="parquet dir or glob")
+    rp.add_argument("--id-col", default="doc_id")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--source-col", default="source",
+                    help="'' to skip the per-source mix")
+    rp.add_argument("--tiers", action="store_true",
+                    help="include the CCNet perplexity-tier distribution")
+    rp.add_argument("--num-cpus", type=int)
+    rp.set_defaults(fn=cmd_report)
 
     e = sub.add_parser("epoch", help="export one deterministic training "
                                      "epoch (shuffle + pack)")

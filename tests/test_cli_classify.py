@@ -86,3 +86,17 @@ def test_cli_curate_with_classifier(labeled_docs, tmp_path):
     assert summary["n_input"] == 80 and summary["n_after_quality"] == 40
     got = pq.read_table(out_dir).to_pandas()
     assert sorted(got["doc_id"]) == list(range(0, 80, 2))
+
+
+def test_cli_report(labeled_docs):
+    """report subcommand: one-JSON corpus health summary with exact
+    counts (80 docs, 30 words each, planted source mix)."""
+    r = _run(["report", "--input", labeled_docs, "--tiers",
+              "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_docs"] == 80 and rep["n_tokens"] == 80 * 30
+    assert rep["sources"] == {"web": 40, "wiki": 40}
+    assert rep["min_tokens"] == 30 and rep["max_tokens"] == 30
+    assert rep["exact_dup_surplus"] == 0
+    assert sum(rep["ppl_tiers"].values()) == 80
