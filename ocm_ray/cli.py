@@ -531,10 +531,8 @@ def cmd_report(args) -> int:
     def partials(batch: pa.Table) -> pa.Table:
         import json as _json
 
-        import numpy as _np
         import pyarrow as _pa
 
-        from ocm_ray.ops.text import gopher_quality_flags  # noqa: F401
         from ocm_ray.engine.tokens import split_words_hashed
 
         flat, lens = split_words_hashed(batch.column(text_col))

@@ -446,8 +446,6 @@ def perplexity_buckets(ds: Dataset, id_col: str = "doc_id",
     ref = ray.put((lo_map, hi_map))
 
     def assign(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         lo_map, hi_map = ray.get(ref)
         src = batch.column(source_col).to_pandas()
         lp = batch.column("logprob").to_numpy(zero_copy_only=False)
@@ -506,8 +504,6 @@ def perplexity_tier_filter(ds: Dataset, tiers=("head", "middle"),
     ref = ray.put((keys[order], lp[order], lo_map, hi_map))
 
     def keep_rows(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         k, l, lo_map, hi_map = ray.get(ref)
         flat, lens = split_words_hashed(batch.column(text_col),
                                         lowercase=False)
