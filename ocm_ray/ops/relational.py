@@ -1079,3 +1079,93 @@ def interval_join_sharded(left: Dataset, right: Dataset, value_col: str,
         return sharded.union(interval_join_broadcast(
             left, long_df, value_col, lo_col, hi_col, right_cols))
     return sharded
+
+
+def funnel(events: Dataset, stages, key: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type",
+           tie_col: str = "event_id", n_shards: int = 64) -> Dataset:
+    """Ordered funnel analysis: per key, how far through ``stages``
+    (e.g. ``("view", "click", "signup", "purchase")``) did the event
+    stream progress? Stage i is reached at the FIRST event of its type
+    strictly AFTER stage i−1's reach point in the total (ts, tie_col)
+    order. Emits one row per key: ``n_reached`` plus ``ts_<stage>``
+    reach timestamps (µs since epoch; −1 when not reached) — all
+    integers, so a SQL oracle matches exactly.
+
+    Scale shape (the ``ops/pairs.py`` pattern, NOT per-key map_groups):
+    compact (key, ts, tie, stage-index) projection, one raw-task
+    shard_scan exchange by key hash, then per shard ONE sort and a
+    vectorized pass PER STAGE (``np.minimum.reduceat`` over key runs —
+    the loop is over len(stages), never over keys)."""
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+
+    stages = list(stages)
+    bits = _shard_bits(n_shards)
+    BIG = np.iinfo(np.int64).max
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        sidx = _pc.index_in(batch.column(type_col),
+                            value_set=pa.array(stages)) \
+            .to_numpy(zero_copy_only=False)
+        sidx = np.where(np.isnan(sidx.astype(np.float64)), -1,
+                        sidx).astype(np.int64) \
+            if sidx.dtype.kind == "f" else sidx.astype(np.int64)
+        keep = sidx >= 0  # only funnel-stage events travel
+        t = pa.table({key: batch.column(key),
+                      "_ord": pa.array(_order_to_i64(batch, ts_col)),
+                      "_tie": batch.column(tie_col),
+                      "_stg": pa.array(sidx)})
+        return t.filter(pa.array(keep))
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        from ocm_ray.core.hashing import wanghash
+        from ocm_ray.engine.tokens import hash_string_array
+
+        col = tbl.column(key)
+        if pa.types.is_integer(tbl.schema.field(key).type):
+            h = wanghash(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = hash_string_array(col)
+        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits else \
+            np.zeros(len(h), np.int32)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if len(df) == 0:
+            out = {key: tbl.column(key), "n_reached": pa.array([], pa.int64())}
+            for s in stages:
+                out[f"ts_{s}"] = pa.array([], pa.int64())
+            return pa.table(out)
+        df = df.sort_values([key, "_ord", "_tie"], kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        o = df["_ord"].to_numpy()
+        tie = df["_tie"].to_numpy()
+        stg = df["_stg"].to_numpy()
+        pos = np.arange(len(df), dtype=np.int64)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        run = np.cumsum(new_key) - 1
+        starts = pos[new_key]
+        n_runs = len(starts)
+        prev = np.full(n_runs, -1, dtype=np.int64)  # reach POSITION
+        reach_ts = np.full((n_runs, len(stages)), -1, dtype=np.int64)
+        alive = np.ones(n_runs, dtype=bool)
+        for i in range(len(stages)):
+            cand = np.where((stg == i) & (pos > prev[run]) & alive[run],
+                            pos, BIG)
+            first = np.minimum.reduceat(cand, starts)
+            hit = first < BIG
+            reach_ts[hit, i] = o[first[hit]]
+            prev = np.where(hit, first, prev)
+            alive &= hit
+        n_reached = (reach_ts >= 0).sum(axis=1).astype(np.int64)
+        out = {key: df[key].to_numpy()[starts], "n_reached": n_reached}
+        for i, s in enumerate(stages):
+            out[f"ts_{s}"] = reach_ts[:, i]
+        return pa.Table.from_pandas(pd.DataFrame(out),
+                                    preserve_index=False)
+
+    return shard_scan(events.map_batches(project, batch_format="pyarrow"),
+                      shard_of, scan, n_shards)

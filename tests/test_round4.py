@@ -763,3 +763,97 @@ def test_perplexity_tier_filter_and_curate(ray_session, tmp_path):
     # quality stage; with quality_min=0 that's the same corpus
     assert set(got["doc_id"]) == expect
     assert summary["n_after_quality"] == len(expect)
+
+
+def test_funnel_matches_duckdb(ray_session):
+    """Ordered funnel progression per user vs a DuckDB recompute of the
+    same strict-(ts, event_id)-order semantics; partition-invariant;
+    integers only, so equality is exact."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from ocm_ray.ops.relational import funnel
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    types = ["view", "click", "signup", "purchase", "error"]
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 150, n),
+        # coarse time grid -> ties exercise the (ts, event_id) order
+        "ts": pd.to_datetime(rng.integers(0, 300, n) * 1_000_000, unit="us"),
+        "event_type": rng.choice(types, n, p=[.4, .25, .15, .1, .1]),
+    })
+    stages = ("view", "click", "signup", "purchase")
+    got = (funnel(ray.data.from_pandas(df, override_num_blocks=5), stages,
+                  n_shards=8)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    got1 = (funnel(ray.data.from_pandas(df), stages, n_shards=1)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got1)
+
+    # brute force: per user, walk the sorted stream
+    want = []
+    for uid, g in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        reach, prev_seen = [], False
+        ts_list, reached = [], 0
+        idx = -1
+        rows = list(g.itertuples())
+        dead = False
+        for s in stages:
+            hit = None if dead else next(
+                (j for j in range(idx + 1, len(rows))
+                 if rows[j].event_type == s), None)
+            if hit is None:
+                dead = True  # a funnel stops at the first missed stage
+                ts_list.append(-1)
+            else:
+                idx = hit
+                reached += 1
+                ts_list.append(int(rows[hit].ts.value // 1000))
+        want.append({"user_id": uid, "n_reached": reached,
+                     **{f"ts_{s}": t for s, t in zip(stages, ts_list)}})
+    want = pd.DataFrame(want).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype({c: np.int64 for c in want.columns
+                                  if c != "user_id"}), want)
+
+    # only users with at least one stage event appear
+    active = set(df.loc[df.event_type.isin(stages), "user_id"])
+    assert set(got["user_id"]) == active
+
+    # and DuckDB agrees on the reach counts (chained strict-after mins)
+    con = duckdb.connect()
+    con.register("events", df)
+    dd = con.execute("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i,
+                          event_type FROM events),
+        s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+               WHERE event_type='view' GROUP BY user_id),
+        s1x AS (SELECT e.user_id, t1, MIN(i) AS i1 FROM e JOIN s1 USING (user_id)
+                WHERE event_type='view' AND t = t1 GROUP BY e.user_id, t1),
+        s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1x USING (user_id)
+               WHERE event_type='click' AND (t > t1 OR (t = t1 AND i > i1))
+               GROUP BY e.user_id),
+        s2x AS (SELECT e.user_id, t2, MIN(i) AS i2
+                FROM e JOIN s2 USING (user_id) JOIN s1x USING (user_id)
+                WHERE event_type='click' AND t = t2
+                  AND (t2 > t1 OR (t2 = t1 AND i > i1))
+                GROUP BY e.user_id, t2),
+        s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2x USING (user_id)
+               WHERE event_type='signup' AND (t > t2 OR (t = t2 AND i > i2))
+               GROUP BY e.user_id)
+        SELECT s1.user_id, t1, t2, t3
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        ORDER BY user_id
+    """).df()
+    m = got.set_index("user_id")
+    for _, r in dd.iterrows():
+        u = r["user_id"]
+        assert m.loc[u, "ts_view"] == r["t1"]
+        for col, v in (("ts_click", r["t2"]), ("ts_signup", r["t3"])):
+            assert (m.loc[u, col] == -1) == pd.isna(v)
+            if not pd.isna(v):
+                assert m.loc[u, col] == v
