@@ -1169,3 +1169,63 @@ def funnel(events: Dataset, stages, key: str = "user_id",
 
     return shard_scan(events.map_batches(project, batch_format="pyarrow"),
                       shard_of, scan, n_shards)
+
+
+def retention_cohorts(events: Dataset, key: str = "user_id",
+                      ts_col: str = "ts",
+                      period_us: int = 86_400_000_000) -> Dataset:
+    """Cohort retention: users grouped by their FIRST activity period
+    (the cohort), counted in every later period they return —
+    ``(cohort, period_offset, n_active)`` with ``period_offset`` in
+    periods since the cohort period (0 = the cohort row itself).
+
+    Scale shape: per-block distinct ``(key, period)`` pairs (bounded at
+    one row per active user-period per block) dedupe through the
+    grouped-sum tree; per-user first periods come off that SAME compact
+    pair table (grouped min as a sum-tree of per-block minima is wrong
+    — min rides `grouped_topk(n=1)`); the final (cohort, offset) count
+    is another pair-bounded fold. The raw event stream is read once and
+    never shuffled."""
+    from ocm_ray.ops.agg import grouped_sum, grouped_topk
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        per = (_ts_to_us(batch, ts_col) // period_us).astype(np.int64)
+        df = pd.DataFrame({key: k, "period": per}).drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # distinct (user, period) activity — the only corpus-wide fold
+    act = grouped_sum(events.map_batches(pairs, batch_format="pyarrow"),
+                      [key, "period"], ["one"]).drop_columns(["one"]) \
+        .materialize()  # consumed twice below
+
+    # cohort = each user's FIRST period (top-1 ascending)
+    first = grouped_topk(act, [key], "period", 1, tie_cols=[],
+                         descending=False)
+
+    import ray as _ray
+
+    fp = first.to_pandas()
+    ref = _ray.put((fp[key].to_numpy(), fp["period"].to_numpy()))
+    # NB: the cohort map is |users|-sized. For corpora where that
+    # outgrows the broadcast budget, swap this join for the
+    # ops/pairs.shard_scan2 co-shard (the dedup_against shape); at the
+    # events-table scale (users << events) one put is the faster plan.
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        uk, up = _ray.get(ref)
+        order = np.argsort(uk, kind="mergesort")
+        uk, up = uk[order], up[order]
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        per = batch.column("period").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(uk, k)
+        cohort = up[pos]
+        return pa.table({"cohort": pa.array(cohort.astype(np.int64)),
+                         "period_offset": pa.array(
+                             (per - cohort).astype(np.int64)),
+                         "n_active": pa.array(
+                             np.ones(len(k), dtype=np.int64))})
+
+    return grouped_sum(act.map_batches(offsets, batch_format="pyarrow"),
+                       ["cohort", "period_offset"], ["n_active"])

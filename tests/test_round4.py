@@ -857,3 +857,56 @@ def test_funnel_matches_duckdb(ray_session):
             assert (m.loc[u, col] == -1) == pd.isna(v)
             if not pd.isna(v):
                 assert m.loc[u, col] == v
+
+
+def test_retention_cohorts_matches_duckdb(ray_session):
+    """Cohort retention triangle vs a DuckDB recompute — integers only,
+    exact equality; partition-invariant."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from ocm_ray.ops.relational import retention_cohorts
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 200, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 30 * 86_400, n) * 1_000_000, unit="us"),
+    })
+    got = (retention_cohorts(ray.data.from_pandas(df,
+                                                  override_num_blocks=6))
+           .to_pandas().sort_values(["cohort", "period_offset"])
+           .reset_index(drop=True))
+    got1 = (retention_cohorts(ray.data.from_pandas(df))
+            .to_pandas().sort_values(["cohort", "period_offset"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got1)
+
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+        WITH act AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 86400000000 AS period
+                     FROM events),
+        first AS (SELECT user_id, MIN(period) AS cohort
+                  FROM act GROUP BY user_id)
+        SELECT cohort, period - cohort AS period_offset,
+               COUNT(*) AS n_active
+        FROM act JOIN first USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert got["cohort"].tolist() == want["cohort"].tolist()
+    assert got["period_offset"].tolist() == want["period_offset"].tolist()
+    assert got["n_active"].tolist() == want["n_active"].tolist()
+    # offset-0 row of each cohort counts the whole cohort
+    z = got[got.period_offset == 0].set_index("cohort")["n_active"]
+    sizes = (con.execute("""
+        WITH act AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 86400000000 AS period
+                     FROM events)
+        SELECT MIN(period) AS cohort, COUNT(*) AS n
+        FROM act GROUP BY user_id
+    """).df().groupby("cohort").size())
+    assert (z.loc[sizes.index] == sizes).all()
