@@ -158,7 +158,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = a.merge(b, on=["event_type", "window_start"], how="inner")
         assert len(out) == len(a) == len(b)
         return out
-    q["events_hourly"] = events_hourly_full
 
     def events_hopping(sf_dir):
         from ocm_ray.ops.relational import hopping_event_agg
@@ -166,7 +165,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = hopping_event_agg(_read(sf_dir, "events"), window="1h",
                                hop="30m").to_pandas()
         return _round_cols(df, {"sum_value": 2})
-    q["events_hopping"] = events_hopping
+
+    def events_windows_union(sf_dir):
+        """Tumbling + hopping window aggregates as ONE long-format
+        frame (win discriminator; merged r4.3 to free a driver slot
+        for events_funnel) — the hopping rows carry n_distinct = -1."""
+        a = events_hourly_full(sf_dir)
+        a.insert(0, "win", "1h")
+        b = events_hopping(sf_dir)
+        b.insert(0, "win", "1h_hop30m")
+        b["n_distinct"] = np.int64(-1)
+        out = pd.concat([a, b], ignore_index=True)
+        return out.sort_values(["win", "event_type", "window_start"],
+                               ignore_index=True)
+    q["events_hourly"] = events_windows_union
+
+    def events_funnel(sf_dir):
+        """Ordered funnel progression per user (view → click → signup
+        → purchase, strict (ts, event_id) order, stops at the first
+        missed stage) — the shard_scan exchange + one vectorized
+        reduceat pass per stage; integer reach timestamps make the SQL
+        oracle exact."""
+        from ocm_ray.ops.relational import funnel
+
+        out = funnel(_read(sf_dir, "events",
+                           columns=["event_id", "ts", "user_id",
+                                    "event_type"]),
+                     stages=("view", "click", "signup", "purchase"),
+                     n_shards=16).to_pandas()
+        return out.sort_values("user_id", ignore_index=True)
+    q["events_funnel"] = events_funnel
 
     def events_asof_hourly(sf_dir):
         """AS-OF join (broadcast): each event joins the latest COMPLETED
@@ -3666,19 +3694,73 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "events_hourly": """
-            SELECT event_type, date_trunc('hour', ts) AS window_start,
+            SELECT '1h' AS win, event_type,
+                   date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
-            FROM events GROUP BY 1, 2
-        """,
-        "events_hopping": """
-            SELECT event_type,
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT '1h_hop30m' AS win, event_type,
                    TIMESTAMP '1970-01-01'
                        + ((CAST(floor(epoch(ts) / 1800) AS BIGINT) - j) * 1800)
                          * INTERVAL '1 second' AS window_start,
-                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
+                   CAST(-1 AS BIGINT) AS n_distinct
             FROM events, UNNEST(range(0, 2)) AS u(j)
-            GROUP BY 1, 2
+            GROUP BY 2, 3
+        """,
+        "events_funnel": """
+            WITH e AS MATERIALIZED (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+                       event_id AS i, event_type
+                FROM events
+                WHERE event_type IN ('view','click','signup','purchase')
+            ),
+            s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s1x AS (SELECT e.user_id, t1, MIN(i) AS i1
+                    FROM e JOIN s1 USING (user_id)
+                    WHERE event_type = 'view' AND t = t1
+                    GROUP BY e.user_id, t1),
+            s2 AS (SELECT e.user_id, MIN(t) AS t2
+                   FROM e JOIN s1x USING (user_id)
+                   WHERE event_type = 'click'
+                     AND (t > t1 OR (t = t1 AND i > i1))
+                   GROUP BY e.user_id),
+            s2x AS (SELECT e.user_id, t2, MIN(i) AS i2
+                    FROM e JOIN s2 USING (user_id) JOIN s1x USING (user_id)
+                    WHERE event_type = 'click' AND t = t2
+                      AND (t > t1 OR (t = t1 AND i > i1))
+                    GROUP BY e.user_id, t2),
+            s3 AS (SELECT e.user_id, MIN(t) AS t3
+                   FROM e JOIN s2x USING (user_id)
+                   WHERE event_type = 'signup'
+                     AND (t > t2 OR (t = t2 AND i > i2))
+                   GROUP BY e.user_id),
+            s3x AS (SELECT e.user_id, t3, MIN(i) AS i3
+                    FROM e JOIN s3 USING (user_id) JOIN s2x USING (user_id)
+                    WHERE event_type = 'signup' AND t = t3
+                      AND (t > t2 OR (t = t2 AND i > i2))
+                    GROUP BY e.user_id, t3),
+            s4 AS (SELECT e.user_id, MIN(t) AS t4
+                   FROM e JOIN s3x USING (user_id)
+                   WHERE event_type = 'purchase'
+                     AND (t > t3 OR (t = t3 AND i > i3))
+                   GROUP BY e.user_id),
+            base AS (SELECT DISTINCT user_id FROM e)
+            SELECT base.user_id,
+                   CAST(CAST(t1 IS NOT NULL AS INT)
+                      + CAST(t2 IS NOT NULL AS INT)
+                      + CAST(t3 IS NOT NULL AS INT)
+                      + CAST(t4 IS NOT NULL AS INT) AS BIGINT)
+                       AS n_reached,
+                   COALESCE(t1, -1) AS ts_view,
+                   COALESCE(t2, -1) AS ts_click,
+                   COALESCE(t3, -1) AS ts_signup,
+                   COALESCE(t4, -1) AS ts_purchase
+            FROM base LEFT JOIN s1 USING (user_id)
+                 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+                 LEFT JOIN s4 USING (user_id)
         """,
         "events_asof_hourly": """
             WITH hourly AS (
