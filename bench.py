@@ -23,47 +23,138 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 
-# Noise sentinel (VERDICT r3 #1): the sandbox shares a hypervisor with
-# co-tenants that can steal 50-80% of CPU for minutes at a time, which
-# once put a 19x artifact on the driver record for code that was
-# actually FASTER. A fixed single-core kernel is timed before/after
-# every query; when it drifts past SENTINEL_MAX x the best-ever
-# observation, the window is flagged and the query re-run (bounded).
-# The sentinel series is emitted in the JSON so a degraded artifact is
+# Noise sentinels (VERDICT r3 #1, r4 #1): the sandbox shares a
+# hypervisor with co-tenants that can steal 50-80% of CPU for minutes,
+# which once put a 19x artifact on the driver record for code that was
+# actually FASTER. Two fixed reference kernels are timed around every
+# query:
+#   * single-core — catches whole-box slowdowns (r3's mode);
+#   * parallel (a fixed 8-process fan-out of the same kernel) — catches
+#     parallel-phase CPU steal, where co-tenants take cores but each
+#     core still runs at speed. BENCH_r04 proved the single-core
+#     sentinel blind to this mode (hll_distinct 6.2x over at ratio
+#     1.07); the parallel wall degrades ~proportionally to stolen cores.
+# Ratios are against a PERSISTED best-ever base (.bench_sentinel_base.
+# json, committed) so a run that is degraded end-to-end still flags
+# itself — an in-run base would read ~1.0 inside a uniformly dirty
+# window. When either ratio drifts past its ceiling the query re-runs
+# (bounded), and flagged queries get one more spaced re-run at the end
+# of the bench so a single bad window can't own every sample. Both
+# sentinel series are emitted in the JSON so a degraded artifact is
 # self-describing instead of silently wrong.
 SENTINEL_MAX = float(os.environ.get("SENTINEL_MAX", "1.6"))
+# pool scheduling adds jitter on the parallel kernel; ceiling is looser
+PAR_SENTINEL_MAX = float(os.environ.get("PAR_SENTINEL_MAX", "1.8"))
 SENTINEL_TRIES = int(os.environ.get("SENTINEL_TRIES", "3"))
+_PAR_N = int(os.environ.get("PAR_SENTINEL_PROCS", "8"))
+_BASE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_sentinel_base.json")
 
-_SENT_STATE = {"base": None, "ratios": {}}
+_SENT_STATE = {"base": None, "ratios": {}, "pbase": None, "pratios": {}}
+_POOL = {"pool": None}
+
+
+def _sent_kernel(_=None) -> float:
+    """~60 ms of pure integer work (cache-resident; no allocator, no
+    RAM-bandwidth dependence). Shared by both sentinels."""
+    import numpy as np
+
+    x = np.arange(1 << 20, dtype=np.uint64)
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    sh = np.uint64(13)
+    t0 = time.perf_counter()
+    for _ in range(12):
+        x *= mul
+        x ^= x >> sh
+    if int(x[0]) < 0:  # defeat dead-code elimination paranoia
+        raise AssertionError
+    return time.perf_counter() - t0
+
+
+def _load_persisted_base():
+    """Seed the sentinel bases from the committed calibration file so a
+    uniformly-degraded run still reads > 1.0 (the r4 failure mode). The
+    in-run minimum still wins if this box is faster than calibration."""
+    try:
+        with open(_BASE_FILE) as f:
+            d = json.load(f)
+        _SENT_STATE["base"] = d.get("base_sec")
+        _SENT_STATE["pbase"] = d.get("par_base_sec")
+    except (OSError, ValueError):
+        pass
+
+
+def _par_pool():
+    """Fixed warm pool for the parallel sentinel. MUST be created before
+    ray.init (forking after grpc threads start is unsafe); workers only
+    run numpy and are idle during the measured queries."""
+    if _POOL["pool"] is None:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        _POOL["pool"] = ctx.Pool(_PAR_N)
+        _POOL["pool"].map(_sent_kernel, range(_PAR_N))  # warm imports
+    return _POOL["pool"]
 
 
 def _sentinel_time() -> float:
-    """~60 ms of pure single-core integer work (cache-resident; no
-    allocator, no RAM-bandwidth dependence). Best-of-3 inner runs."""
-    import numpy as np
-
-    a = np.arange(1 << 20, dtype=np.uint64)
     best = float("inf")
-    mul = np.uint64(0x9E3779B97F4A7C15)
-    sh = np.uint64(13)
     for _ in range(3):
-        x = a.copy()
+        best = min(best, _sent_kernel())
+    return best
+
+
+def _par_sentinel_time() -> float:
+    """Wall seconds for _PAR_N concurrent kernels on the warm pool
+    (best-of-3 — single samples jitter ~1.4x at rest from pool
+    scheduling, measured). Clean ≈ one kernel + pool overhead; with k
+    of the pool's cores stolen the tasks time-slice and the wall
+    scales up."""
+    pool = _par_pool()
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(12):
-            x *= mul
-            x ^= x >> sh
-        if int(x[0]) < 0:  # defeat dead-code elimination paranoia
-            raise AssertionError
+        pool.map(_sent_kernel, range(_PAR_N))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
-def _sentinel_ratio() -> float:
+def _sentinel_ratios() -> tuple:
     t = _sentinel_time()
     base = _SENT_STATE["base"]
     if base is None or t < base:
         _SENT_STATE["base"] = base = t
-    return t / base
+    tp = _par_sentinel_time()
+    pbase = _SENT_STATE["pbase"]
+    if pbase is None or tp < pbase:
+        _SENT_STATE["pbase"] = pbase = tp
+    return t / base, tp / pbase
+
+
+def _sentinel_ratio() -> float:
+    return _sentinel_ratios()[0]
+
+
+def _persist_base():
+    """Fold this run's best-ever kernel times into the calibration file
+    (min-merge: a faster observation tightens future flagging; a slower
+    run never loosens it)."""
+    cur = {}
+    try:
+        with open(_BASE_FILE) as f:
+            cur = json.load(f)
+    except (OSError, ValueError):
+        pass
+    for key, val in (("base_sec", _SENT_STATE["base"]),
+                     ("par_base_sec", _SENT_STATE["pbase"])):
+        if val is not None:
+            cur[key] = round(min(val, cur.get(key, float("inf"))), 5)
+    try:
+        with open(_BASE_FILE, "w") as f:
+            json.dump(cur, f)
+            f.write("\n")
+    except OSError:
+        pass
 
 
 def _timed(fn, repeats=None):
@@ -77,28 +168,39 @@ def _timed(fn, repeats=None):
     return best, out
 
 
+def _record_ratio(name, r, rp):
+    prev = _SENT_STATE["ratios"].get(name, float("inf"))
+    _SENT_STATE["ratios"][name] = round(min(prev, r), 2)
+    pprev = _SENT_STATE["pratios"].get(name, float("inf"))
+    _SENT_STATE["pratios"][name] = round(min(pprev, rp), 2)
+
+
 def _timed_guarded(name, fn, repeats=None):
-    """_timed plus the co-tenant sentinel: after each best-of-N block,
-    re-time the reference kernel; if it runs > SENTINEL_MAX x its
-    best-ever time the window is degraded — retry the whole block (up
-    to SENTINEL_TRIES) and keep the best. The per-query minimum
-    sentinel ratio is recorded for the JSON artifact: a query whose
-    ratio stayed high was NEVER observed in a clean window and its
-    number must be read accordingly."""
+    """_timed plus the co-tenant sentinels: after each best-of-N block,
+    re-time both reference kernels; if EITHER runs past its ceiling the
+    window is degraded — retry the whole block (up to SENTINEL_TRIES)
+    and keep the best. The per-query minimum ratios are recorded for
+    the JSON artifact: a query whose ratios stayed high was NEVER
+    observed in a clean window and its number must be read accordingly."""
     best, out = float("inf"), None
     for attempt in range(max(1, SENTINEL_TRIES)):
         t, out = _timed(fn, repeats)
         best = min(best, t)
-        r = _sentinel_ratio()
-        prev = _SENT_STATE["ratios"].get(name, float("inf"))
-        _SENT_STATE["ratios"][name] = round(min(prev, r), 2)
-        if r <= SENTINEL_MAX:
+        r, rp = _sentinel_ratios()
+        _record_ratio(name, r, rp)
+        if r <= SENTINEL_MAX and rp <= PAR_SENTINEL_MAX:
             break
+        # brief settle so a retry isn't sampled inside the same burst
+        # (Ray post-query teardown briefly inflates the par kernel)
+        time.sleep(0.4)
     return best, out
 
 
 def run_bench() -> dict:
     import numpy as np
+
+    _load_persisted_base()
+    _par_pool()  # fork the sentinel pool BEFORE ray starts grpc threads
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -127,9 +229,11 @@ def run_bench() -> dict:
 
     P = max(2, NUM_CPUS // 2)  # consumers get half the CPUs; reads the rest
     queries = {}
-    _sentinel_ratio()  # establish the sentinel baseline before any timing
+    thunks = {}
+    _sentinel_ratios()  # establish/refine the sentinel baselines
 
     def timed_q(name, fn, repeats=None):
+        thunks[name] = fn
         queries[name], out = _timed_guarded(name, fn, repeats)
         return out
 
@@ -157,11 +261,19 @@ def run_bench() -> dict:
                                     counter_dtype="int32")),
         repeats=BUILD_REPEATS)
 
-    # 2. flagship: 4-round OCCM (reference script.sh flagship config)
-    occm = timed_q("occm_build", lambda: build_ocm(
-        np_bits=20, nh=7, rounds=4, conservative=True,
-        files=seq_files, partial_counter_dtype="int32"),
-        repeats=BUILD_REPEATS)
+    # 2. flagship: 4-round OCCM (reference script.sh flagship config).
+    # Plan attribution (VERDICT r4 #2): build_ocm reports which plan ran
+    # (collapse vs sharded), table sizes, and per-pass walls so a driver-
+    # side anomaly is attributable in one read of the JSON.
+    occm_plan = {}
+
+    def run_occm():
+        occm_plan.clear()
+        return build_ocm(np_bits=20, nh=7, rounds=4, conservative=True,
+                         files=seq_files, partial_counter_dtype="int32",
+                         metrics=occm_plan)
+
+    occm = timed_q("occm_build", run_occm, repeats=BUILD_REPEATS)
 
     # 3. point-query throughput: 100k hot tokens against the occm sketch
     qtok = np.arange(100_000, dtype=np.uint64)
@@ -294,7 +406,24 @@ def run_bench() -> dict:
 
     timed_q("nb_classifier", run_nb)
 
+    # Spaced re-check pass (VERDICT r4 #1): queries whose best sample
+    # never overlapped a clean window get ONE more run now, minutes
+    # after their first block — a single co-tenant window can no longer
+    # own every sample of a query. Bounded: one extra run per flagged
+    # query, flagged = either sentinel min-ratio above its re-check band.
+    RECHECK_BAND = float(os.environ.get("RECHECK_BAND", "1.25"))
+    flagged = [k for k in queries
+               if _SENT_STATE["ratios"].get(k, 1.0) > RECHECK_BAND
+               or _SENT_STATE["pratios"].get(k, 1.0) > RECHECK_BAND]
+    rechecked = []
+    for k in flagged:
+        t, _ = _timed_guarded(k, thunks[k], repeats=1)
+        if t < queries[k]:
+            queries[k] = t
+        rechecked.append(k)
+
     ray.shutdown()
+    _persist_base()
 
     total = sum(queries.values())
     headline = queries["cm_build"]
@@ -310,14 +439,23 @@ def run_bench() -> dict:
         "occm_tokens_per_sec_per_pass": round(
             n_tokens * 4 / queries["occm_build"]),
         "hll_tokens_per_sec": round(n_tokens / queries["hll_distinct"]),
-        # co-tenant noise sentinel (see _timed_guarded): per-query MIN
-        # ratio of the fixed single-core kernel vs its best-ever time.
+        # plan attribution for the last occm_build run: which execution
+        # plan ran + per-pass walls (VERDICT r4 #2)
+        "occm_plan": dict(occm_plan),
+        # co-tenant noise sentinels (see _timed_guarded): per-query MIN
+        # ratio of each fixed kernel vs its best-ever (persisted) time.
         # ~1.0 = the query's best-of-N overlapped a clean window;
-        # > SENTINEL_MAX = never observed clean, number is an upper bound
+        # above the ceiling = never observed clean, number is an upper
+        # bound. "par" is the 8-process kernel that catches parallel-
+        # phase CPU steal the single-core kernel is blind to (r4 mode).
         "sentinel": {
             "base_sec": round(_SENT_STATE["base"], 4),
             "max_clean": SENTINEL_MAX,
             "ratios": dict(_SENT_STATE["ratios"]),
+            "par_base_sec": round(_SENT_STATE["pbase"], 4),
+            "par_max_clean": PAR_SENTINEL_MAX,
+            "par_ratios": dict(_SENT_STATE["pratios"]),
+            "rechecked": rechecked,
         },
     }
 
@@ -327,6 +465,8 @@ def run_cm_only() -> dict:
     scaling probe. Printed as its own JSON line."""
     import glob as _glob
 
+    _load_persisted_base()
+    _par_pool()  # fork before ray's grpc threads exist
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -345,7 +485,7 @@ def run_cm_only() -> dict:
     seq_dir = ensure_sequences(docs, seed=42, n_files=64)
     seq_files = sorted(_glob.glob(os.path.join(seq_dir, "*.parquet")))
     build_sketch_sharded(seq_files, lambda: HyperLogLog(8))  # warmup
-    _sentinel_ratio()  # establish sentinel baseline
+    _sentinel_ratios()  # establish/refine sentinel baselines
     best = float("inf")
     n_tokens = 0
     for _ in range(3):  # best-of-3: the sandbox has noisy co-tenants
@@ -355,10 +495,12 @@ def run_cm_only() -> dict:
         best = min(best, dt)
         n_tokens = sk.total_items
     ray.shutdown()
+    _persist_base()
     return {"metric": "cm_build_seconds", "value": round(best, 3),
             "unit": "sec", "num_cpus": NUM_CPUS, "n_tokens": n_tokens,
             "cm_tokens_per_sec": round(n_tokens / best),
-            "sentinel_ratio": _SENT_STATE["ratios"].get("cm_probe")}
+            "sentinel_ratio": _SENT_STATE["ratios"].get("cm_probe"),
+            "par_sentinel_ratio": _SENT_STATE["pratios"].get("cm_probe")}
 
 
 def run_scaling() -> dict:
@@ -406,6 +548,8 @@ def run_scaling() -> dict:
                 "sec_hi": r_hi["value"],
                 "sentinel_lo": r_lo.get("sentinel_ratio"),
                 "sentinel_hi": r_hi.get("sentinel_ratio"),
+                "par_sentinel_lo": r_lo.get("par_sentinel_ratio"),
+                "par_sentinel_hi": r_hi.get("par_sentinel_ratio"),
             }
         if eff >= 0.9:
             break

@@ -152,7 +152,8 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
               files: Optional[list] = None,
               partial_counter_dtype: str = "int64",
               paper_collision_pass: bool = False,
-              collapse_threshold: int = 1 << 22) -> OfflineCountMin:
+              collapse_threshold: int = 1 << 22,
+              metrics: Optional[dict] = None) -> OfflineCountMin:
     """n-round offline count-min over a re-scannable Dataset.
 
     ``dataset_factory`` returns a FRESH lazy Dataset per pass (each pass
@@ -177,7 +178,16 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
     bit-exact across the two paths. The gate is the SUM of per-shard
     table lengths (a cheap upper bound of the global distinct count):
     crossing it only ever switches between these two valid groupings.
+
+    ``metrics`` (VERDICT r4 #2): pass a dict to receive build
+    attribution — ``plan`` ("collapse" | "sharded" | "streaming"),
+    ``count_tables`` (tables per pass after any collapse),
+    ``table_rows`` (summed per-shard table lengths), and
+    ``pass_walls`` (wall seconds per pass, in execution order) — so a
+    bench artifact can attribute an anomalous occm_build number to plan
+    selection vs a degraded window in one read.
     """
+    import time as _time
     from ocm_ray.engine.build import _cap_consumers
 
     p = _cap_consumers(parallelism or _default_parallelism())
@@ -214,12 +224,28 @@ def build_ocm(dataset_factory: Optional[Callable[[], Dataset]] = None,
         # Skipped for unbounded domains (k-grams / hashes): there the
         # global table is corpus-sized and the sharded path stands.
         sizes = ray.get([_count_table_len.remote(r) for r in count_refs])
-        if sum(sizes) <= collapse_threshold:
+        collapsed = sum(sizes) <= collapse_threshold
+        if collapsed:
             while len(count_refs) > 1:
                 count_refs = [_merge_count_tables.remote(*count_refs[i:i + 8])
                               for i in range(0, len(count_refs), 8)]
+        if metrics is not None:
+            metrics["plan"] = "collapse" if collapsed else "sharded"
+            metrics["count_tables"] = len(count_refs)
+            metrics["table_rows"] = int(sum(sizes))
+    elif metrics is not None:
+        metrics["plan"] = "streaming"
 
     def run_pass(mode: str, r: int, frozen_core, frozen_coll):
+        t0 = _time.perf_counter()
+        try:
+            return _run_pass(mode, r, frozen_core, frozen_coll)
+        finally:
+            if metrics is not None:
+                metrics.setdefault("pass_walls", []).append(
+                    round(_time.perf_counter() - t0, 3))
+
+    def _run_pass(mode: str, r: int, frozen_core, frozen_coll):
         core_ref = ray.put(frozen_core) if frozen_core is not None else None
         coll_ref = ray.put(frozen_coll)
         if count_refs is not None:
