@@ -541,7 +541,7 @@ def video_container_meta(ds: Dataset, payload_col: str = "payload",
 
 
 def write_webdataset(ds: Dataset, out_dir: str, key_col: str = "sample_id",
-                     cols: dict = None) -> list:
+                     cols: dict = None, overwrite: bool = False) -> list:
     """Write a Dataset as WebDataset-style tar shards: each sample's
     columns become members ``<key>.<ext>`` inside the shard, one tar
     per input block (the resume unit — rerunning a shard overwrites its
@@ -549,13 +549,27 @@ def write_webdataset(ds: Dataset, out_dir: str, key_col: str = "sample_id",
     written raw, everything else utf-8). Returns the shard manifest
     ``[(path, n_samples), ...]`` (driver-held, one row per shard).
 
+    A non-empty ``out_dir`` is refused unless ``overwrite=True`` (the
+    same dirty-sink guard as ``pipelines.pretraining.curate``): a rerun
+    with a DIFFERENT block layout writes differently-named shards, and
+    stale tars from the earlier layout would silently duplicate samples
+    on read. With ``overwrite=True``, tars not in the new manifest are
+    reconciled away after the write.
+
     Stdlib ``tarfile`` only; shards stream member-by-member, so a task
     holds one block + one open tar."""
+    import glob as _glob
     import io
     import os
     import tarfile
 
     os.makedirs(out_dir, exist_ok=True)
+    preexisting = set(_glob.glob(os.path.join(out_dir, "*.tar")))
+    if preexisting and not overwrite:
+        raise ValueError(
+            f"write_webdataset: out_dir {out_dir!r} already holds "
+            f"{len(preexisting)} .tar shard(s) from a previous run — "
+            "pass overwrite=True to reconcile, or use a fresh dir")
     cols = cols or {"payload": "bin", "meta": "json"}
 
     def write_block(batch: pa.Table) -> pa.Table:
@@ -590,7 +604,16 @@ def write_webdataset(ds: Dataset, out_dir: str, key_col: str = "sample_id",
 
     manifest = ds.map_batches(write_block, batch_format="pyarrow",
                               batch_size=None).to_pandas()
-    return list(manifest.itertuples(index=False, name=None))
+    out = list(manifest.itertuples(index=False, name=None))
+    # reconcile: delete tars the new manifest doesn't claim (stale
+    # shards from a previous layout would duplicate samples on read)
+    written = {p for p, _ in out}
+    for stale in preexisting - written:
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+    return out
 
 
 def read_webdataset(paths, exts: tuple = ("bin", "json"),

@@ -1173,7 +1173,10 @@ def funnel(events: Dataset, stages, key: str = "user_id",
 
 def retention_cohorts(events: Dataset, key: str = "user_id",
                       ts_col: str = "ts",
-                      period_us: int = 86_400_000_000) -> Dataset:
+                      period_us: int = 86_400_000_000,
+                      n_shards: int = 64,
+                      max_broadcast: int = 8_000_000,
+                      distributed: bool = None) -> Dataset:
     """Cohort retention: users grouped by their FIRST activity period
     (the cohort), counted in every later period they return —
     ``(cohort, period_offset, n_active)`` with ``period_offset`` in
@@ -1185,7 +1188,18 @@ def retention_cohorts(events: Dataset, key: str = "user_id",
     pair table (grouped min as a sum-tree of per-block minima is wrong
     — min rides `grouped_topk(n=1)`); the final (cohort, offset) count
     is another pair-bounded fold. The raw event stream is read once and
-    never shuffled."""
+    never shuffled.
+
+    The cohort join auto-dispatches on the user count (the
+    ``dup_ngram_stats`` shape): ``<= max_broadcast`` users, the
+    pre-SORTED (key → first period) arrays travel ONCE via ``ray.put``
+    and the join is one stateless searchsorted pass; above the cap —
+    where a |users|-sized broadcast would no longer fit — the compact
+    (key, period) activity table and the first-period table co-shard by
+    key hash through :func:`ocm_ray.ops.pairs.shard_scan2` and each
+    shard emits pre-aggregated (cohort, offset) partial counts (driver
+    holds ObjectRefs only). ``distributed`` forces the path (None =
+    auto); both paths produce identical counts (parity-tested)."""
     from ocm_ray.ops.agg import grouped_sum, grouped_topk
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -1204,23 +1218,32 @@ def retention_cohorts(events: Dataset, key: str = "user_id",
     first = grouped_topk(act, [key], "period", 1, tie_cols=[],
                          descending=False)
 
+    if distributed is None:
+        distributed = first.count() > max_broadcast
+    if distributed:
+        return _retention_exchange(act, first, key, n_shards)
+    return _retention_broadcast(act, first, key)
+
+
+def _retention_broadcast(act: Dataset, first: Dataset,
+                         key: str) -> Dataset:
+    """Small-user-count path: ONE ``ray.put`` of the pre-sorted
+    (key, first period) arrays, one stateless searchsorted pass."""
     import ray as _ray
 
+    from ocm_ray.ops.agg import grouped_sum
+
     fp = first.to_pandas()
-    ref = _ray.put((fp[key].to_numpy(), fp["period"].to_numpy()))
-    # NB: the cohort map is |users|-sized. For corpora where that
-    # outgrows the broadcast budget, swap this join for the
-    # ops/pairs.shard_scan2 co-shard (the dedup_against shape); at the
-    # events-table scale (users << events) one put is the faster plan.
+    uk = fp[key].to_numpy()
+    up = fp["period"].to_numpy()
+    order = np.argsort(uk, kind="mergesort")  # sort ONCE, not per batch
+    ref = _ray.put((uk[order], up[order]))
 
     def offsets(batch: pa.Table) -> pa.Table:
         uk, up = _ray.get(ref)
-        order = np.argsort(uk, kind="mergesort")
-        uk, up = uk[order], up[order]
         k = batch.column(key).to_numpy(zero_copy_only=False)
         per = batch.column("period").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(uk, k)
-        cohort = up[pos]
+        cohort = up[np.searchsorted(uk, k)]
         return pa.table({"cohort": pa.array(cohort.astype(np.int64)),
                          "period_offset": pa.array(
                              (per - cohort).astype(np.int64)),
@@ -1229,3 +1252,51 @@ def retention_cohorts(events: Dataset, key: str = "user_id",
 
     return grouped_sum(act.map_batches(offsets, batch_format="pyarrow"),
                        ["cohort", "period_offset"], ["n_active"])
+
+
+def _retention_exchange(act: Dataset, first: Dataset, key: str,
+                        n_shards: int) -> Dataset:
+    """Unbounded-user path: co-shard (activity, first-period) by key
+    hash; each shard joins locally and emits PRE-AGGREGATED
+    (cohort, offset) partial counts (shard output is bounded by its
+    distinct (cohort, offset) pairs, not its users); a final
+    grouped-sum fold combines shards."""
+    from ocm_ray.core.hashing import wanghash
+    from ocm_ray.engine.tokens import hash_string_array
+    from ocm_ray.ops.agg import grouped_sum
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan2
+
+    bits = _shard_bits(n_shards)
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        col = tbl.column(key)
+        if pa.types.is_integer(tbl.schema.field(key).type):
+            h = wanghash(col.to_numpy(zero_copy_only=False)
+                         .astype(np.uint64))
+        else:
+            h = hash_string_array(col)
+        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits \
+            else np.zeros(len(h), np.int32)
+
+    def scan(a: pa.Table, f: pa.Table) -> pa.Table:
+        if a.num_rows == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "period_offset": pa.array([], pa.int64()),
+                             "n_active": pa.array([], pa.int64())})
+        uk = f.column(key).to_numpy(zero_copy_only=False)
+        up = f.column("period").to_numpy(zero_copy_only=False)
+        order = np.argsort(uk, kind="mergesort")
+        uk, up = uk[order], up[order]
+        k = a.column(key).to_numpy(zero_copy_only=False)
+        per = a.column("period").to_numpy(zero_copy_only=False)
+        cohort = up[np.searchsorted(uk, k)].astype(np.int64)
+        df = pd.DataFrame({"cohort": cohort,
+                           "period_offset":
+                               (per - cohort).astype(np.int64)})
+        g = df.groupby(["cohort", "period_offset"], sort=False) \
+            .size().reset_index(name="n_active")
+        g["n_active"] = g["n_active"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = shard_scan2(act, first, shard_of, shard_of, scan, n_shards)
+    return grouped_sum(partial, ["cohort", "period_offset"], ["n_active"])

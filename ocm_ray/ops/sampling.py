@@ -441,16 +441,28 @@ def perplexity_buckets(ds: Dataset, id_col: str = "doc_id",
                              keep_cols=(source_col,)).materialize()
     th = grouped_quantiles(scored, source_col, "logprob", qs=list(qs),
                            n_shards=n_shards).to_pandas()
-    lo_map = th[th["q"] == q_lo].set_index(source_col)["logprob"].to_dict()
-    hi_map = th[th["q"] == q_hi].set_index(source_col)["logprob"].to_dict()
-    ref = ray.put((lo_map, hi_map))
+    # sorted-key threshold arrays, built ONCE: per-batch lookup is a
+    # vectorized searchsorted, not pandas object-dtype Series.map
+    t_lo = th[th["q"] == q_lo].sort_values(source_col)
+    t_hi = th[th["q"] == q_hi].sort_values(source_col)
+    keys = t_lo[source_col].to_numpy()
+    lo_v = t_lo["logprob"].to_numpy(dtype=np.float64)
+    hi_v = t_hi.set_index(source_col).loc[t_lo[source_col]]["logprob"] \
+        .to_numpy(dtype=np.float64)
+    ref = ray.put((keys, lo_v, hi_v))
 
     def assign(batch: pa.Table) -> pa.Table:
-        lo_map, hi_map = ray.get(ref)
-        src = batch.column(source_col).to_pandas()
+        keys, lo_v, hi_v = ray.get(ref)
+        src = batch.column(source_col).to_numpy(zero_copy_only=False)
         lp = batch.column("logprob").to_numpy(zero_copy_only=False)
-        lo = src.map(lo_map).to_numpy(dtype=np.float64)
-        hi = src.map(hi_map).to_numpy(dtype=np.float64)
+        idx = np.minimum(np.searchsorted(keys, src),
+                         max(len(keys) - 1, 0))
+        ok = keys[idx] == src if len(keys) else np.zeros(len(src), bool)
+        # unmatched source (can't happen when scoring the training
+        # corpus): NaN thresholds -> both compares false -> "head",
+        # the exact semantics of the old dict-map path
+        lo = np.where(ok, lo_v[idx] if len(keys) else 0.0, np.nan)
+        hi = np.where(ok, hi_v[idx] if len(keys) else 0.0, np.nan)
         bucket = np.where(lp <= lo, "tail",
                           np.where(lp <= hi, "middle", "head"))
         return batch.append_column("ppl_bucket",

@@ -679,7 +679,8 @@ def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def kn_bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
-                      ndigits: int = 4, discount: float = 0.75):
+                      ndigits: int = 4, discount: float = 0.75,
+                      score_ds=None):
     """Per-document mean log2 probability under an interpolated
     Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.17
     with a fixed ``discount``) — the standard smoothing step past the
@@ -690,14 +691,19 @@ def kn_bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
 
     with ``N1+(w0·)`` / ``N1+(·w1)`` the distinct-continuation /
     distinct-context type counts and ``T`` the total bigram types.
-    Unlike the MLE this scores HELD-OUT text too (every seen context
-    backs off to the continuation distribution); docs with fewer than
-    2 words are omitted.
+    Unlike the MLE this scores HELD-OUT text too: an UNSEEN bigram
+    backs off to ``lambda(w0) * p_cont(w1)`` with
+    ``lambda(w0) = D*N1+(w0·)/c(w0)`` (1 when the context itself is
+    unseen) and ``p_cont(w1) = N1+(·w1)/T`` (floored at ``D/T`` for an
+    unseen word — below every seen continuation prob, which is
+    >= 1/T). Docs with fewer than 2 words are omitted. The LM trains
+    on ``ds`` and scores ``score_ds`` (default: ``ds`` itself).
 
     Same scale shape as :func:`bigram_logprob`: one distributed
-    counting pass to a distinct-bigram-bounded table, all four count
+    counting pass to a distinct-bigram-bounded table, all count
     vectors derived driver-side from that one table, one broadcast of
-    the sorted (g, log2 p) table, one stateless scoring pass."""
+    three sorted lookup tables (bigram / context / word — all bounded
+    by distinct types), one stateless scoring pass."""
     import ray
 
     from ocm_ray.ops.agg import grouped_sum
@@ -725,24 +731,50 @@ def kn_bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
     lp = np.log2((np.maximum(c - D, 0.0) + D * n1f_v * (n1b_v / T)) / ctx_v)
     keys = bg["g"].to_numpy().view(np.uint64)
     order = np.argsort(keys)
-    ref = ray.put((keys[order], lp[order]))
+
+    def _sorted_table(idx_i64: np.ndarray, vals: np.ndarray):
+        k = idx_i64.view(np.uint64)      # re-sort in the uint64 domain
+        o = np.argsort(k)                # (int64 order differs for high bit)
+        return k[o], vals[o]
+
+    # backoff tables: lambda(w0) and p_cont(w1), both type-count-bounded
+    kc, lam = _sorted_table(ctx.index.to_numpy(),
+                            np.log2(D * n1f.to_numpy(np.float64)
+                                    / ctx.to_numpy(np.float64)))
+    kw, cont = _sorted_table(n1b.index.to_numpy(),
+                             np.log2(n1b.to_numpy(np.float64) / T))
+    floor = float(np.log2(D / T)) if T else 0.0
+    ref = ray.put((keys[order], lp[order], kc, lam, kw, cont, floor))
+
+    def _lookup(k_sorted, vals, q, default):
+        if len(k_sorted) == 0:
+            return np.full(len(q), default)
+        pos = np.minimum(np.searchsorted(k_sorted, q), len(k_sorted) - 1)
+        return np.where(k_sorted[pos] == q, vals[pos], default)
 
     def score(batch: pa.Table) -> pa.Table:
-        k, l = ray.get(ref)
-        g, _, _, rowid, lens = _doc_bigrams(batch, text_col)
+        k, l, kc, lam, kw, cont, floor = ray.get(ref)
+        g, first, second, rowid, lens = _doc_bigrams(batch, text_col)
         nb = np.maximum(lens - 1, 0)
         has = nb > 0
         if not has.any():
             return pa.table({id_col: batch.column(id_col).slice(0, 0),
                              "logprob": pa.array([], pa.float64())})
-        sums = np.bincount(rowid, weights=l[np.searchsorted(k, g)],
-                           minlength=len(lens))
+        pos = np.minimum(np.searchsorted(k, g), max(len(k) - 1, 0))
+        seen = (k[pos] == g) if len(k) else np.zeros(len(g), bool)
+        lp_g = np.where(seen, l[pos] if len(k) else 0.0, 0.0)
+        if not seen.all():          # held-out bigrams: KN backoff
+            m = ~seen
+            lp_g[m] = (_lookup(kc, lam, first[m], 0.0)
+                       + _lookup(kw, cont, second[m], floor))
+        sums = np.bincount(rowid, weights=lp_g, minlength=len(lens))
         mean = np.round(sums[has] / nb[has], ndigits)
         return pa.table({id_col: batch.column(id_col)
                          .filter(pa.array(has)),
                          "logprob": pa.array(mean)})
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    return (score_ds if score_ds is not None else ds) \
+        .map_batches(score, batch_format="pyarrow")
 
 
 def build_vocab(ds, text_col: str = "text",
@@ -1123,7 +1155,7 @@ def redact_pii(ds, id_col: str = "doc_id", text_col: str = "text",
             counts[f"n_{kind}"] = pc.count_substring_regex(txt, pattern=pat)
             txt = pc.replace_substring_regex(txt, pattern=pat,
                                              replacement=repl)
-        cols["text"] = txt
+        cols[text_col] = txt
         for k, v in counts.items():
             cols[k] = v.cast(pa.int64())
         return pa.table(cols)

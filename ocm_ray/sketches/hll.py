@@ -212,6 +212,12 @@ class SparseHLL(MergeableSketch):
     def __init__(self, p: int = 14, seedseed: int = 137,
                  prehashed: bool = False,
                  estimator: str = "ertl_improved"):
+        # rank reaches 64 - p + 1 and must fit the low SHIFT=6 bits of
+        # the encoding (sparse.h's max_p contract) — p < 2 would let the
+        # value overflow into the index bits and silently corrupt state
+        if int(p) < 2:
+            raise ValueError(f"SparseHLL needs p >= 2 (got {p}): "
+                             "rank 64-p+1 must fit 6 bits")
         self.p = int(p)
         self.seedseed = int(seedseed)
         self.prehashed = bool(prehashed)

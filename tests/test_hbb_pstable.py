@@ -208,6 +208,15 @@ def test_sparse_hll_register_exact_vs_dense():
     assert sa.n_registers_set() <= 500
     assert sa.nbytes < dense.registers.nbytes  # the point of sparse
 
+    # sparse.h max_p contract: rank 64-p+1 must fit the 6 value bits,
+    # so p < 2 (rank up to 63+1) would overflow into the index bits —
+    # refused at construction rather than silently corrupting
+    import pytest
+
+    with pytest.raises(ValueError, match="p >= 2"):
+        SparseHLL(p=1)
+    SparseHLL(p=2)  # boundary is legal
+
     # mixed algebra vs a dense sketch + roundtrip
     from ocm_ray.sketches.base import MergeableSketch
 

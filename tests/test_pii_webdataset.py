@@ -98,6 +98,51 @@ def test_webdataset_round_trip(tmp_path):
     assert len(back2) == n
 
 
+def test_write_webdataset_dirty_sink_guard(tmp_path):
+    """Re-running into a non-empty dir is refused without overwrite=True;
+    with it, stale shards from a DIFFERENT block layout are reconciled
+    away so a read sees exactly one copy of each sample."""
+    import ray.data
+
+    from ocm_ray.ops.multimodal import read_webdataset, write_webdataset
+
+    tbl = pa.table({
+        "sample_id": [f"s{i:04d}" for i in range(40)],
+        "payload": pa.array([b"x%d" % i for i in range(40)], pa.binary()),
+        "meta": pa.array(["m%d" % i for i in range(40)], pa.string()),
+    })
+    out = str(tmp_path / "wds")
+    write_webdataset(ray.data.from_arrow(tbl).repartition(5), out)
+
+    with pytest.raises(ValueError, match="overwrite=True"):
+        write_webdataset(ray.data.from_arrow(tbl).repartition(2), out)
+
+    # different layout (2 blocks -> different shard names) + overwrite:
+    # the 5-block run's stale tars must not survive
+    write_webdataset(ray.data.from_arrow(tbl).repartition(2), out,
+                     overwrite=True)
+    back = read_webdataset(out, exts=("bin", "json")).to_pandas()
+    assert len(back) == 40
+    assert back.sample_id.is_unique
+
+
+def test_redact_pii_custom_text_col():
+    """text_col != 'text' must round-trip under ITS OWN name (the
+    scrubbed column used to come back renamed to 'text')."""
+    import ray.data
+
+    from ocm_ray.ops.text import redact_pii
+
+    df = pd.DataFrame({"doc_id": ["a", "b"],
+                       "body": ["mail me x@y.com now", "no pii here"]})
+    out = redact_pii(ray.data.from_pandas(df), text_col="body") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert "body" in out.columns and "text" not in out.columns
+    assert "<EMAIL>" in out.body[0]
+    assert out.body[1] == "no pii here"
+    assert out.n_email.tolist() == [1, 0]
+
+
 def test_curate_with_scrub_stages(tmp_path):
     """curate(redact=True, remove_spans=N) composes the scrub stages
     ahead of scoring/dedup: PII placeholders appear in the output, the
