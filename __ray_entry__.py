@@ -469,24 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                ascending=[False, True]).reset_index(drop=True)
     q["ann_topk"] = ann_topk
 
-    # ---- sketch pipelines (engine invariants asserted; rows-only checks) ----
-    def cm_conservative_query(sf_dir):
-        import ray.data as rd
-
-        from ocm_ray.engine.build import build_sketch
-        from ocm_ray.ops.relational import exact_token_counts
-        from ocm_ray.sketches import CountMin
-
-        seq = _seq_dir_for(sf_dir)
-        sk = build_sketch(rd.read_parquet(seq, columns=["tokens"]),
-                          lambda: CountMin(18, 5, conservative=True), parallelism=4)
-        truth = (exact_token_counts(rd.read_parquet(seq, columns=["tokens"]))
-                 .sort(["cnt", "token"], descending=[True, False])
-                 .limit(1000).to_pandas().rename(columns={"cnt": "true_count"}))
-        truth["estimated_count"] = sk.estimate(
-            truth["token"].to_numpy().astype(np.uint64))
-        assert (truth["estimated_count"] >= truth["true_count"]).all()
-        return truth
+    # ---- sketch pipelines ----
 
     def cm_vanilla_query(sf_dir):
         """Vanilla (non-conservative) CM point query. Unlike the
@@ -513,31 +496,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "est_count": sk.estimate(toks).astype(np.int64)})
     q["cm_vanilla_query"] = cm_vanilla_query
 
-    def occm_query(sf_dir):
+    def sketch_point_queries(sf_dir):
+        """Conservative-CM and 3-round OCCM point queries, HASH-MATCHED
+        (no_oracle through r4): the estimates are order-dependent in
+        general, but a token holding a SINGLETON cell in >= 1 row is
+        provably pinned to its exact count by the conservative rule —
+        the singleton cell only ever receives that token's updates, the
+        one-sided bound makes it the row minimum at every step, and a
+        cellwise-sum merge preserves both, under ANY partition order
+        (`include/ocm.h:57-66` update; verified for the round-gated OCCM
+        too). Isolation is a pure function of the distinct-token set and
+        the WangHash chain, so DuckDB recomputes the same subset and its
+        exact counts. The query emits the isolated members of the true
+        top-1000 per variant and still ASSERTS the one-sided invariant
+        over the FULL top-1000 (the non-isolated rows stay covered)."""
+        import glob as _glob
+
         import ray.data as rd
 
+        from ocm_ray.core.hashing import (derive_seeds, force_odd_nh,
+                                          positions)
+        from ocm_ray.engine.build import build_sketch_sharded
         from ocm_ray.engine.rounds import build_ocm
         from ocm_ray.ops.relational import exact_token_counts
+        from ocm_ray.sketches import CountMin
 
+        NP, NH, SEED = 14, 5, 137
         seq = _seq_dir_for(sf_dir)
-        sk = build_ocm(lambda: rd.read_parquet(seq, columns=["tokens"]),
-                       np_bits=18, nh=5, rounds=3, conservative=True,
-                       parallelism=4)
-        truth = (exact_token_counts(rd.read_parquet(seq, columns=["tokens"]))
-                 .sort(["cnt", "token"], descending=[True, False])
-                 .limit(1000).to_pandas().rename(columns={"cnt": "true_count"}))
-        truth["estimated_count"] = sk.estimate(
-            truth["token"].to_numpy().astype(np.uint64))
-        assert (truth["estimated_count"] >= truth["true_count"]).all()
-        return truth
+        files = sorted(_glob.glob(os.path.join(seq, "*.parquet")))
+        counts = exact_token_counts(
+            rd.read_parquet(seq, columns=["tokens"])).to_pandas()
+        toks = counts["token"].to_numpy().astype(np.uint64)
+        nh = force_odd_nh(NH)
+        pos = positions(toks, derive_seeds(nh, SEED), NP)
+        iso = np.zeros(len(toks), bool)
+        for j in range(pos.shape[1]):
+            occ = np.bincount(pos[:, j], minlength=nh << NP)
+            iso |= occ[pos[:, j]] == 1
+        counts["iso"] = iso
+        top = counts.sort_values(["cnt", "token"],
+                                 ascending=[False, True]).head(1000)
+        t_all = top["token"].to_numpy().astype(np.uint64)
+        c_all = top["cnt"].to_numpy()
+        m = top["iso"].to_numpy()
 
-    def sketch_point_queries(sf_dir):
-        """Conservative-CM and multi-round OCCM point queries against
-        the true top-1000 (merged r4; both order-dependent, hence
-        no_oracle — the one-sided invariant is asserted per variant)."""
-        a = cm_conservative_query(sf_dir).assign(variant="cm_conservative")
-        b = occm_query(sf_dir).assign(variant="occm")
-        return pd.concat([a, b], ignore_index=True)
+        cm = build_sketch_sharded(
+            files, lambda: CountMin(NP, NH, conservative=True))
+        oc = build_ocm(np_bits=NP, nh=NH, rounds=3, conservative=True,
+                       files=files)
+        out = []
+        for variant, sk in (("cm_conservative", cm), ("occm", oc)):
+            est = sk.estimate(t_all)
+            assert (est >= c_all).all()         # one-sided, full top-1000
+            assert (est[m] == c_all[m]).all()   # isolated-cell exactness
+            out.append(pd.DataFrame({
+                "variant": variant,
+                "token": t_all[m].astype(np.int64),
+                "true_count": c_all[m].astype(np.int64),
+                "est_count": est[m].astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)
     q["sketch_point_queries"] = sketch_point_queries
 
     def hll_distinct_by_source(sf_dir):
@@ -1126,7 +1143,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         PCM-WAV feature extraction AND Y4M raw-video frame sampling
         over the deterministic synthetic media table (no media in the
         testdata tables; payloads are genuine PPM/WAV/Y4M bytes, so
-        this exercises the real codecs, not the fake mode)."""
+        this exercises the real codecs, not the fake mode). FIXTURE-
+        EXACT since r5: every emitted image/audio/video stat is
+        compared for EQUALITY against ground-truth values computed at
+        synthesis time from the raw arrays (pre-encoding) — an oracle
+        without SQL-expressing the codec; the earlier range invariants
+        are retained as a second line."""
         import ray.data as rd
 
         from ocm_ray.ops.multimodal import (ExtractAudioFeatures,
@@ -1134,7 +1156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                             sample_video_frames,
                                             synth_media_table)
 
-        t = synth_media_table(64)
+        t, expected = synth_media_table(64, expected_stats=True,
+                                        target_size=16, every_ms=1000)
         ppm = rd.from_arrow(t).filter(
             lambda r: r["mime"] == "image/x-portable-pixmap")
         imgs = decode_images(ppm, fake=False, target_size=16).to_pandas()
@@ -1163,6 +1186,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert (out.loc[out["kind"] == "video", "stat"]
                 .between(60, 200).all())
         assert len(vid) > 0
+        # fixture-exact frame-compare: decoded stats must EQUAL the
+        # synthesis-time ground truth, row for row
+        m = out.merge(expected, on=["media_id", "kind"],
+                      suffixes=("", "_want"), how="outer",
+                      indicator=True)
+        assert (m["_merge"] == "both").all(), "row set != fixture"
+        assert (m["stat"] == m["stat_want"]).all(), \
+            m[m["stat"] != m["stat_want"]].head()
         # round 4: compressed-video CONTAINER metadata (ISO-BMFF box
         # walk, no ffmpeg) — spec-built MP4 fixtures through the
         # video_container_meta triage stage; pixel decode stays stubbed
@@ -2908,6 +2939,54 @@ def _cm_vanilla_sql(np_bits: int = 14, nh: int = 7, seedseed: int = 137,
     """
 
 
+def _sketch_point_sql(np_bits: int = 14, nh: int = 5, seedseed: int = 137,
+                      top_n: int = 1000) -> str:
+    """DuckDB oracle for ``sketch_point_queries``: a top-``top_n`` token
+    with a SINGLETON cell in >= 1 row has a provably exact conservative
+    estimate under any partition order (see the query docstring), and
+    singleton-ness is a pure function of the distinct-token set and the
+    WangHash position chain — all SQL-expressible. The oracle recomputes
+    the isolated subset and predicts est_count == true_count for both
+    variants; any engine defect in the position mapping, conservative
+    kernel, OCCM round gating, or the cellwise-sum merge breaks the
+    hash. CTEs referenced more than once are MATERIALIZED (CLAUDE.md
+    rule 10 — the wang chain would otherwise re-execute per reference)."""
+    from ocm_ray.core.hashing import derive_seeds, force_odd_nh
+
+    seeds = derive_seeds(force_odd_nh(nh), seedseed)
+    vals = ", ".join(f"({j}, CAST({_sql_signed(int(s))} AS BIGINT))"
+                     for j, s in enumerate(seeds))
+    chain, rel = _sql_wang_chain("sp", "spx", "j, t", "xk")
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(tokens) AS tok
+                  FROM read_parquet('{_SEQ_SF01_DIR}/*.parquet'))
+            GROUP BY tok
+        ),
+        seeds(j, s) AS (VALUES {vals}),
+        spx AS (SELECT j, toks.tok AS t,
+                       {_sql_to_huge("xor(CAST(toks.tok AS BIGINT), s)")} AS xk
+                FROM toks CROSS JOIN seeds),
+        {chain},
+        pos AS MATERIALIZED (SELECT j, t, k % {1 << np_bits} AS p
+                             FROM {rel}),
+        cellc AS (SELECT j, p, COUNT(*) AS n FROM pos GROUP BY j, p),
+        iso AS (SELECT DISTINCT pos.t FROM pos
+                JOIN cellc ON pos.j = cellc.j AND pos.p = cellc.p
+                WHERE cellc.n = 1),
+        top AS (SELECT tok, cnt FROM toks
+                ORDER BY cnt DESC, tok LIMIT {top_n}),
+        sel AS (SELECT tok, cnt FROM top
+                WHERE tok IN (SELECT t FROM iso))
+        SELECT v.variant, CAST(sel.tok AS BIGINT) AS token,
+               sel.cnt AS true_count, sel.cnt AS est_count
+        FROM (VALUES ('cm_conservative'), ('occm')) v(variant)
+        CROSS JOIN sel
+        ORDER BY variant, token
+    """
+
+
 def _hll_registers_sql(p: int = 12, seedseed: int = 137) -> str:
     """DuckDB oracle for ``hll_register_histogram``: register[idx] =
     MAX over distinct tokens of (64−p − bit_length(low bits) + 1) where
@@ -4041,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         # 64-bit collisions); ROUND(4) absorbs summation-order ulps
         "sample_per_source": _sample_per_key_sql(n=8, seed=137),
         "cm_vanilla_query": _cm_vanilla_sql(),
+        "sketch_point_queries": _sketch_point_sql(),
         "bloom_membership": _bloom_member_sql(),
         "minhash_dedup_pairs": _minhash_pairs_sql(),
         # sequence identity: GROUP BY the token LIST itself == the

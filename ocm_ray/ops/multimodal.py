@@ -44,27 +44,42 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def make_ppm(w: int, h: int, rng: np.random.Generator) -> bytes:
-    """A genuine binary PPM (P6) image: gradient + seeded noise."""
+def _ppm_pixels(w: int, h: int, rng: np.random.Generator) -> np.ndarray:
+    """The ground-truth (h, w, 3) uint8 array a synthetic PPM encodes:
+    gradient + seeded noise. Split out so synthesis can ALSO hand the
+    raw array to the expected-stats fixture (decode-independent truth)."""
     x = np.linspace(0, 255, w, dtype=np.float64)[None, :]
     y = np.linspace(0, 255, h, dtype=np.float64)[:, None]
     r = np.broadcast_to(x, (h, w))
     g = np.broadcast_to(y, (h, w))
     b = rng.integers(0, 256, (h, w)).astype(np.float64)
-    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
-    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
-def make_wav(duration_ms: int, rng: np.random.Generator,
-             rate: int = 8000, freq: float = 440.0) -> bytes:
-    """A genuine PCM16 mono WAV: sine + seeded noise (stdlib writer)."""
-    import io
-    import wave
+def _encode_ppm(rgb: np.ndarray) -> bytes:
+    return b"P6\n%d %d\n255\n" % (rgb.shape[1], rgb.shape[0]) + rgb.tobytes()
 
+
+def make_ppm(w: int, h: int, rng: np.random.Generator) -> bytes:
+    """A genuine binary PPM (P6) image: gradient + seeded noise."""
+    return _encode_ppm(_ppm_pixels(w, h, rng))
+
+
+def _wav_pcm(duration_ms: int, rng: np.random.Generator,
+             rate: int = 8000, freq: float = 440.0) -> np.ndarray:
+    """Ground-truth little-endian PCM16 samples of a synthetic WAV
+    (sine + seeded noise) — shared by the encoder and the
+    expected-stats fixture."""
     n = max(1, rate * min(duration_ms, 500) // 1000)
     t = np.arange(n, dtype=np.float64) / rate
     sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
-    pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+    return np.clip(sig * 32767, -32768, 32767).astype("<i2")
+
+
+def _encode_wav(pcm: np.ndarray, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
@@ -74,26 +89,61 @@ def make_wav(duration_ms: int, rng: np.random.Generator,
     return buf.getvalue()
 
 
+def make_wav(duration_ms: int, rng: np.random.Generator,
+             rate: int = 8000, freq: float = 440.0) -> bytes:
+    """A genuine PCM16 mono WAV: sine + seeded noise (stdlib writer)."""
+    return _encode_wav(_wav_pcm(duration_ms, rng, rate, freq), rate)
+
+
 def synth_media_table(n: int = 64, seed: int = 42,
-                      payload_bytes: int = 4096) -> pa.Table:
+                      payload_bytes: int = 4096,
+                      expected_stats: bool = False,
+                      target_size: int = 16, every_ms: int = 1000):
     """Deterministic media rows. PPM images and WAV audio carry REAL
     payloads (decodable by the real code paths); JPEG/MP4 rows carry
     seeded pseudo-random bytes behind a 16-byte header (their decoders
-    are stubbed — no PIL/ffmpeg in this container)."""
+    are stubbed — no PIL/ffmpeg in this container).
+
+    ``expected_stats=True`` returns ``(table, fixture_df)`` where the
+    fixture holds the GROUND-TRUTH stat per decodable row — mean
+    ITU-R 601 luma of the nearest-resized image, float32 total RMS of
+    the PCM, mean luma of the ``every_ms``-sampled Y4M frames —
+    computed from the raw arrays at synthesis time, BEFORE any byte
+    encoding. A decode pipeline can then be frame-compared exactly
+    (an oracle without SQL-expressing the codec): any defect in the
+    PPM/WAV/Y4M parser, the resize, the luma kernel, or the sampling
+    schedule breaks equality with the fixture."""
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in ("media_id", "payload", "mime", "width", "height",
                             "duration_ms")}
     mimes = ["image/x-portable-pixmap", "image/jpeg", "audio/wav",
              "video/mp4", "video/x-yuv4mpeg"]
+    exp = {"media_id": [], "kind": [], "stat": []}
     for i in range(n):
         mime = mimes[i % len(mimes)]
         w, h = (int(rng.integers(32, 128)), int(rng.integers(32, 128))) \
             if mime.startswith(("image", "video")) else (-1, -1)
         dur = int(rng.integers(500, 60000)) if not mime.startswith("image") else -1
         if mime == "image/x-portable-pixmap":
-            payload = make_ppm(w, h, rng)
+            rgb = _ppm_pixels(w, h, rng)
+            payload = _encode_ppm(rgb)
+            if expected_stats:
+                small = resize_nearest(rgb, target_size).astype(np.uint32)
+                luma = (77 * small[:, :, 0] + 150 * small[:, :, 1]
+                        + 29 * small[:, :, 2]) >> 8
+                exp["media_id"].append(i)
+                exp["kind"].append("image")
+                exp["stat"].append(
+                    round(float(luma.astype(np.uint8).mean()), 4))
         elif mime == "audio/wav":
-            payload = make_wav(dur, rng)
+            pcm = _wav_pcm(dur, rng)
+            payload = _encode_wav(pcm)
+            if expected_stats:
+                x = pcm.astype(np.float64) / 32768.0
+                rms = np.float32(np.sqrt((x * x).mean()))
+                exp["media_id"].append(i)
+                exp["kind"].append("audio")
+                exp["stat"].append(round(float(rms), 4))
         elif mime == "video/x-yuv4mpeg":
             # REAL raw video: short clip, even dims, 25 fps; duration
             # follows the actual frame count
@@ -101,6 +151,18 @@ def synth_media_table(n: int = 64, seed: int = 42,
             n_frames = int(rng.integers(8, 40))
             dur = n_frames * 1000 // 25
             payload = make_y4m(w, h, n_frames)
+            if expected_stats:
+                # mean luma of every every_ms-sampled frame, straight
+                # from the generator formula (x + 2y + 7f) mod 256
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                step = max(1, int(round(25 * every_ms / 1000.0)))
+                lumas = [float(((xs + 2 * ys + 7 * f) % 256)
+                               .astype(np.uint8).mean())
+                         for f in range(0, n_frames, step)]
+                exp["media_id"].append(i)
+                exp["kind"].append("video")
+                exp["stat"].append(float(np.round(np.mean(lumas), 4)))
         else:
             body = rng.integers(0, 256, payload_bytes - 16,
                                 dtype=np.uint8).tobytes()
@@ -111,7 +173,12 @@ def synth_media_table(n: int = 64, seed: int = 42,
         rows["width"].append(w)
         rows["height"].append(h)
         rows["duration_ms"].append(dur)
-    return pa.table(rows, schema=MEDIA_SCHEMA)
+    tbl = pa.table(rows, schema=MEDIA_SCHEMA)
+    if expected_stats:
+        import pandas as pd
+
+        return tbl, pd.DataFrame(exp)
+    return tbl
 
 
 def make_y4m(w: int, h: int, n_frames: int, fps: int = 25) -> bytes:

@@ -200,6 +200,43 @@ def test_multimodal_decode_stub():
         DecodeImage(fake=False)(t.slice(0, 2))
 
 
+def test_multimodal_fixture_exact_stats():
+    """synth_media_table(expected_stats=True) ground truth == what the
+    real decoders compute, EXACTLY, for all three codecs — the fixture
+    frame-compare backing media_decode_stats' oracle-grade check."""
+    import ray.data as rd
+
+    from ocm_ray.ops.multimodal import (ExtractAudioFeatures,
+                                        decode_images,
+                                        sample_video_frames,
+                                        synth_media_table)
+
+    t, exp = synth_media_table(30, expected_stats=True,
+                               target_size=16, every_ms=1000)
+    ppm = rd.from_arrow(t).filter(
+        lambda r: r["mime"] == "image/x-portable-pixmap")
+    imgs = decode_images(ppm, fake=False, target_size=16,
+                         concurrency=2).to_pandas()
+    want_img = exp[exp["kind"] == "image"].set_index("media_id")["stat"]
+    for _, r in imgs.iterrows():
+        assert round(float(r["mean_luma"]), 4) == want_img[r["media_id"]]
+
+    wav = t.filter(pa.compute.equal(t.column("mime"), "audio/wav"))
+    feats = ExtractAudioFeatures(fake=False)(wav).to_pandas()
+    want_aud = exp[exp["kind"] == "audio"].set_index("media_id")["stat"]
+    for _, r in feats.iterrows():
+        assert round(float(np.asarray(r["features"])[-2]), 4) \
+            == want_aud[r["media_id"]]
+
+    y4m = t.filter(pa.compute.equal(t.column("mime"), "video/x-yuv4mpeg"))
+    vid = sample_video_frames(y4m, every_ms=1000, fake=False).to_pandas()
+    got_vid = vid.groupby("media_id")["mean_luma"].mean().round(4)
+    want_vid = exp[exp["kind"] == "video"].set_index("media_id")["stat"]
+    assert (got_vid == want_vid.loc[got_vid.index]).all()
+    # and the unchanged default return shape still holds
+    assert synth_media_table(5).num_rows == 5
+
+
 def test_multimodal_audio_and_frames():
     from ocm_ray.ops.multimodal import (
         ExtractAudioFeatures,
