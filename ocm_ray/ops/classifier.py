@@ -144,28 +144,55 @@ def train_quality_classifier(ds, label_col: str = "label",
                 _arr(dc["cnt"].to_arrow(), pa.int64())]),
         })
 
-    both = grouped_sum(
+    agg = grouped_sum(
         ds.map_batches(local_counts, batch_size=None,
                        batch_format="pyarrow"),
-        ["kind", "token", "y"], ["cnt"]).to_pandas()
-    counts = both[both["kind"] == 0]
-    docs = both[both["kind"] == 1].rename(columns={"cnt": "docs"})
-    n_pos = int(docs.loc[docs["y"], "docs"].sum())
-    n_neg = int(docs.loc[~docs["y"].astype(bool), "docs"].sum())
+        ["kind", "token", "y"], ["cnt"])
+    # Fold the vocab-sized table driver-side in the HASH domain,
+    # streaming batch by batch: token STRINGS never accumulate on the
+    # driver (the scorer looks words up by their 64-bit hash anyway —
+    # the engine-wide hash-domain contract). The old pandas
+    # pivot_table held 2-3 object-dtype copies of a multi-million-word
+    # vocab (~1 GB driver RSS in the census); this holds three numpy
+    # arrays (~17 B/row).
+    h_parts, y_parts, c_parts = [], [], []
+    n_pos = n_neg = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:     # may arrive schema-less (rule 8b)
+            continue
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        words = b.filter(pa.array(kind == 0))
+        docs = b.filter(pa.array(kind != 0))
+        if docs.num_rows:
+            dy = docs.column("y").to_numpy(zero_copy_only=False)
+            dc = docs.column("cnt").to_numpy(zero_copy_only=False)
+            n_pos += int(dc[dy].sum())
+            n_neg += int(dc[~dy].sum())
+        if words.num_rows:
+            h_parts.append(hash_string_array(words.column("token"))
+                           .astype(np.uint64))
+            y_parts.append(words.column("y")
+                           .to_numpy(zero_copy_only=False))
+            c_parts.append(words.column("cnt")
+                           .to_numpy(zero_copy_only=False))
     if n_pos == 0 or n_neg == 0:
         raise ValueError(
             f"both classes need documents (pos={n_pos}, neg={n_neg})")
 
-    import pandas as pd
-
-    piv = counts.pivot_table(index="token", columns="y", values="cnt",
-                             fill_value=0, aggfunc="sum")
-    words = pd.Index(piv.index).astype(str)
-    cp = (piv[True].to_numpy(dtype=np.float64) if True in piv.columns
-          else np.zeros(len(piv)))
-    cn = (piv[False].to_numpy(dtype=np.float64) if False in piv.columns
-          else np.zeros(len(piv)))
-    vocab = len(piv)
+    h = np.concatenate(h_parts) if h_parts else np.empty(0, np.uint64)
+    yv = np.concatenate(y_parts) if y_parts else np.empty(0, bool)
+    cv = (np.concatenate(c_parts) if c_parts
+          else np.empty(0, np.int64)).astype(np.float64)
+    order = np.argsort(h, kind="stable")
+    h, yv, cv = h[order], yv[order], cv[order]
+    first = np.concatenate([[True], h[1:] != h[:-1]]) if len(h) \
+        else np.zeros(0, bool)
+    uid = np.cumsum(first) - 1
+    vocab = int(first.sum())
+    cp = np.zeros(vocab)
+    cn = np.zeros(vocab)
+    np.add.at(cp, uid[yv], cv[yv])
+    np.add.at(cn, uid[~yv], cv[~yv])
     tp, tn = float(cp.sum()), float(cn.sum())
     # per-occurrence log-likelihood ratio, Laplace(alpha)-smoothed —
     # identical expression shape to the SQL oracle (cp+a)/(tp+a*V)
@@ -173,11 +200,9 @@ def train_quality_classifier(ds, label_col: str = "label",
     lp_diff = np.log2((cp + alpha) / dp) - np.log2((cn + alpha) / dn)
     lp_oov = float(np.log2(alpha / dp) - np.log2(alpha / dn))
 
-    keys = hash_string_array(pa.array(words))
-    order = np.argsort(keys)
     total = float(n_pos + n_neg)
     prior = float(np.log2(n_pos / total) - np.log2(n_neg / total))
-    return NBModel(keys=keys[order], lp_diff=lp_diff[order], lp_oov=lp_oov,
+    return NBModel(keys=h[first], lp_diff=lp_diff, lp_oov=lp_oov,
                    prior=prior, vocab_size=vocab, alpha=alpha,
                    lowercase=lowercase, n_pos_docs=n_pos, n_neg_docs=n_neg)
 

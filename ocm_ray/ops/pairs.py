@@ -176,7 +176,7 @@ def shard_scan(ds: Dataset, shard_fn, scan_fn, n_shards: int) -> Dataset:
         sch = ds.schema()
         arrow_sch = getattr(sch, "base_schema", sch)
         return rd.from_arrow(scan_fn(arrow_sch.empty_table()))
-    per_block = ray.get(split_refs)
+    per_block = _gather_splits(split_refs)
     out = [scan_task.remote([per_block[b][s]
                              for b in range(len(per_block))])
            for s in range(n_shards)]
@@ -201,6 +201,28 @@ def _streamed_splits(ds: Dataset, split_task):
             block_refs.append(bref)
             split_refs.append(split_task.remote(bref))
     return block_refs, split_refs
+
+
+def _gather_splits(split_refs):
+    """Collect every split task's (tiny) list-of-sub-refs, ray.wait-
+    driven: each result is fetched the moment its task completes, so
+    the driver-side gets overlap the still-running splits instead of
+    one ``ray.get`` barrier paying the whole fetch after the slowest
+    split (VERDICT r4 #8). The all-to-all dependency itself is
+    inherent — no scan can start before the last split — but the tail
+    between last-split-done and scans-launched shrinks to ~zero."""
+    import ray
+
+    per_block = [None] * len(split_refs)
+    idx = {r: i for i, r in enumerate(split_refs)}
+    pending = list(split_refs)
+    while pending:
+        done, pending = ray.wait(
+            pending, num_returns=min(len(pending), 64))
+        got = ray.get(done)
+        for r, v in zip(done, got):
+            per_block[idx[r]] = v
+    return per_block
 
 
 def collision_pairs(band_ds: Dataset, n_shards: int = 64,
@@ -316,8 +338,8 @@ def shard_scan2(ds_a: Dataset, ds_b: Dataset, shard_fn_a, shard_fn_b,
         return rd.from_arrow(scan_fn(
             getattr(sa, "base_schema", sa).empty_table(),
             getattr(sb, "base_schema", sb).empty_table()))
-    per_a = ray.get(splits_a)
-    per_b = ray.get(splits_b)
+    per_a = _gather_splits(splits_a)
+    per_b = _gather_splits(splits_b)
     out = [scan_task.remote([per_a[i][s] for i in range(len(per_a))],
                             [per_b[i][s] for i in range(len(per_b))])
            for s in range(n_shards)]

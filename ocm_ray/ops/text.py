@@ -220,6 +220,89 @@ class TextEmbedder:
         return batch.append_column("embedding", col)
 
 
+class NumpyMLPEncoder:
+    """A REAL saved-model encoder for the pluggable ``encode_fn`` slot:
+    a 2-layer ReLU MLP over hashed bag-of-words features whose weights
+    live in an ``.npz`` artifact on disk (``W1 (nfeat, hid), b1,
+    W2 (hid, dim), b2`` — :func:`save_numpy_mlp` writes one). The
+    instance pickles with only the PATH; weights lazy-load from the
+    file on first call — i.e. exactly once per TextEmbedder ACTOR, the
+    model-load slot a torch/ONNX encoder would use (``load_count``
+    proves it). Output is L2-normalized so dot == cosine downstream
+    (the contract ``hybrid_search``/ANN assume)."""
+
+    def __init__(self, path: str, seedseed: int = 137,
+                 load_log: str = None):
+        """``load_log``: optional path; every ACTUAL artifact load
+        appends one ``pid`` line there — lets a test prove the model
+        loaded once per actor process, not once per batch."""
+        self.path = path
+        self.seedseed = int(seedseed)
+        self.load_log = load_log
+        self._w = None          # lazy: not pickled to the actor
+        self.load_count = 0
+
+    def __getstate__(self):
+        return {"path": self.path, "seedseed": self.seedseed,
+                "load_log": self.load_log}
+
+    def __setstate__(self, st):
+        self.path = st["path"]
+        self.seedseed = st["seedseed"]
+        self.load_log = st.get("load_log")
+        self._w = None
+        self.load_count = 0
+
+    def _load(self):
+        if self._w is None:
+            z = np.load(self.path)
+            self._w = {k: z[k].astype(np.float32)
+                       for k in ("W1", "b1", "W2", "b2")}
+            self.load_count += 1
+            if self.load_log:
+                import os as _os
+
+                with open(self.load_log, "a") as f:
+                    f.write(f"{_os.getpid()}\n")
+        return self._w
+
+    def featurize(self, texts) -> np.ndarray:
+        """Hashed bag-of-words counts (n, nfeat) — the same stable
+        64-bit word hash the built-in projection uses."""
+        from ocm_ray.engine.tokens import split_words_hashed
+
+        w = self._load()
+        nfeat = w["W1"].shape[0]
+        flat, lens = split_words_hashed(pa.array(list(texts)))
+        rowid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        feat = (flat & U64(nfeat - 1)).astype(np.int64)
+        counts = np.zeros((len(lens), nfeat), dtype=np.float32)
+        np.add.at(counts, (rowid, feat), 1.0)
+        return counts
+
+    def __call__(self, texts) -> np.ndarray:
+        w = self._load()
+        h = np.maximum(self.featurize(texts) @ w["W1"] + w["b1"], 0.0)
+        emb = h @ w["W2"] + w["b2"]
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        return (emb / np.maximum(norm, 1e-30)).astype(np.float32)
+
+
+def save_numpy_mlp(path: str, nfeat: int = 4096, hid: int = 64,
+                   dim: int = 32, seed: int = 7) -> str:
+    """Write a deterministic 2-layer-MLP ``.npz`` artifact for
+    :class:`NumpyMLPEncoder` (Xavier-ish scaling; pure numpy)."""
+    rng = np.random.default_rng(seed)
+    np.savez(path,
+             W1=(rng.standard_normal((nfeat, hid))
+                 / np.sqrt(nfeat)).astype(np.float32),
+             b1=np.zeros(hid, np.float32),
+             W2=(rng.standard_normal((hid, dim))
+                 / np.sqrt(hid)).astype(np.float32),
+             b2=np.zeros(dim, np.float32))
+    return path
+
+
 def embed_texts(ds, dim: int = 64, feat_bits: int = 12, seedseed: int = 137,
                 text_col: str = "text", batch_size: int = 1024,
                 concurrency: int = 4, encode_fn=None):

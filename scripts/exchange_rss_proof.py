@@ -213,6 +213,115 @@ def main() -> int:
                                 "wall": round(time.time() - t0, 1)}
     assert n_sh == N_DNG_DOCS and ordered
 
+    # 7. NB-classifier training on a NEAR-UNIQUE vocabulary (round 4.3
+    # census): 60k docs whose words are mostly doc-private (~2.2M
+    # distinct words), so the training fold's keyspace is corpus-like.
+    # The driver-held model is vocab-sized BY CONTRACT — the census
+    # records that a multi-million-word vocab still fits the bound and
+    # that the grouped-sum tree, not the driver, absorbs the fold.
+    from ocm_ray.ops.classifier import nb_scores, train_quality_classifier
+
+    N_NB = 60_000
+
+    def gen_unique(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 13)
+        texts = []
+        for i in ids:
+            own = [f"u{int(i)}_{j}" for j in range(36)]   # doc-private
+            common = [f"c{v}" for v in rng.integers(0, 200, 4)]
+            texts.append(" ".join(own + common))
+        return pd.DataFrame({"doc_id": ids, "text": texts,
+                             "label": (ids % 2).astype(np.int64)})
+
+    nb_ds = rd.range(N_NB).map_batches(gen_unique, batch_size=4096,
+                                       batch_format="pandas")
+    t0 = time.time()
+    model = train_quality_classifier(nb_ds, label_col="label")
+    n_scored = sum(b.num_rows for b in
+                   nb_scores(nb_ds, model).iter_batches(
+                       batch_format="pyarrow"))
+    results["nb_near_unique_vocab"] = {
+        "vocab": int(model.vocab_size), "scored": int(n_scored),
+        "wall": round(time.time() - t0, 1)}
+    assert model.vocab_size > 2_000_000 and n_scored == N_NB
+
+    # 8. perplexity_buckets over the 200k-doc corpus: LM table broadcast,
+    # (source, score)-pair threshold exchange, stateless assignment —
+    # nothing corpus-sized on the driver.
+    from ocm_ray.ops.sampling import perplexity_buckets
+
+    def gen_sourced(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 17)
+        vocab = np.array([f"w{i}" for i in range(30_000)])
+        texts = [" ".join(vocab[rng.integers(0, len(vocab), 80)])
+                 for _ in ids]
+        return pd.DataFrame({"doc_id": ids, "text": texts,
+                             "source": [f"s{int(i) % 20}" for i in ids]})
+
+    src_docs = rd.range(N_DOCS).map_batches(gen_sourced, batch_size=4096,
+                                            batch_format="pandas")
+    t0 = time.time()
+    buckets = perplexity_buckets(src_docs)
+    from collections import Counter
+
+    dist = Counter()
+    for b in buckets.iter_batches(batch_format="pyarrow"):
+        dist.update(b.column("ppl_bucket").to_pylist())
+    results["perplexity_buckets"] = {
+        "docs": int(sum(dist.values())), "buckets": dict(dist),
+        "wall": round(time.time() - t0, 1)}
+    assert sum(dist.values()) == N_DOCS and len(dist) == 3
+
+    # 9. funnel + retention at 10^6 users over 8M events; retention is
+    # FORCED onto its shard_scan2 exchange plan (the >max_broadcast
+    # path) so the census covers the users-unbounded join, not just the
+    # broadcast default.
+    from ocm_ray.ops.relational import funnel, retention_cohorts
+
+    N_EV, N_USERS = 8_000_000, 1_000_000
+
+    def gen_ev(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 19)
+        return pd.DataFrame({
+            "user_id": rng.integers(0, N_USERS, len(ids)),
+            "ts": rng.integers(0, 30 * 86_400_000_000, len(ids)),
+            "event_type": np.array(["view", "click", "signup"])[
+                rng.integers(0, 3, len(ids))],
+            "event_id": ids,
+        })
+
+    ev = rd.range(N_EV).map_batches(gen_ev, batch_size=131072,
+                                    batch_format="pandas")
+    t0 = time.time()
+    fu = funnel(ev, ("view", "click", "signup"))
+    n_funnel = sum(b.num_rows for b in fu.select_columns(["n_reached"])
+                   .iter_batches(batch_format="pyarrow"))
+    results["funnel_1m_users"] = {"users": int(n_funnel),
+                                  "wall": round(time.time() - t0, 1)}
+    assert n_funnel > N_USERS * 0.9
+
+    t0 = time.time()
+    ret = retention_cohorts(ev, distributed=True, n_shards=32)
+    n_ret = 0
+    n_active = 0
+    for b in ret.iter_batches(batch_format="pyarrow"):
+        n_ret += b.num_rows
+        n_active += int(np.sum(
+            b.column("n_active").to_numpy(zero_copy_only=False)))
+    results["retention_1m_users_exchange"] = {
+        "cohort_rows": int(n_ret), "user_periods": int(n_active),
+        "wall": round(time.time() - t0, 1)}
+    assert n_ret > 0 and n_active > N_USERS  # ≥ one period per user
+
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     ok = peak < RSS_BOUND_MB
     import json
