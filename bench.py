@@ -74,7 +74,13 @@ def _sent_kernel(_=None) -> float:
 def _load_persisted_base():
     """Seed the sentinel bases from the committed calibration file so a
     uniformly-degraded run still reads > 1.0 (the r4 failure mode). The
-    in-run minimum still wins if this box is faster than calibration."""
+    in-run minimum still wins if this box is faster than calibration.
+    ``BENCH_RECALIBRATE=1`` ignores the file and REPLACES it with this
+    run's minima — the escape hatch for a base calibrated on different
+    hardware (min-merge alone never loosens, so a too-tight base would
+    otherwise flag every query forever)."""
+    if os.environ.get("BENCH_RECALIBRATE"):
+        return
     try:
         with open(_BASE_FILE) as f:
             d = json.load(f)
@@ -140,11 +146,12 @@ def _persist_base():
     (min-merge: a faster observation tightens future flagging; a slower
     run never loosens it)."""
     cur = {}
-    try:
-        with open(_BASE_FILE) as f:
-            cur = json.load(f)
-    except (OSError, ValueError):
-        pass
+    if not os.environ.get("BENCH_RECALIBRATE"):
+        try:
+            with open(_BASE_FILE) as f:
+                cur = json.load(f)
+        except (OSError, ValueError):
+            pass
     for key, val in (("base_sec", _SENT_STATE["base"]),
                      ("par_base_sec", _SENT_STATE["pbase"])):
         if val is not None:

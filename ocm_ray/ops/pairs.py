@@ -217,8 +217,12 @@ def _gather_splits(split_refs):
     idx = {r: i for i, r in enumerate(split_refs)}
     pending = list(split_refs)
     while pending:
-        done, pending = ray.wait(
-            pending, num_returns=min(len(pending), 64))
+        # num_returns=1: ray.wait blocks until num_returns tasks have
+        # FINISHED, so a larger value is a barrier over that many tasks
+        # (64 would have been identical to the old ray.get for typical
+        # split counts); one wait per split is negligible — each result
+        # is a tiny list of sub-refs
+        done, pending = ray.wait(pending, num_returns=1)
         got = ray.get(done)
         for r, v in zip(done, got):
             per_block[idx[r]] = v

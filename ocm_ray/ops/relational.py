@@ -1219,6 +1219,10 @@ def retention_cohorts(events: Dataset, key: str = "user_id",
                          descending=False)
 
     if distributed is None:
+        # materialize BEFORE count(): the user-sized topk tree (and its
+        # AllToAll repartition) would otherwise execute twice — once for
+        # the count, once again inside the chosen path
+        first = first.materialize()
         distributed = first.count() > max_broadcast
     if distributed:
         return _retention_exchange(act, first, key, n_shards)

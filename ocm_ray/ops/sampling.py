@@ -442,7 +442,10 @@ def perplexity_buckets(ds: Dataset, id_col: str = "doc_id",
     th = grouped_quantiles(scored, source_col, "logprob", qs=list(qs),
                            n_shards=n_shards).to_pandas()
     # sorted-key threshold arrays, built ONCE: per-batch lookup is a
-    # vectorized searchsorted, not pandas object-dtype Series.map
+    # vectorized searchsorted, not pandas object-dtype Series.map.
+    # A null source group (if any) is dropped from the keys — its rows
+    # take the unmatched -> "head" path in assign.
+    th = th[th[source_col].notna()]
     t_lo = th[th["q"] == q_lo].sort_values(source_col)
     t_hi = th[th["q"] == q_hi].sort_values(source_col)
     keys = t_lo[source_col].to_numpy()
@@ -452,12 +455,25 @@ def perplexity_buckets(ds: Dataset, id_col: str = "doc_id",
     ref = ray.put((keys, lo_v, hi_v))
 
     def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         keys, lo_v, hi_v = ray.get(ref)
-        src = batch.column(source_col).to_numpy(zero_copy_only=False)
+        col = batch.column(source_col)
+        src = col.to_numpy(zero_copy_only=False)
         lp = batch.column("logprob").to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(col).combine_chunks() \
+            .to_numpy(zero_copy_only=False) \
+            if isinstance(col, pa.ChunkedArray) \
+            else pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if not valid.all():
+            # a null source can't be searchsorted against string keys;
+            # route it through the unmatched -> "head" path (the old
+            # dict-map semantics: NaN thresholds, both compares false)
+            src = np.where(valid, src, keys[0] if len(keys) else "")
         idx = np.minimum(np.searchsorted(keys, src),
                          max(len(keys) - 1, 0))
-        ok = keys[idx] == src if len(keys) else np.zeros(len(src), bool)
+        ok = ((keys[idx] == src) & valid if len(keys)
+              else np.zeros(len(src), bool))
         # unmatched source (can't happen when scoring the training
         # corpus): NaN thresholds -> both compares false -> "head",
         # the exact semantics of the old dict-map path

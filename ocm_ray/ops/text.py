@@ -273,9 +273,13 @@ class NumpyMLPEncoder:
 
         w = self._load()
         nfeat = w["W1"].shape[0]
-        flat, lens = split_words_hashed(pa.array(list(texts)))
+        flat, lens = split_words_hashed(pa.array(list(texts)),
+                                        seed=self.seedseed)
         rowid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        feat = (flat & U64(nfeat - 1)).astype(np.int64)
+        # modulo, not a bitmask: a non-power-of-two W1 would leave
+        # bitmask-unreachable rows dead and pile hashes onto submask
+        # buckets (same result for power-of-two nfeat)
+        feat = (flat % U64(nfeat)).astype(np.int64)
         counts = np.zeros((len(lens), nfeat), dtype=np.float32)
         np.add.at(counts, (rowid, feat), 1.0)
         return counts

@@ -95,3 +95,26 @@ def test_mlp_encoder_ann_and_hybrid(tmp_path):
                         encode_fn=enc)
     assert out.iloc[0]["doc_id"] == "hit"
     assert out.iloc[0]["cosine"] > 0.99
+
+
+def test_mlp_encoder_non_pow2_and_seed(tmp_path):
+    """Every W1 row must be reachable for a NON-power-of-two feature
+    width (the bucket is hash % nfeat, not a bitmask that would leave
+    rows dead), and seedseed must actually change the word hashing."""
+    import numpy as np
+
+    from ocm_ray.ops.text import NumpyMLPEncoder, save_numpy_mlp
+
+    path = save_numpy_mlp(str(tmp_path / "odd.npz"), nfeat=1000, hid=8,
+                          dim=4, seed=1)
+    enc = NumpyMLPEncoder(path)
+    texts = [f"t{i} u{i} v{i}" for i in range(4000)]
+    feats = enc.featurize(texts)
+    hit = feats.sum(axis=0) > 0
+    # 12k word hashes over 1000 buckets: a bitmask bug leaves ~2/3 of
+    # the rows permanently cold; modulo reaches (nearly) all of them
+    assert hit.mean() > 0.99, f"only {hit.sum()}/1000 buckets reachable"
+
+    other = NumpyMLPEncoder(path, seedseed=42)
+    assert not np.allclose(enc(texts[:50]), other(texts[:50])), \
+        "seedseed must change the hashed features"

@@ -999,3 +999,32 @@ def test_retention_cohorts_distributed_string_keys(ray_session):
          .to_pandas().sort_values(["cohort", "period_offset"])
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_perplexity_buckets_null_source(ray_session):
+    """A null source must take the unmatched -> "head" path (the old
+    dict-map semantics), not crash the vectorized searchsorted lookup
+    on a mixed str/None object array."""
+    import pyarrow as pa
+    import ray
+
+    from ocm_ray.ops.sampling import perplexity_buckets
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, 12)),
+             "source": None if i % 10 == 0 else f"s{i % 2}"}
+            for i in range(100)]
+    tbl = pa.Table.from_pylist(rows)
+
+    got = (perplexity_buckets(ray.data.from_arrow(tbl).repartition(5))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 100
+    nulls = got[got["source"].isna()]
+    assert len(nulls) == 10
+    assert (nulls["ppl_bucket"] == "head").all()
+    # non-null rows still get real terciles
+    per = got[got["source"].notna()].groupby("source")["ppl_bucket"] \
+        .nunique()
+    assert (per == 3).all()
