@@ -375,10 +375,18 @@ def run_bench() -> dict:
     # (shard_scan discovery + broadcast probe) and DSIR importance
     # scoring (two stateless passes + one 512 KB broadcast)
     from ocm_ray.ops.dedup import dup_ngram_stats
+    from ocm_ray.ops.pairs import shards_for
     from ocm_ray.ops.sampling import dsir_scores
 
+    # shard the gram exchanges to the corpus size (free Parquet-
+    # metadata count; results are shard-count-invariant)
+    n_docs = rd.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id"]).count()
+    doc_shards = shards_for(n_docs)
+
     timed_q("dup_ngram_stats", lambda: dup_ngram_stats(
-        docs_ds(), k=5).count())
+        docs_ds(), k=5, n_shards=doc_shards).count())
 
     def docs_src_ds():
         return rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
@@ -392,7 +400,7 @@ def run_bench() -> dict:
     from ocm_ray.ops.dedup import remove_dup_spans
 
     timed_q("span_removal", lambda: remove_dup_spans(
-        docs_ds(), k=5, min_span=6).count())
+        docs_ds(), k=5, min_span=6, n_shards=doc_shards).count())
 
     # 20. round-4-session op: trainable NB quality classifier — train
     # (two distributed integer count tables) + broadcast scoring pass

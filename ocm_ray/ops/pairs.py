@@ -37,6 +37,21 @@ def _shard_bits(n_shards: int) -> int:
     return int(n_shards).bit_length() - 1
 
 
+def shards_for(n_rows: int, lo: int = 8, hi: int = 64,
+               rows_per_shard: int = 2048) -> int:
+    """Power-of-two shard count sized to the input: exchange results are
+    shard-count-invariant (partitioning only), but each shard is one
+    split slot + one scan task, so 64 near-empty shards on a small
+    corpus are pure scheduling overhead (~0.7-1.5 s measured at 5k
+    docs) while a large corpus wants the full fan-out. Callers that
+    know (or can cheaply count, e.g. Parquet metadata) their row count
+    should pass ``n_shards=shards_for(n)``; the static defaults remain
+    the large-corpus value."""
+    want = max(1, int(n_rows) // max(1, rows_per_shard))
+    p2 = 1 << max(0, want.bit_length() - 1)
+    return max(lo, min(hi, p2))
+
+
 def add_shard_column(band_ds: Dataset, n_shards: int = 64,
                      key_col: str = "key") -> Dataset:
     """Append ``shard`` = top log2(n_shards) bits of the (uint64-viewed)

@@ -155,7 +155,12 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     # hashes (small by construction) come back: (content_hash → min id)
     from ocm_ray.ops.dedup import exact_dedup_groups
 
-    dup_map = (exact_dedup_groups(kept)
+    from ocm_ray.ops.pairs import shards_for
+
+    # shard count scaled to the surviving row count — 64 near-empty
+    # shard tasks on a small corpus are pure scheduling overhead, a
+    # 100 TB run still gets the full fan-out
+    dup_map = (exact_dedup_groups(kept, n_shards=shards_for(n_quality))
                .map_batches(
                    lambda t: t.filter(pc.greater(t.column("n_copies"),
                                                  pa.scalar(1))),

@@ -1028,3 +1028,29 @@ def test_perplexity_buckets_null_source(ray_session):
     per = got[got["source"].notna()].groupby("source")["ppl_bucket"] \
         .nunique()
     assert (per == 3).all()
+
+
+def test_shards_for_and_shard_count_invariance(ray_session):
+    """shards_for sizes the exchange to the corpus (power of two,
+    clamped), and exchange RESULTS are shard-count-invariant."""
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import exact_dedup_groups
+    from ocm_ray.ops.pairs import shards_for
+
+    assert shards_for(0) == 8
+    assert shards_for(5_000) == 8
+    assert shards_for(2_048 * 16) == 16
+    assert shards_for(10 ** 9) == 64
+    assert shards_for(10 ** 9, hi=256) == 256
+    for n in (1, 999, 123_456, 10 ** 7):
+        s = shards_for(n)
+        assert s & (s - 1) == 0  # power of two (shard_scan contract)
+
+    docs = _mixed_corpus()
+    ds = rd.from_pandas(docs).repartition(6)
+    a = (exact_dedup_groups(ds, n_shards=8).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (exact_dedup_groups(ds, n_shards=64).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
