@@ -294,6 +294,8 @@ def nb_keep_top_fraction(ds, model: NBModel, frac: float,
     scores = _score_kernel(model, text_col, ndigits)
 
     def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({})
         sk = KLL(sketch_k)
         sk.update_values(scores(batch))
         return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
@@ -301,6 +303,8 @@ def nb_keep_top_fraction(ds, model: NBModel, frac: float,
     merged = KLL(sketch_k)
     for b in (ds.map_batches(part, batch_format="pyarrow")
                 .iter_batches(batch_format="pyarrow", batch_size=None)):
+        if b.num_rows == 0:         # schema-less empty block (rule 8b)
+            continue
         for raw in b.column("sk"):
             merged.merge(MergeableSketch.from_bytes(raw.as_py()))
     if merged.n[0] == 0:

@@ -50,13 +50,16 @@ def eval_gram_set(eval_ds, k: int = 3, text_col: str = "text",
     from ocm_ray.engine.tokens import word_kgram_hashes
 
     def uniq(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({"g": pa.array([], pa.uint64())})
         g, _, _ = word_kgram_hashes(batch.column(text_col), k,
                                     lowercase, seed)
         return pa.table({"g": pa.array(np.unique(g))})
 
     parts = [b.column("g").to_numpy(zero_copy_only=False)
              for b in eval_ds.map_batches(uniq, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")]
+             .iter_batches(batch_format="pyarrow")
+             if b.num_rows]
     if not parts:
         return np.empty(0, dtype=U64)
     return np.unique(np.concatenate(parts).astype(U64))
@@ -171,6 +174,8 @@ def bm25_topk(docs_ds, query_terms: list[str], topk: int = 10,
                          text_col, seed)
 
     def batch_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({})
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sc = np.round(batch.column("score").to_numpy(zero_copy_only=False),
                       round_to)
@@ -180,6 +185,12 @@ def bm25_topk(docs_ds, query_terms: list[str], topk: int = 10,
 
     small = scored.map_batches(batch_topk,
                                batch_format="pyarrow").to_pandas()
+    if small.empty or "score" not in small.columns:
+        # no document matched any query term: every block was empty
+        # (schema-less union -> column-less frame)
+        import pandas as pd
+
+        small = pd.DataFrame({id_col: [], "score": []})
     small = small.sort_values(["score", id_col],
                               ascending=[False, True],
                               kind="mergesort").head(topk)

@@ -33,8 +33,15 @@ def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
         arr = arr.combine_chunks()
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type) \
             or pa.types.is_fixed_size_list(arr.type):
+        if arr.null_count:
+            # flatten() silently DROPS null lists, which would misalign
+            # every id after the null with the wrong vector — fail loud
+            raise ValueError(
+                f"embedding column {col!r} has {arr.null_count} null "
+                "row(s); drop or impute them upstream of similarity ops")
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        dim = len(arr[0])
+        dim = (arr.type.list_size if pa.types.is_fixed_size_list(arr.type)
+               else len(arr[0]))
         return flat.reshape(-1, dim)
     # Ray's ArrowTensorArray (from_pandas with ndarray cells) or object rows
     m = np.asarray(arr.to_numpy(zero_copy_only=False))
@@ -53,6 +60,10 @@ def _topk_stage(batch: pa.Table, q_ref, id_col: str, emb_col: str,
     """Per-batch candidate pruning: cosine vs the broadcast query matrix
     (``ray.put`` once, zero-copy ``ray.get`` per batch), emit only the
     per-batch top-k rows per query (k rows/query/block, not N)."""
+    if batch.num_rows == 0:
+        # empty upstream block, possibly schema-less (rule 8b) — emit
+        # the same schema-less empty Ray itself uses
+        return pa.table({})
     q = _normalize(np.atleast_2d(np.asarray(
         ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref,
         dtype=np.float64)))
@@ -72,18 +83,26 @@ def _topk_stage(batch: pa.Table, q_ref, id_col: str, emb_col: str,
 
 def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", emb_col: str = "embedding",
-                     concurrency: int = 4) -> pd.DataFrame:
+                     concurrency: Optional[int] = None) -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns a DataFrame
     (query_idx, vec_id, sim, rank) with deterministic tie-breaking
     (sim desc, vec_id asc). Stateless task stage — no actor-pool
-    startup on the critical path; the query matrix broadcasts once."""
+    startup on the critical path; the query matrix broadcasts once.
+    ``concurrency`` caps the concurrent scoring tasks (None = let the
+    streaming executor schedule freely, the default)."""
     import functools
 
     ref = ray.put(np.asarray(queries, dtype=np.float64))
     cand = ds.map_batches(
         functools.partial(_topk_stage, q_ref=ref, id_col=id_col,
                           emb_col=emb_col, k=k),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow", concurrency=concurrency).to_pandas()
+    if cand.empty or "query_idx" not in cand.columns:
+        # every candidate block was empty (e.g. lsh_topk probed buckets
+        # holding no corpus vectors) — schema-less blocks union to a
+        # column-less frame; return the documented empty result
+        return pd.DataFrame({"query_idx": [], "vec_id": [], "sim": [],
+                             "rank": []})
     cand = cand.sort_values(["query_idx", "sim", "vec_id"],
                             ascending=[True, False, True], kind="mergesort")
     out = cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
@@ -121,14 +140,20 @@ def add_lsh_bucket(ds: Dataset, dim: int, bits: int = 8,
 
 def _probe_buckets(q: np.ndarray, bits: int, multiprobe: int,
                    seedseed: int) -> list:
+    """Buckets within Hamming distance ``multiprobe`` of each query's
+    bucket (distance 0..multiprobe — all combinations of that many bit
+    flips, the contract the docstrings promise; an earlier version only
+    ever flipped one bit regardless of the setting)."""
+    from itertools import combinations
+
     planes = _hyperplanes(q.shape[1], bits, seedseed)
     qbits = (q @ planes.T) > 0
     qbuckets = (qbits @ (1 << np.arange(bits))).astype(np.int32)
-    probe = set()
-    for b in qbuckets:
-        probe.add(int(b))
-        if multiprobe >= 1:
-            probe |= {int(b) ^ (1 << j) for j in range(bits)}
+    masks = [0]
+    for r in range(1, max(0, min(multiprobe, bits)) + 1):
+        masks.extend(sum(1 << j for j in c)
+                     for c in combinations(range(bits), r))
+    probe = {int(b) ^ m for b in qbuckets for m in masks}
     return sorted(probe)
 
 
@@ -197,10 +222,14 @@ def lsh_topk(ds: Optional[Dataset], queries: np.ndarray, k: int = 10,
     seedseed = 137 if seedseed is None else seedseed
     allowed = _probe_buckets(q, bits, multiprobe, seedseed)
     bucketed = add_lsh_bucket(ds, q.shape[1], bits, emb_col, seedseed)
-    filtered = bucketed.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column("bucket"),
-                                            value_set=pa.array(allowed, pa.int32()))),
-        batch_format="pyarrow")
+
+    def keep_probed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc  # bare `import pyarrow` lacks it
+
+        return t.filter(pc.is_in(t.column("bucket"),
+                                 value_set=pa.array(allowed, pa.int32())))
+
+    filtered = bucketed.map_batches(keep_probed, batch_format="pyarrow")
     return brute_force_topk(filtered, q, k, id_col, emb_col)
 
 
@@ -258,15 +287,7 @@ def build_ivf_index(ds: Dataset, index_dir: str, n_centroids: int = 64,
                                                   batch_format="pyarrow")
     sample = _embedding_matrix(pa.table(sample_tbl), emb_col)
     cents = _kmeans_fit(sample, n_centroids, seedseed=seedseed)
-    ref = ray.put(cents)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(ref)
-        m = _normalize(_embedding_matrix(batch, emb_col))
-        cell = (m @ c.T).argmax(axis=1).astype(np.int32)
-        return batch.append_column("cell", pa.array(cell))
-
-    ds.map_batches(assign, batch_format="pyarrow") \
+    assign_clusters(ds, cents, emb_col=emb_col, out_col="cell") \
         .write_parquet(index_dir, partition_cols=["cell"])
     meta = dict(dim=int(cents.shape[1]), n_centroids=int(len(cents)),
                 seedseed=seedseed, emb_col=emb_col,
@@ -337,6 +358,8 @@ def kmeans_lloyd(ds: Dataset, n_clusters: int = 64, iters: int = 6,
     history = []
 
     def partials(batch: pa.Table, c_ref) -> pa.Table:
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({})
         cc = ray.get(c_ref)
         m = _normalize(_embedding_matrix(batch, emb_col))
         sims = m @ cc.T
@@ -362,6 +385,8 @@ def kmeans_lloyd(ds: Dataset, n_clusters: int = 64, iters: int = 6,
         for b in ds.map_batches(functools.partial(partials, c_ref=ref),
                                 batch_format="pyarrow") \
                 .iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0:     # schema-less empty block (rule 8b)
+                continue
             for s_raw, c_raw, ine, n in zip(b.column("sums").to_pylist(),
                                             b.column("counts").to_pylist(),
                                             b.column("inertia").to_pylist(),
@@ -460,6 +485,11 @@ def build_ivfpq_index(ds: Dataset, index_dir: str, n_centroids: int = 32,
     sample = _normalize(_embedding_matrix(pa.table(sample_tbl), emb_col))
     dim = sample.shape[1]
     assert dim % m_subspaces == 0, "dim must divide into subspaces"
+    if n_codes > 256:
+        # codes persist as uint8 — a larger codebook would silently
+        # wrap modulo 256 and decode against the wrong rows
+        raise ValueError(f"n_codes={n_codes} > 256 cannot be stored in "
+                         "uint8 PQ codes")
     d_sub = dim // m_subspaces
     cents = _kmeans_fit(sample, n_centroids, seedseed=seedseed)
     resid = sample - cents[(sample @ cents.T).argmax(axis=1)]

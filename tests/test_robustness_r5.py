@@ -1,0 +1,147 @@
+"""Round-5 robustness regressions: rule-8b schema-less empty blocks in
+driver folds, null embeddings, empty-candidate retrieval paths, LSH
+multiprobe semantics, and PQ code-width guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _emb_frame(n=60, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "vec_id": [f"v{i:03d}" for i in range(n)],
+        "embedding": [rng.standard_normal(dim).tolist() for _ in range(n)],
+    })
+
+
+def _with_empty_blocks(df, keep):
+    """Dataset whose partitioning leaves some blocks EMPTY after a
+    filter — the layout that makes map_batches emit schema-less
+    pa.table({}) blocks (CLAUDE.md rule 8b)."""
+    import ray.data
+
+    ds = ray.data.from_pandas(df).repartition(8)
+    mask = set(keep)
+    return ds.map_batches(
+        lambda t: (t.filter(pa.array([i in mask for i in
+                                      t.column(t.column_names[0])
+                                      .to_pylist()]))
+                   if t.num_rows else t),
+        batch_format="pyarrow")
+
+
+def test_kmeans_and_semdedup_survive_empty_blocks():
+    import ray.data
+
+    from ocm_ray.ops.similarity import kmeans_lloyd
+
+    df = _emb_frame(n=64)
+    # drop everything outside one narrow id range -> most blocks empty
+    keep = {f"v{i:03d}" for i in range(16)}
+    ds = _with_empty_blocks(df, keep)
+    cents, hist = kmeans_lloyd(ds, n_clusters=4, iters=2)
+    assert cents.shape == (4, 8) and len(hist) == 2
+
+
+def test_eval_gram_set_survives_empty_blocks():
+    from ocm_ray.ops.retrieval import eval_gram_set
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(40)],
+                       "text": [f"alpha beta gamma delta {i}"
+                                for i in range(40)]})
+    ds = _with_empty_blocks(df, {"d1", "d2"})
+    g = eval_gram_set(ds, k=3)
+    assert len(g) > 0 and g.dtype == np.uint64
+
+
+def test_nb_keep_top_fraction_survives_empty_blocks():
+    from ocm_ray.ops.classifier import (nb_keep_top_fraction,
+                                        train_quality_classifier)
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(80)],
+        "text": [" ".join(rng.choice(["good", "fine", "bad", "junk",
+                                      "meh"], 12)) for _ in range(80)],
+        "label": [i % 2 == 0 for i in range(80)],
+    })
+    model = train_quality_classifier(ray.data.from_pandas(df))
+    ds = _with_empty_blocks(df, {f"d{i}" for i in range(20)})
+    kept, thr = nb_keep_top_fraction(ds, model, 0.5)
+    assert np.isfinite(thr)
+    assert 0 < kept.count() <= 20
+
+
+def test_embedding_matrix_rejects_null_rows():
+    from ocm_ray.ops.similarity import _embedding_matrix
+
+    t = pa.table({"vec_id": ["a", "b", "c"],
+                  "embedding": pa.array([[1.0, 0.0], None, [0.0, 1.0]],
+                                        pa.list_(pa.float64()))})
+    with pytest.raises(ValueError, match="null"):
+        _embedding_matrix(t, "embedding")
+
+
+def test_lsh_topk_empty_probed_buckets_returns_empty():
+    """On-the-fly mode with no corpus vector in any probed bucket must
+    return the documented empty frame, like index mode already did."""
+    import ray.data
+
+    from ocm_ray.ops.similarity import add_lsh_bucket, brute_force_topk
+
+    df = _emb_frame(n=30, dim=8)
+    ds = ray.data.from_pandas(df).repartition(4)
+    # emulate the probe filter dropping EVERYTHING
+    empty = ds.map_batches(lambda t: t.slice(0, 0) if t.num_rows else t,
+                           batch_format="pyarrow")
+    out = brute_force_topk(empty, np.ones((2, 8)), k=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["query_idx", "vec_id", "sim", "rank"]
+
+
+def test_bm25_topk_no_matching_terms_returns_empty():
+    import ray.data
+
+    from ocm_ray.ops.retrieval import bm25_topk, hybrid_search
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(30)],
+                       "text": [f"alpha beta gamma {i}"
+                                for i in range(30)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = bm25_topk(ds, ["zzzznotinthecorpus"], topk=5)
+    assert out.num_rows == 0
+    # hybrid_search's empty-candidate fallback is reachable again
+    h = hybrid_search(ds, "zzzznotinthecorpus", topk=5, dim=8)
+    assert len(h) == 0
+
+
+def test_lsh_multiprobe_radius():
+    from ocm_ray.ops.similarity import _probe_buckets
+
+    q = np.ones((1, 8))
+    p0 = _probe_buckets(q, bits=6, multiprobe=0, seedseed=137)
+    p1 = _probe_buckets(q, bits=6, multiprobe=1, seedseed=137)
+    p2 = _probe_buckets(q, bits=6, multiprobe=2, seedseed=137)
+    assert len(p0) == 1
+    assert len(p1) == 1 + 6
+    assert len(p2) == 1 + 6 + 15          # C(6,1) + C(6,2)
+    home = p0[0]
+    assert all(bin(b ^ home).count("1") <= 2 for b in p2)
+
+
+def test_ivfpq_rejects_wide_codebooks(tmp_path):
+    import ray.data
+
+    from ocm_ray.ops.similarity import build_ivfpq_index
+
+    ds = ray.data.from_pandas(_emb_frame(n=40, dim=8))
+    with pytest.raises(ValueError, match="256"):
+        build_ivfpq_index(ds, str(tmp_path / "pq"), n_centroids=2,
+                          m_subspaces=2, n_codes=512)
