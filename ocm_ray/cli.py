@@ -291,7 +291,7 @@ def cmd_dedup(args) -> int:
     elif args.mode == "exact":
         out = dd.exact_dedup(ds, args.id_col, args.text_col).to_pandas()
     else:  # bloom: write surviving rows as parquet
-        survivors = dd.bloom_dedup_filter(ds, args.id_col, args.text_col)
+        survivors = dd.bloom_dedup_filter(ds, text_col=args.text_col)
         survivors.write_parquet(args.output)
         n = survivors.count()
         print(json.dumps({"mode": "bloom", "n_survivors": n,

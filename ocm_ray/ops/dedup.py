@@ -177,10 +177,24 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
                 f"signature cache {signature_cache_dir} was built with "
                 f"{have}, requested {want} — use a fresh directory")
         else:
+            # build-then-RENAME so the cache only ever appears complete:
+            # a crash mid-write used to leave meta-less parquet that a
+            # retry APPENDED to (2 sig rows per doc -> self-pairs). A
+            # meta-less final dir from such an old crash is stale by
+            # definition — rebuild it.
+            import shutil as _shutil
+
+            if _os.path.isdir(signature_cache_dir) \
+                    and _os.listdir(signature_cache_dir):
+                _shutil.rmtree(signature_cache_dir)
+            tmp = signature_cache_dir.rstrip("/") + ".building"
+            if _os.path.isdir(tmp):
+                _shutil.rmtree(tmp)
             ds.map_batches(compute_sigs, batch_format="pyarrow") \
-                .write_parquet(signature_cache_dir)
-            with open(meta_path, "w") as f:
+                .write_parquet(tmp)
+            with open(_os.path.join(tmp, "_sig_meta.json"), "w") as f:
                 _json.dump(want, f)
+            _os.rename(tmp, signature_cache_dir)
         # consumers re-read the Parquet cache (row-count via metadata is
         # free; no object-store pin needed — the disk copy IS the reuse)
         sig_ds = _rd.read_parquet(signature_cache_dir)
@@ -191,22 +205,30 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
     if local is None:
         local = sig_ds.count() <= local_threshold
     if local:
-        sig_tbl = pa.concat_tables(ray.get(sig_ds.to_arrow_refs()))
+        tabs = [t for t in ray.get(sig_ds.to_arrow_refs())
+                if t.num_rows]           # schema-less empties (rule 8b)
+        if not tabs:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        sig_tbl = pa.concat_tables(tabs)
         ids_all = sig_tbl.column(id_col).to_numpy(zero_copy_only=False)
         sig_all = (sig_tbl.column("sig").combine_chunks().flatten()
                    .to_numpy(zero_copy_only=False).view(U64)
                    .reshape(len(ids_all), num_perm))
-        return _pairs_from_sig_matrix(ids_all, sig_all, bands, threshold)
+        return _pairs_from_sig_matrix(ids_all, sig_all, bands, threshold,
+                                      max_bucket=max_bucket)
 
     def to_bands(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({})
         n = batch.num_rows
         sig = (batch.column("sig").combine_chunks().flatten()
                .to_numpy(zero_copy_only=False).view(U64).reshape(n, num_perm))
-        keys = _band_keys(sig, bands)
+        live = _live_signature_rows(sig)
+        keys = _band_keys(sig[live], bands)
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        rep = ids.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), bands)))
+        rep = ids.take(pa.array(np.repeat(np.flatnonzero(live), bands)))
         return pa.table({"key": pa.array(keys.ravel().view(np.int64)),
                          "id": rep})
 
@@ -234,16 +256,35 @@ def minhash_lsh_pairs(ds: Dataset, id_col: str = "doc_id",
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _live_signature_rows(sig: np.ndarray) -> np.ndarray:
+    """Mask of rows that actually received shingles. A doc shorter than
+    ``shingle_k`` words keeps the all-UINT64MAX init sentinel — banding
+    it would make every such doc a mutual jaccard-1.0 "duplicate" of the
+    others (and a mega-bucket). No shingles ⇒ no shingle-Jaccard ⇒ never
+    paired. Two columns checked so a real doc misflags only at ~2^-128."""
+    mx = np.iinfo(U64).max
+    live = sig[:, 0] != mx
+    if sig.shape[1] > 1:
+        live |= sig[:, 1] != mx
+    return live
+
+
 def _pairs_from_sig_matrix(ids_all: np.ndarray, sig_all: np.ndarray,
-                           bands: int, threshold: float) -> pd.DataFrame:
+                           bands: int, threshold: float,
+                           max_bucket=None) -> pd.DataFrame:
     """In-process band scan + verify over a collected signature matrix —
-    identical banding/scan semantics to the sharded path (tests prove it);
+    identical banding/scan semantics to the sharded path (tests prove it,
+    including the ``max_bucket`` degenerate-bucket cap);
     used below the size threshold where the shuffle's fixed cost loses."""
+    live = _live_signature_rows(sig_all)
+    ids_all, sig_all = ids_all[live], sig_all[live]
+    if len(ids_all) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     key = _band_keys(sig_all, bands).ravel()
     rows = np.repeat(np.arange(len(ids_all), dtype=np.int64), bands)
     from ocm_ray.ops.pairs import _scan_runs
 
-    ii, jj = _scan_runs(key, None)
+    ii, jj = _scan_runs(key, max_bucket)
     if len(ii) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     a_rows, b_rows = rows[ii], rows[jj]
@@ -452,7 +493,11 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
     if local is None:
         local = fp_ds.count() <= local_threshold
     if local:
-        fp_tbl = pa.concat_tables(ray.get(fp_ds.to_arrow_refs()))
+        tabs = [t for t in ray.get(fp_ds.to_arrow_refs())
+                if t.num_rows]           # schema-less empties (rule 8b)
+        if not tabs:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        fp_tbl = pa.concat_tables(tabs)
         ids = fp_tbl.column(id_col).to_numpy(zero_copy_only=False)
         h = fp_tbl.column("simhash").to_numpy(zero_copy_only=False).view(U64)
         keys = np.empty((len(h), 4), dtype=U64)
@@ -541,10 +586,14 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
                 .astype(np.int32)
 
         def score_bucket(group: pa.Table) -> pa.Table:
-            ids = group.column(id_col).to_numpy(zero_copy_only=False)
             if group.num_rows == 0:
-                return pa.table({"a": pa.array(ids), "b": pa.array(ids),
-                                 "sim": pa.array(np.empty(0, np.float64))})
+                # slice keeps the id TYPE — pa.array on an empty object
+                # array infers null type, which conflicts with populated
+                # shards' string/int blocks at schema unification
+                empty_ids = group.column(id_col).slice(0, 0)
+                return pa.table({"a": empty_ids, "b": empty_ids,
+                                 "sim": pa.array([], pa.float64())})
+            ids = group.column(id_col).to_numpy(zero_copy_only=False)
             m = _normalize(_embedding_matrix(group, emb_col))
             sims = m @ m.T
             ii, jj = np.where(np.triu(sims >= threshold, k=1))
@@ -576,6 +625,8 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
     ref = _assemble.remote(*ds.to_arrow_refs())
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({})
         ids_a, m_a = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         m = _normalize(_embedding_matrix(batch, emb_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -689,12 +740,17 @@ def dedup_against(ds: Dataset, reference: Dataset, id_col: str = "doc_id",
         return batch.append_column(
             "__chash", pa.array(content_hashes(batch).view(np.int64)))
 
-    def shard_of(tbl: pa.Table) -> np.ndarray:
-        name = "content_hash" if "content_hash" in tbl.column_names \
-            else "__chash"
-        h = tbl.column(name).to_numpy(zero_copy_only=False).view(U64)
-        return (h >> U64(64 - bits)).astype(np.int32) if bits else \
-            np.zeros(len(h), np.int32)
+    def _shard_by(name):
+        # one explicit shard fn per side — sniffing the column name
+        # would shard a ds that happens to carry a stale content_hash
+        # column (from an earlier add_content_hash over different
+        # params) by the WRONG hash, silently missing duplicates
+        def shard_of(tbl: pa.Table) -> np.ndarray:
+            h = tbl.column(name).to_numpy(zero_copy_only=False).view(U64)
+            return (h >> U64(64 - bits)).astype(np.int32) if bits else \
+                np.zeros(len(h), np.int32)
+
+        return shard_of
 
     def scan(ref_tbl: pa.Table, ds_tbl: pa.Table) -> pa.Table:
         ref = np.sort(ref_tbl.column("content_hash")
@@ -704,8 +760,8 @@ def dedup_against(ds: Dataset, reference: Dataset, id_col: str = "doc_id",
         return out.drop_columns(["__chash"])
 
     hashed = ds.map_batches(with_hash, batch_format="pyarrow")
-    return shard_scan2(ref_hashes, hashed, shard_of, shard_of, scan,
-                       n_shards)
+    return shard_scan2(ref_hashes, hashed, _shard_by("content_hash"),
+                       _shard_by("__chash"), scan, n_shards)
 
 
 def add_content_hash_batch(batch: pa.Table, text_col: str = "text",
@@ -726,8 +782,8 @@ def add_content_hash_batch(batch: pa.Table, text_col: str = "text",
     return hash_string_array(batch.column(text_col))
 
 
-def bloom_dedup_filter(ds: Dataset, id_col: str = "doc_id",
-                       text_col: str = "text", p: int = 24, nh: int = 5,
+def bloom_dedup_filter(ds: Dataset, text_col: str = "text",
+                       p: int = 24, nh: int = 5,
                        n_shards: int = 32, seedseed: int = 137) -> Dataset:
     """Memory-bounded streaming dedup via Bloom test-and-insert
     (``bf.h:586`` ``may_contain_and_addh``): keep the first-seen copy of
@@ -741,12 +797,12 @@ def bloom_dedup_filter(ds: Dataset, id_col: str = "doc_id",
     same filter; cross-shard duplicates are impossible by construction.
     Approximate: a false positive (probability from ``BloomFilter.fpr``)
     drops a non-duplicate row. Which copy survives follows shard-local
-    encounter order (one copy always survives)."""
-    from ocm_ray.ops.pairs import shard_scan
+    encounter order (one copy always survives — id plays no role, which
+    is why this takes no id_col)."""
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan
     from ocm_ray.sketches import BloomFilter
 
-    bits = int(n_shards).bit_length() - 1
-    assert n_shards == 1 << bits, "n_shards must be a power of 2"
+    bits = _shard_bits(n_shards)
 
     def add_keys(batch: pa.Table) -> pa.Table:
         from ocm_ray.engine.tokens import hash_string_array
@@ -1422,7 +1478,14 @@ def semantic_dedup_pairs(ds: Dataset, threshold: float = 0.95,
             outs_a.append(np.where(swap, b, a))
             outs_b.append(np.where(swap, a, b))
             outs_s.append(sims[ii, jj])
-        return pa.table({"a": pa.array(np.concatenate(outs_a)),
+        a_all = np.concatenate(outs_a)
+        if len(a_all) == 0:
+            # pa.array on an empty object array infers NULL type, which
+            # conflicts with string-id blocks at schema unification
+            return pa.table({"a": pa.array([], id_type),
+                             "b": pa.array([], id_type),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"a": pa.array(a_all),
                          "b": pa.array(np.concatenate(outs_b)),
                          "sim": pa.array(np.concatenate(outs_s))})
 

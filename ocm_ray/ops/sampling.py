@@ -42,7 +42,12 @@ def _bucket01(batch: pa.Table, id_col: str, seed: int) -> np.ndarray:
                      ^ U64(_SPLIT_SALT) ^ U64(seed))
     else:
         h = hash_string_array(col, seed=seed ^ (_SPLIT_SALT & 0x7FFFFFFF))
-    return h.astype(np.float64) / np.float64(2.0**64)
+    u = h.astype(np.float64) / np.float64(2.0**64)
+    # float64 rounds h > 2^64-1024 up to EXACTLY 1.0, which every
+    # half-open [lo, hi) bucket excludes — such a row would silently
+    # vanish from ALL splits (~5e-17/row, real at 10^12 rows). Clamp
+    # into [0, 1).
+    return np.minimum(u, np.nextafter(1.0, 0.0))
 
 
 def hash_split(ds: Dataset, id_col: str = "doc_id",
@@ -94,6 +99,13 @@ def stratified_sample(ds: Dataset, key_col: str,
     def f(batch: pa.Table) -> pa.Table:
         keys, fracs = ray.get(ref)
         u = _bucket01(batch, id_col, seed)
+        if len(fracs) == 0:
+            # empty fractions: pa.array([]) is NULL-typed, which
+            # index_in rejects against a string column — and the
+            # np.where below would fancy-index an empty fracs. Every
+            # row misses by definition; apply the default directly.
+            thr = np.full(len(u), default_fraction)
+            return batch.filter(pa.array(u < thr))
         # vectorized key→fraction: Arrow index_in against the broadcast
         # key list, numpy take of the fraction vector (miss → default)
         idx = pc.index_in(batch.column(key_col), value_set=pa.array(keys)) \
@@ -504,9 +516,9 @@ def perplexity_tier_filter(ds: Dataset, tiers=("head", "middle"),
     shuffle of the payload."""
     import ray
 
-    from ocm_ray.engine.tokens import hash_string_array, split_words_hashed
     from ocm_ray.ops.relational import grouped_quantiles
-    from ocm_ray.ops.text import token_count_table, unigram_logprob
+    from ocm_ray.ops.text import (token_count_table, unigram_logprob,
+                                  unigram_score_kernel)
 
     keep = frozenset(tiers)
     bad = keep - {"head", "middle", "tail"}
@@ -523,23 +535,15 @@ def perplexity_tier_filter(ds: Dataset, tiers=("head", "middle"),
     lo_map = th[th["q"] == q_lo].set_index(source_col)["logprob"].to_dict()
     hi_map = th[th["q"] == q_hi].set_index(source_col)["logprob"].to_dict()
 
-    # the SAME broadcast LM table unigram_logprob used, so the filter's
-    # re-score reproduces the rounded values bit-for-bit
-    keys = hash_string_array(pa.array(counts["token"].astype(str)))
-    total = float(counts["cnt"].sum())
-    lp = np.log2(counts["cnt"].to_numpy().astype(np.float64) / total)
-    order = np.argsort(keys)
-    ref = ray.put((keys[order], lp[order], lo_map, hi_map))
+    # the SAME scoring kernel unigram_logprob used (shared closure, not
+    # a copy), so the filter's re-score reproduces the rounded values
+    # bit-for-bit by construction
+    score_values = unigram_score_kernel(counts, text_col, ndigits)
+    th_ref = ray.put((lo_map, hi_map))
 
     def keep_rows(batch: pa.Table) -> pa.Table:
-        k, l, lo_map, hi_map = ray.get(ref)
-        flat, lens = split_words_hashed(batch.column(text_col),
-                                        lowercase=False)
-        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        lps = l[np.searchsorted(k, flat)]
-        sums = (np.add.reduceat(lps, offs[:-1]) if len(flat)
-                else np.zeros(len(lens)))
-        score = np.round(sums / np.maximum(lens, 1), ndigits)
+        lo_map, hi_map = ray.get(th_ref)
+        score = score_values(batch)
         src = batch.column(source_col).to_pandas()
         lo = src.map(lo_map).to_numpy(dtype=np.float64)
         hi = src.map(hi_map).to_numpy(dtype=np.float64)

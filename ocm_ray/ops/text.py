@@ -512,21 +512,10 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
 
     if counts is None:  # callers holding the table already pass it in
         counts = token_count_table(ds, text_col).to_pandas()
-    keys = hash_string_array(pa.array(counts["token"].astype(str)))
-    total = float(counts["cnt"].sum())
-    lp = np.log2(counts["cnt"].to_numpy().astype(np.float64) / total)
-    order = np.argsort(keys)
-    ref = ray.put((keys[order], lp[order]))
+    score_values = unigram_score_kernel(counts, text_col, ndigits)
 
     def score(batch: pa.Table) -> pa.Table:
-        k, l = ray.get(ref)
-        flat, lens = split_words_hashed(batch.column(text_col),
-                                        lowercase=False)
-        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        lps = l[np.searchsorted(k, flat)]
-        sums = (np.add.reduceat(lps, offs[:-1]) if len(flat)
-                else np.zeros(len(lens)))
-        mean = np.round(sums / np.maximum(lens, 1), ndigits)
+        mean = score_values(batch)
         cols = {id_col: batch.column(id_col),
                 "logprob": pa.array(mean)}
         for c in keep_cols:  # passthrough (e.g. the bucketing key)
@@ -534,6 +523,38 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_score_kernel(counts, text_col: str = "text",
+                         ndigits: int = 4):
+    """THE unigram-LM scorer as a reusable per-batch closure:
+    (rounded mean log2 prob) per row from a broadcast (hash, log2 p)
+    table built off a ``token_count_table`` DataFrame.
+    :func:`unigram_logprob` and
+    :func:`ocm_ray.ops.sampling.perplexity_tier_filter` SHARE this
+    kernel, so CCNet threshold discovery and the filter's re-score stay
+    bit-identical by construction (they used to be two copies)."""
+    import ray
+
+    from ocm_ray.engine.tokens import hash_string_array, split_words_hashed
+
+    keys = hash_string_array(pa.array(counts["token"].astype(str)))
+    total = float(counts["cnt"].sum())
+    lp = np.log2(counts["cnt"].to_numpy().astype(np.float64) / total)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], lp[order]))
+
+    def score_values(batch: pa.Table) -> np.ndarray:
+        k, l = ray.get(ref)
+        flat, lens = split_words_hashed(batch.column(text_col),
+                                        lowercase=False)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        lps = l[np.searchsorted(k, flat)]
+        sums = (np.add.reduceat(lps, offs[:-1]) if len(flat)
+                else np.zeros(len(lens)))
+        return np.round(sums / np.maximum(lens, 1), ndigits)
+
+    return score_values
 
 
 def gopher_repetition_flags(ds, id_col: str = "doc_id",

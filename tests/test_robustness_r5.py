@@ -145,3 +145,112 @@ def test_ivfpq_rejects_wide_codebooks(tmp_path):
     with pytest.raises(ValueError, match="256"):
         build_ivfpq_index(ds, str(tmp_path / "pq"), n_centroids=2,
                           m_subspaces=2, n_codes=512)
+
+
+def _docs(texts, ids=None):
+    return pd.DataFrame({
+        "doc_id": ids or [f"d{i:03d}" for i in range(len(texts))],
+        "text": texts})
+
+
+def test_minhash_short_docs_never_pair():
+    """Docs shorter than shingle_k words have NO shingles — they must
+    not be reported as mutual jaccard-1.0 duplicates via the all-MAX
+    sentinel signature (both dispatch paths)."""
+    import ray.data
+
+    from ocm_ray.ops.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(7)
+    long = [" ".join(rng.choice([f"w{i}" for i in range(100)], 30))
+            for _ in range(20)]
+    short = ["red car", "blue sky", "one", "two words", "tiny doc"]
+    df = _docs(long + short)
+    # plant one real near-dup pair among the long docs
+    df.loc[0, "text"] = df.loc[1, "text"] + " extra"
+    ds = ray.data.from_pandas(df).repartition(4)
+    for forced in (True, False):
+        out = minhash_lsh_pairs(ds, threshold=0.5, local=forced,
+                                n_shards=8)
+        short_ids = set(df["doc_id"][len(long):])
+        assert not (set(out["a"]) | set(out["b"])) & short_ids, \
+            f"sentinel-signature docs paired (local={forced}): {out}"
+        assert {("d000", "d001")} <= set(zip(out["a"], out["b"]))
+
+
+def test_minhash_local_path_honors_max_bucket():
+    """max_bucket must cap degenerate buckets on the LOCAL path too
+    (it used to be silently ignored there)."""
+    import ray.data
+
+    from ocm_ray.ops.dedup import minhash_lsh_pairs
+
+    # 12 identical docs -> one mega-bucket in every band
+    df = _docs(["alpha beta gamma delta epsilon zeta"] * 12)
+    ds = ray.data.from_pandas(df)
+    full = minhash_lsh_pairs(ds, threshold=0.5, local=True)
+    assert len(full) == 12 * 11 // 2
+    capped = minhash_lsh_pairs(ds, threshold=0.5, local=True,
+                               max_bucket=4)
+    assert len(capped) == 0  # the bucket exceeded the cap -> dropped
+    # parity with the distributed path under the same cap
+    dist = minhash_lsh_pairs(ds, threshold=0.5, local=False,
+                             n_shards=8, max_bucket=4)
+    assert len(dist) == 0
+
+
+def test_dedup_against_ignores_stale_content_hash_column():
+    """A ds that already carries a content_hash column (from an earlier
+    stage over DIFFERENT params) must still shard by the freshly
+    computed hash — the old name-sniffing sharded by the stale column
+    and silently missed duplicates."""
+    import ray.data
+
+    from ocm_ray.ops.dedup import dedup_against
+
+    df = _docs([f"doc number {i} body" for i in range(40)])
+    ref = df.iloc[:15].copy()
+    # poison: a stale hash column unrelated to the text
+    poisoned = df.copy()
+    poisoned["content_hash"] = np.arange(40, dtype=np.int64) * 7919
+    out = dedup_against(ray.data.from_pandas(poisoned).repartition(4),
+                        ray.data.from_pandas(ref).repartition(2),
+                        n_shards=8).to_pandas()
+    assert set(out["doc_id"]) == set(df["doc_id"][15:])
+
+
+def test_stratified_sample_empty_fractions():
+    import ray.data
+
+    from ocm_ray.ops.sampling import stratified_sample
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(200)],
+                       "source": [f"s{i % 3}" for i in range(200)]})
+    out = stratified_sample(ray.data.from_pandas(df), "source",
+                            fractions={}, default_fraction=0.5) \
+        .to_pandas()
+    assert 40 < len(out) < 160  # ~half kept via the default
+
+
+def test_signature_cache_partial_write_recovers(tmp_path):
+    """A crash that left parquet without the meta sidecar must trigger
+    a REBUILD, not an append that doubles every signature row."""
+    import ray.data
+
+    from ocm_ray.ops.dedup import minhash_lsh_pairs
+
+    df = _docs([f"some document body {i} with words" for i in range(30)])
+    df.loc[0, "text"] = df.loc[1, "text"]  # one exact dup pair
+    ds = ray.data.from_pandas(df).repartition(2)
+    cache = str(tmp_path / "sigs")
+    # simulate the old crash mode: parquet present, meta missing
+    import os
+
+    os.makedirs(cache)
+    open(os.path.join(cache, "stale-000.parquet"), "wb").write(b"junk")
+    out = minhash_lsh_pairs(ds, threshold=0.9, signature_cache_dir=cache)
+    assert list(zip(out["a"], out["b"])) == [("d000", "d001")]
+    assert os.path.exists(os.path.join(cache, "_sig_meta.json"))
+    # second call reuses the now-complete cache byte-identically
+    out2 = minhash_lsh_pairs(ds, threshold=0.9, signature_cache_dir=cache)
+    pd.testing.assert_frame_equal(out, out2)
