@@ -536,7 +536,6 @@ def parse_mp4_meta(payload: bytes) -> dict:
                 stsd = _find_box(payload, *stbl, "stsd")
                 if stsd:
                     sb, se = stsd
-                    entry = _find_box(payload, sb + 8, se, "")  # any first
                     for et, eb, ee in _iter_boxes(payload, sb + 8, se):
                         out["video_codec"] = et
                         break

@@ -37,6 +37,30 @@ def _shard_bits(n_shards: int) -> int:
     return int(n_shards).bit_length() - 1
 
 
+def key_shard_fn(key_col: str, n_shards: int):
+    """THE key-hash shard function for :func:`shard_scan` /
+    :func:`shard_scan2`: top ``log2(n_shards)`` bits of the engine hash
+    of ``key_col`` (integers wang-mixed, everything else through the
+    stable string codec). One definition — six ops used to carry their
+    own near-identical copies, one of which had already drifted."""
+    bits = _shard_bits(n_shards)
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        from ocm_ray.core.hashing import wanghash
+        from ocm_ray.engine.tokens import hash_string_array
+
+        col = tbl.column(key_col)
+        if pa.types.is_integer(tbl.schema.field(key_col).type):
+            h = wanghash(col.to_numpy(zero_copy_only=False)
+                         .astype(np.uint64))
+        else:
+            h = hash_string_array(col)
+        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits \
+            else np.zeros(len(h), np.int32)
+
+    return shard_of
+
+
 def shards_for(n_rows: int, lo: int = 8, hi: int = 64,
                rows_per_shard: int = 2048) -> int:
     """Power-of-two shard count sized to the input: exchange results are

@@ -115,8 +115,14 @@ def distinct_tokens_by_key(ds: Dataset, column: str = "tokens",
         flat, lengths = list_column_values(batch, column)
         keys = batch.column(key).to_numpy(zero_copy_only=False)
         codes, uniques = pd.factorize(np.repeat(keys, lengths))
+        if len(uniques) > 256:
+            # a bare assert would vanish under python -O and let code
+            # 256 alias into the token bits (silently wrong distincts)
+            raise ValueError(
+                f"distinct_tokens_by_key packs the key code into 8 bits "
+                f"— batch has {len(uniques)} distinct {key!r} values "
+                "(> 256); pre-partition by key or widen the pack")
         pair = flat.astype(np.int64) << np.int64(8) | codes.astype(np.int64)
-        assert len(uniques) <= 256
         up = np.unique(pair)
         return pa.table({key: pa.array(uniques[(up & 0xFF).astype(np.int64)]),
                          "token": pa.array((up >> np.int64(8)).astype(np.int32)),
@@ -309,15 +315,23 @@ def windowed_event_agg(events: Dataset, window: str = "1h",
 
 def windowed_distinct(events: Dataset, window: str = "1h",
                       ts_col: str = "ts", key: str = "event_type",
-                      id_col: str = "user_id") -> Dataset:
+                      id_col: str = "user_id",
+                      n_shards: int = 32) -> Dataset:
     """Tumbling-window EXACT COUNT(DISTINCT id) per key — the windowed
     distinct shape (distinct users per hour). Per batch: floor the
     timestamp to the window, Arrow-group to DISTINCT (key, window, id)
     triples (blocks shrink to their distinct combos before any
-    exchange); a fan-in tree re-distincts coalesced blocks; the final
-    single block counts ids per (key, window). SQL-equivalent:
-    GROUP BY key, time_bucket with COUNT(DISTINCT id)."""
+    exchange); the triple table — NEAR-UNIQUE when ids are
+    high-cardinality, so the grouped trees' repartition(1) would funnel
+    ~every triple into one block (rule 3b) — takes ONE
+    (key, window)-hash ``shard_scan`` exchange instead: every triple of
+    a (key, window) group lands in one shard, which dedupes globally
+    and counts — shard output is (key, window)-bounded.
+    SQL-equivalent: GROUP BY key, time_bucket, COUNT(DISTINCT id)."""
+    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+
     seconds = {"1m": 60, "5m": 300, "1h": 3600, "1d": 86400}[window]
+    bits = _shard_bits(n_shards)
 
     def triples(batch: pa.Table) -> pa.Table:
         ts = _ts_to_us(batch, ts_col)
@@ -327,27 +341,40 @@ def windowed_distinct(events: Dataset, window: str = "1h",
                       id_col: batch.column(id_col)})
         return t.group_by([key, "window_start", id_col]).aggregate([])
 
-    def redistinct(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        return batch.group_by([key, "window_start", id_col]).aggregate([])
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        from ocm_ray.core.hashing import wanghash
+        from ocm_ray.engine.tokens import hash_string_array
 
-    out = events.map_batches(triples, batch_format="pyarrow")
-    width = 8
-    while width >= 1:
-        out = out.repartition(width).map_batches(
-            redistinct, batch_size=None, batch_format="pyarrow")
-        width //= 8
+        kcol = tbl.column(key)
+        if pa.types.is_integer(tbl.schema.field(key).type):
+            hk = wanghash(kcol.to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+        else:
+            hk = hash_string_array(kcol)
+        hw = wanghash(tbl.column("window_start")
+                      .to_numpy(zero_copy_only=False).astype(np.uint64))
+        h = wanghash(hk ^ hw)
+        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits \
+            else np.zeros(len(h), np.int32)
 
-    def finish(batch: pa.Table) -> pa.Table:
-        g = batch.group_by([key, "window_start"]).aggregate(
-            [(id_col, "count")])
-        ws = g.column("window_start").cast(pa.timestamp("us"))
-        return pa.table({key: g.column(key), "window_start": ws,
-                         "n_distinct": g.column(f"{id_col}_count")
-                         .cast(pa.int64())})
+    def scan(tbl: pa.Table) -> pa.Table:
+        kt = tbl.schema.field(key).type
+        if tbl.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             "window_start": pa.array(
+                                 [], pa.timestamp("us")),
+                             "n_distinct": pa.array([], pa.int64())})
+        df = tbl.to_pandas().drop_duplicates()  # global dedup in-shard
+        g = (df.groupby([key, "window_start"], sort=False, as_index=False)
+             .agg(n_distinct=(id_col, "size")))
+        return pa.table({
+            key: pa.array(g[key].to_numpy(), kt),
+            "window_start": pa.array(g["window_start"].to_numpy())
+            .cast(pa.timestamp("us")),
+            "n_distinct": pa.array(g["n_distinct"].to_numpy(np.int64))})
 
-    return out.map_batches(finish, batch_size=None, batch_format="pyarrow")
+    return shard_scan(events.map_batches(triples, batch_format="pyarrow"),
+                      shard_of, scan, n_shards)
 
 
 def _ts_to_us(batch: pa.Table, ts_col: str) -> np.ndarray:
@@ -548,27 +575,15 @@ def sessionize(events: Dataset, gap_sec: int = 1800, key: str = "user_id",
     reductions via ``np.bincount``. No per-key dispatch anywhere; a
     shard holds ~n_keys/n_shards keys (grow ``n_shards`` with the
     corpus so one shard's events fit a worker)."""
-    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+    from ocm_ray.ops.pairs import key_shard_fn, shard_scan
 
-    bits = _shard_bits(n_shards)
     gap_us = np.int64(gap_sec) * 1_000_000
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table({key: batch.column(key),
                          "_ts_us": pa.array(_ts_to_us(batch, ts_col))})
 
-    def shard_of(tbl: pa.Table) -> np.ndarray:
-        from ocm_ray.core.hashing import wanghash
-        from ocm_ray.engine.tokens import hash_string_array
-
-        col = tbl.column(key)
-        if pa.types.is_integer(tbl.schema.field(key).type):
-            h = wanghash(col.to_numpy(zero_copy_only=False)
-                         .astype(np.uint64))
-        else:
-            h = hash_string_array(col)
-        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits else \
-            np.zeros(len(h), np.int32)
+    shard_of = key_shard_fn(key, n_shards)
 
     def scan(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
@@ -673,9 +688,18 @@ def asof_join_sharded(left: Dataset, right: Dataset, key: str = "event_type",
     pathologically hot key needs the broadcast variant instead."""
     from ocm_ray.ops.pairs import shard_scan2
 
-    right_vals = right_vals or ["hourly_sum"]
+    if right_vals is None:
+        # derive from the right schema like asof_join_broadcast does —
+        # a domain-specific literal default would KeyError worker-side
+        # for any right table not shaped like the events rollup
+        right_vals = [c for c in right.schema().names
+                      if c not in (key, right_ts)]
 
     def make_shard_of(col: str):
+        # NOT ops.pairs.key_shard_fn: this variant shards by h % n
+        # deliberately, so asof accepts any n_shards (the top-bits form
+        # needs a power of two). Assignment differs, results don't —
+        # both sides use the same fn.
         def shard_of(tbl: pa.Table) -> np.ndarray:
             from ocm_ray.core.hashing import wanghash
             from ocm_ray.engine.tokens import hash_string_array
@@ -756,9 +780,8 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
     over floats inherits sequential-accumulation rounding — exact for
     integer values, ulp-level otherwise (document ROUND when oracling).
     """
-    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+    from ocm_ray.ops.pairs import key_shard_fn, shard_scan
 
-    bits = _shard_bits(n_shards)
 
     def project(batch: pa.Table) -> pa.Table:
         cols = {key: batch.column(key), tie_col: batch.column(tie_col),
@@ -767,17 +790,7 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
             cols["_val"] = batch.column(value_col)
         return pa.table(cols)
 
-    def shard_of(tbl: pa.Table) -> np.ndarray:
-        from ocm_ray.core.hashing import wanghash
-        from ocm_ray.engine.tokens import hash_string_array
-
-        col = tbl.column(key)
-        if pa.types.is_integer(tbl.schema.field(key).type):
-            h = wanghash(col.to_numpy(zero_copy_only=False).astype(np.uint64))
-        else:
-            h = hash_string_array(col)
-        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits else \
-            np.zeros(len(h), np.int32)
+    shard_of = key_shard_fn(key, n_shards)
 
     def scan(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
@@ -792,8 +805,15 @@ def partitioned_window(ds: Dataset, key: str = "user_id",
             empty["ntile4"] = pa.array([], pa.int64())
             empty["gap_us"] = pa.array([], pa.int64())
             if value_col is not None:
-                for c in ("running_max", "running_sum", "lag_value",
-                          "lead_value"):
+                # running_max/sum keep the VALUE column's dtype in the
+                # non-empty branch (pandas cummax/cumsum preserve int);
+                # lag/lead are always float64 (NaN at partition edges).
+                # A hardcoded float64 here would give empty shards a
+                # schema that conflicts with int-valued populated ones.
+                vt = tbl.schema.field("_val").type
+                for c in ("running_max", "running_sum"):
+                    empty[c] = pa.array([], vt)
+                for c in ("lag_value", "lead_value"):
                     empty[c] = pa.array([], pa.float64())
             return pa.table(empty)
         df = df.sort_values([key, "_ord", tie_col], kind="mergesort",
@@ -881,32 +901,25 @@ def grouped_quantiles(ds: Dataset, key: str, value_col: str,
     index pick per (run, q) — no per-key dispatch. Assumes one key's
     rows fit one shard task (grow ``n_shards`` with the corpus; same
     documented assumption as sessionize / partitioned_window)."""
-    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+    from ocm_ray.ops.pairs import key_shard_fn, shard_scan
 
-    bits = _shard_bits(n_shards)
     qs = list(qs)
 
     def project(batch: pa.Table) -> pa.Table:
         return batch.select([key, value_col])
 
-    def shard_of(tbl: pa.Table) -> np.ndarray:
-        from ocm_ray.core.hashing import wanghash
-        from ocm_ray.engine.tokens import hash_string_array
-
-        col = tbl.column(key)
-        if pa.types.is_integer(tbl.schema.field(key).type):
-            h = wanghash(col.to_numpy(zero_copy_only=False).astype(np.uint64))
-        else:
-            h = hash_string_array(col)
-        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits else \
-            np.zeros(len(h), np.int32)
+    shard_of = key_shard_fn(key, n_shards)
 
     def scan(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
         if len(df) == 0:
+            # discrete quantiles are SELECTED elements, so the value
+            # column keeps its input dtype — match it in the empty
+            # branch (hardcoded float64 would conflict with int shards)
             return pa.table({key: tbl.column(key),
                              "q": pa.array([], pa.float64()),
-                             value_col: pa.array([], pa.float64())})
+                             value_col: pa.array(
+                                 [], tbl.schema.field(value_col).type)})
         df = df.sort_values([key, value_col], kind="mergesort",
                             ignore_index=True)
         k = df[key].to_numpy()
@@ -1097,10 +1110,9 @@ def funnel(events: Dataset, stages, key: str = "user_id",
     shard_scan exchange by key hash, then per shard ONE sort and a
     vectorized pass PER STAGE (``np.minimum.reduceat`` over key runs —
     the loop is over len(stages), never over keys)."""
-    from ocm_ray.ops.pairs import _shard_bits, shard_scan
+    from ocm_ray.ops.pairs import key_shard_fn, shard_scan
 
     stages = list(stages)
-    bits = _shard_bits(n_shards)
     BIG = np.iinfo(np.int64).max
 
     def project(batch: pa.Table) -> pa.Table:
@@ -1119,17 +1131,7 @@ def funnel(events: Dataset, stages, key: str = "user_id",
                       "_stg": pa.array(sidx)})
         return t.filter(pa.array(keep))
 
-    def shard_of(tbl: pa.Table) -> np.ndarray:
-        from ocm_ray.core.hashing import wanghash
-        from ocm_ray.engine.tokens import hash_string_array
-
-        col = tbl.column(key)
-        if pa.types.is_integer(tbl.schema.field(key).type):
-            h = wanghash(col.to_numpy(zero_copy_only=False).astype(np.uint64))
-        else:
-            h = hash_string_array(col)
-        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits else \
-            np.zeros(len(h), np.int32)
+    shard_of = key_shard_fn(key, n_shards)
 
     def scan(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
@@ -1183,23 +1185,20 @@ def retention_cohorts(events: Dataset, key: str = "user_id",
     periods since the cohort period (0 = the cohort row itself).
 
     Scale shape: per-block distinct ``(key, period)`` pairs (bounded at
-    one row per active user-period per block) dedupe through the
-    grouped-sum tree; per-user first periods come off that SAME compact
-    pair table (grouped min as a sum-tree of per-block minima is wrong
-    — min rides `grouped_topk(n=1)`); the final (cohort, offset) count
-    is another pair-bounded fold. The raw event stream is read once and
-    never shuffled.
-
-    The cohort join auto-dispatches on the user count (the
-    ``dup_ngram_stats`` shape): ``<= max_broadcast`` users, the
-    pre-SORTED (key → first period) arrays travel ONCE via ``ray.put``
-    and the join is one stateless searchsorted pass; above the cap —
-    where a |users|-sized broadcast would no longer fit — the compact
-    (key, period) activity table and the first-period table co-shard by
-    key hash through :func:`ocm_ray.ops.pairs.shard_scan2` and each
-    shard emits pre-aggregated (cohort, offset) partial counts (driver
-    holds ObjectRefs only). ``distributed`` forces the path (None =
-    auto); both paths produce identical counts (parity-tested)."""
+    one row per active user-period per block) are the only thing that
+    ever leaves a block. Auto-dispatch on that pair count (an upper
+    bound on users, free after the materialize): ``<= max_broadcast``
+    pairs, the pair table dedupes through the grouped-sum tree, per-key
+    first periods ride ``grouped_topk(n=1)``, and the cohort join is
+    one broadcast searchsorted pass; above the cap — where user-sized
+    tables fit neither a broadcast NOR the grouped trees' repartition(1)
+    (CLAUDE.md rule 3b: near-unique keyspaces don't shrink) — the pair
+    table takes ONE key-hash ``shard_scan`` exchange and each shard
+    dedupes globally, derives its keys' first periods, and emits
+    pre-aggregated (cohort, offset) partial counts; only that
+    few-key partial table ever enters a grouped tree. ``distributed``
+    forces the path (None = auto); both paths produce identical counts
+    (parity-tested)."""
     from ocm_ray.ops.agg import grouped_sum, grouped_topk
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -1209,23 +1208,19 @@ def retention_cohorts(events: Dataset, key: str = "user_id",
         df["one"] = np.int64(1)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    # distinct (user, period) activity — the only corpus-wide fold
-    act = grouped_sum(events.map_batches(pairs, batch_format="pyarrow"),
-                      [key, "period"], ["one"]).drop_columns(["one"]) \
-        .materialize()  # consumed twice below
+    pair_ds = events.map_batches(pairs, batch_format="pyarrow") \
+        .materialize()  # compact; consumed by count + the chosen path
+    if distributed is None:
+        distributed = pair_ds.count() > max_broadcast
+    if distributed:
+        return _retention_exchange(pair_ds, key, n_shards)
 
-    # cohort = each user's FIRST period (top-1 ascending)
+    # under the cap: every table below is <= max_broadcast rows, so the
+    # grouped trees and the one-put broadcast are safe by construction
+    act = grouped_sum(pair_ds, [key, "period"], ["one"]) \
+        .drop_columns(["one"]).materialize()  # consumed twice below
     first = grouped_topk(act, [key], "period", 1, tie_cols=[],
                          descending=False)
-
-    if distributed is None:
-        # materialize BEFORE count(): the user-sized topk tree (and its
-        # AllToAll repartition) would otherwise execute twice — once for
-        # the count, once again inside the chosen path
-        first = first.materialize()
-        distributed = first.count() > max_broadcast
-    if distributed:
-        return _retention_exchange(act, first, key, n_shards)
     return _retention_broadcast(act, first, key)
 
 
@@ -1258,43 +1253,38 @@ def _retention_broadcast(act: Dataset, first: Dataset,
                        ["cohort", "period_offset"], ["n_active"])
 
 
-def _retention_exchange(act: Dataset, first: Dataset, key: str,
+def _retention_exchange(pair_ds: Dataset, key: str,
                         n_shards: int) -> Dataset:
-    """Unbounded-user path: co-shard (activity, first-period) by key
-    hash; each shard joins locally and emits PRE-AGGREGATED
-    (cohort, offset) partial counts (shard output is bounded by its
-    distinct (cohort, offset) pairs, not its users); a final
-    grouped-sum fold combines shards."""
-    from ocm_ray.core.hashing import wanghash
-    from ocm_ray.engine.tokens import hash_string_array
+    """Unbounded-user path: ONE key-hash ``shard_scan`` exchange of the
+    compact per-block-distinct (key, period) pair table. Every pair of
+    a key lands in one shard, so the shard dedupes globally, reads each
+    key's FIRST period off the sorted runs, and emits PRE-AGGREGATED
+    (cohort, offset) partial counts — shard output is bounded by its
+    distinct (cohort, offset) pairs, not its users, and no users-sized
+    table ever enters a grouped tree or the driver (rule 3b/9). A final
+    few-key grouped-sum folds the shards."""
     from ocm_ray.ops.agg import grouped_sum
-    from ocm_ray.ops.pairs import _shard_bits, shard_scan2
+    from ocm_ray.ops.pairs import key_shard_fn, shard_scan
 
-    bits = _shard_bits(n_shards)
-
-    def shard_of(tbl: pa.Table) -> np.ndarray:
-        col = tbl.column(key)
-        if pa.types.is_integer(tbl.schema.field(key).type):
-            h = wanghash(col.to_numpy(zero_copy_only=False)
-                         .astype(np.uint64))
-        else:
-            h = hash_string_array(col)
-        return (h >> np.uint64(64 - bits)).astype(np.int32) if bits \
-            else np.zeros(len(h), np.int32)
-
-    def scan(a: pa.Table, f: pa.Table) -> pa.Table:
-        if a.num_rows == 0:
+    def scan(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
             return pa.table({"cohort": pa.array([], pa.int64()),
                              "period_offset": pa.array([], pa.int64()),
                              "n_active": pa.array([], pa.int64())})
-        uk = f.column(key).to_numpy(zero_copy_only=False)
-        up = f.column("period").to_numpy(zero_copy_only=False)
-        order = np.argsort(uk, kind="mergesort")
-        uk, up = uk[order], up[order]
-        k = a.column(key).to_numpy(zero_copy_only=False)
-        per = a.column("period").to_numpy(zero_copy_only=False)
-        cohort = up[np.searchsorted(uk, k)].astype(np.int64)
-        df = pd.DataFrame({"cohort": cohort,
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        per = tbl.column("period").to_numpy(zero_copy_only=False)
+        # stable two-pass argsort = lexsort by (key, period) that also
+        # handles object-dtype string keys
+        o1 = np.argsort(per, kind="mergesort")
+        o = o1[np.argsort(k[o1], kind="mergesort")]
+        k, per = k[o], per[o]
+        keep = np.concatenate(
+            [[True], (k[1:] != k[:-1]) | (per[1:] != per[:-1])])
+        k, per = k[keep], per[keep]      # global (key, period) dedup
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        run = np.cumsum(new_key) - 1
+        cohort = per[new_key][run]       # first (= min) period per key
+        df = pd.DataFrame({"cohort": cohort.astype(np.int64),
                            "period_offset":
                                (per - cohort).astype(np.int64)})
         g = df.groupby(["cohort", "period_offset"], sort=False) \
@@ -1302,5 +1292,6 @@ def _retention_exchange(act: Dataset, first: Dataset, key: str,
         g["n_active"] = g["n_active"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partial = shard_scan2(act, first, shard_of, shard_of, scan, n_shards)
+    partial = shard_scan(pair_ds, key_shard_fn(key, n_shards), scan,
+                         n_shards)
     return grouped_sum(partial, ["cohort", "period_offset"], ["n_active"])

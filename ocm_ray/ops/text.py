@@ -64,7 +64,9 @@ class TextStats:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        texts = pl.from_arrow(batch.column("text"))
+        # null text = empty text (the codec-wide convention): unfilled,
+        # list.len() yields NaN which pa.array(..., int32) rejects
+        texts = pl.from_arrow(batch.column("text")).fill_null("")
         n_chars = texts.str.len_chars().to_numpy()
         tokens = texts.str.split(" ")
         n_tokens = tokens.list.len().to_numpy()
@@ -79,10 +81,15 @@ class TextStats:
         from ocm_ray.engine.tokens import split_words_hashed
 
         # rolling fingerprint: wang-mix of (position-weighted) stable
-        # token hashes — one in-repo hash codec everywhere
+        # token hashes — one in-repo hash codec everywhere. Positions
+        # are WITHIN-DOC (batch-global positions would make the
+        # fingerprint depend on where the row sits in its batch, so two
+        # identical texts could fingerprint differently)
         flat, tok_lens = split_words_hashed(batch.column("text"), lowercase=False)
         offs = np.concatenate([[0], np.cumsum(tok_lens)]).astype(np.int64)
-        mixed = wanghash(flat ^ (np.arange(len(flat), dtype=U64) * U64(0x9E3779B97F4A7C15)))
+        pos = (np.arange(len(flat), dtype=U64)
+               - np.repeat(offs[:-1].astype(U64), tok_lens))
+        mixed = wanghash(flat ^ (pos * U64(0x9E3779B97F4A7C15)))
         sums = np.add.reduceat(mixed, offs[:-1], dtype=np.uint64) if len(flat) else np.zeros(len(texts), U64)
         empty = offs[:-1] == offs[1:]
         fp = wanghash(np.where(empty, U64(0), sums))
@@ -335,7 +342,12 @@ def token_count_table(ds, text_col: str = "text"):
     def local_counts(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        s = pl.from_arrow(batch.column(text_col)).alias("text")
+        # fill_null BEFORE splitting — the scorers hash null text as ""
+        # (split_words_hashed semantics); an unfilled null here would
+        # count a phantom "None" token and break the every-token-is-in-
+        # the-table invariant the unigram kernel relies on
+        s = pl.from_arrow(batch.column(text_col)).fill_null("") \
+            .alias("text")
         vc = (s.str.split(" ").explode().value_counts())
         # polars>=1: columns ["text", "count"]
         cols = vc.columns
@@ -450,7 +462,9 @@ def gopher_quality_flags(ds, min_words: int = 50, max_words: int = 100_000,
     def flags(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        texts = pl.from_arrow(batch.column(text_col))
+        # null text = empty text; unfilled, list.len()'s NaN would
+        # .astype(int64) into garbage and silently corrupt the flags
+        texts = pl.from_arrow(batch.column(text_col)).fill_null("")
         toks = texts.str.split(" ")
         n_words = toks.list.len().to_numpy().astype(np.int64)
         n_chars = texts.str.len_chars().to_numpy().astype(np.int64)
@@ -549,7 +563,14 @@ def unigram_score_kernel(counts, text_col: str = "text",
         flat, lens = split_words_hashed(batch.column(text_col),
                                         lowercase=False)
         offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        lps = l[np.searchsorted(k, flat)]
+        # every token is in the table when scoring the training corpus
+        # (token_count_table fills nulls the same way split_words_hashed
+        # does); the clip+min-prob guard turns any future violation of
+        # that invariant into a defined floor instead of an IndexError
+        # or a silent neighbor lookup
+        idx = np.minimum(np.searchsorted(k, flat), max(len(k) - 1, 0))
+        lps = np.where(k[idx] == flat, l[idx],
+                       l.min() if len(l) else 0.0)
         sums = (np.add.reduceat(lps, offs[:-1]) if len(flat)
                 else np.zeros(len(lens)))
         return np.round(sums / np.maximum(lens, 1), ndigits)

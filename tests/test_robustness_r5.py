@@ -254,3 +254,103 @@ def test_signature_cache_partial_write_recovers(tmp_path):
     # second call reuses the now-complete cache byte-identically
     out2 = minhash_lsh_pairs(ds, threshold=0.9, signature_cache_dir=cache)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_fingerprint_is_batch_position_independent():
+    """Identical texts must fingerprint identically regardless of where
+    they sit in a batch (positions are within-doc, not batch-global)."""
+    import ray.data
+
+    from ocm_ray.ops.text import add_text_stats
+
+    df = pd.DataFrame({"doc_id": ["a", "b", "c"],
+                       "text": ["padding row first",
+                                "the same exact text",
+                                "the same exact text"]})
+    out = add_text_stats(ray.data.from_pandas(df), concurrency=1) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc["b", "fingerprint"] == out.loc["c", "fingerprint"]
+    # and across different partitionings
+    out2 = add_text_stats(ray.data.from_pandas(df).repartition(3),
+                          concurrency=1).to_pandas().set_index("doc_id")
+    assert (out2["fingerprint"] == out["fingerprint"]).all()
+
+
+def test_null_text_rows_are_empty_text():
+    """Null text = empty text across the text ops (the codec-wide
+    convention) — TextStats crashed, gopher silently corrupted, and the
+    unigram kernel could index past its table."""
+    import ray.data
+
+    from ocm_ray.ops.text import (add_text_stats, gopher_quality_flags,
+                                  unigram_logprob)
+
+    df = pd.DataFrame({"doc_id": ["a", "b", "c"],
+                       "text": ["real words here", None, "more text"]})
+    ds = ray.data.from_pandas(df)
+    st = add_text_stats(ds, concurrency=1).to_pandas().set_index("doc_id")
+    assert st.loc["b", "n_chars_text"] == 0
+    gq = gopher_quality_flags(ds).to_pandas().set_index("doc_id")
+    assert not gq.loc["b", "keep"]
+    assert gq.loc["b", "n_words"] == 1  # "" splits to one empty token
+    lp = unigram_logprob(ds).to_pandas()
+    assert len(lp) == 3 and np.isfinite(lp["logprob"]).all()
+
+
+def test_partitioned_window_int_values_schema_stable():
+    """Empty shards must emit running_max/running_sum in the VALUE
+    column's dtype (int64 here), matching populated shards."""
+    import ray.data
+
+    from ocm_ray.ops.relational import partitioned_window
+
+    df = pd.DataFrame({"k": ["a"] * 6, "ord": range(6),
+                       "tie": range(6), "v": np.arange(6, dtype=np.int64)})
+    out = partitioned_window(ray.data.from_pandas(df), key="k",
+                             order_col="ord", tie_col="tie",
+                             value_col="v", n_shards=16)
+    pdf = out.to_pandas()  # schema unification across 16 shards
+    assert len(pdf) == 6
+    assert pdf["running_sum"].to_numpy().dtype == np.int64
+
+
+def test_asof_join_sharded_derives_right_vals():
+    """Omitting right_vals must derive the value columns from the right
+    schema (it used to default to the literal ['hourly_sum'])."""
+    import ray.data
+
+    from ocm_ray.ops.relational import asof_join_sharded
+
+    left = pd.DataFrame({"k": ["x"] * 4, "ts": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": ["x", "x"], "avail_ts": [5, 25],
+                          "price": [1.5, 2.5]})
+    out = asof_join_sharded(ray.data.from_pandas(left),
+                            ray.data.from_pandas(right), key="k",
+                            left_ts="ts", right_ts="avail_ts",
+                            n_shards=4).to_pandas().sort_values("ts")
+    assert out["price"].tolist() == [1.5, 1.5, 2.5, 2.5]
+
+
+def test_windowed_distinct_shard_invariance():
+    import ray.data
+
+    from ocm_ray.ops.relational import windowed_distinct
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b"], n),
+        "ts": rng.integers(0, 4 * 3_600_000_000, n),
+        "user_id": rng.integers(0, 800, n),
+    })
+    outs = []
+    for ns in (4, 32):
+        o = (windowed_distinct(ray.data.from_pandas(df).repartition(6),
+                               window="1h", n_shards=ns)
+             .to_pandas().sort_values(["event_type", "window_start"])
+             .reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    want = (df.assign(w=(df["ts"] // 3_600_000_000) * 3_600_000_000)
+            .groupby(["event_type", "w"])["user_id"].nunique())
+    assert outs[0]["n_distinct"].sum() == int(want.sum())
