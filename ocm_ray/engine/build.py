@@ -115,8 +115,12 @@ class _cap_split_pipeline_cpus:
         n = int(ray.cluster_resources().get("CPU", 8))
         self._opts = ds.context.execution_options
         self._old = self._opts.resource_limits
+        # minus one extra CPU of MARGIN: with exactly n - ceil(P/2) the
+        # read budget + P*0.5 consumer reservations sum to n for even P,
+        # and one lingering 0.5-CPU map-pool actor (rule 1's documented
+        # failure mode) re-creates the wedge this cap exists to prevent
         self._opts.resource_limits = ExecutionResources.for_limits(
-            cpu=max(1, n - (p + 1) // 2))
+            cpu=max(1, n - (p + 1) // 2 - 1))
 
     def __enter__(self):
         return self
@@ -291,8 +295,18 @@ def grouped_sketches(ds: Dataset, key: str, factory: SketchFactory,
         return order, ks, starts, lens
 
     def partials(batch: pa.Table):
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({})
         out_keys, out_states = [], []
-        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+        kcol = batch.column(key)
+        if kcol.null_count:
+            # a None inside the key array breaks the argsort run scan
+            # (strings) or silently NaN-casts (ints) — fail loud
+            raise ValueError(
+                f"grouped_sketches: key column {key!r} has "
+                f"{kcol.null_count} null value(s); fill or drop them "
+                "upstream")
+        keys_np = kcol.to_numpy(zero_copy_only=False)
         order, ks, starts, lens = _key_runs(keys_np)
         sorted_tbl = batch.take(pa.array(order))
         for s, n in zip(starts, lens):
@@ -305,20 +319,14 @@ def grouped_sketches(ds: Dataset, key: str, factory: SketchFactory,
                                        type=batch.schema.field(key).type),
                          "state": pa.array(out_states, type=pa.binary())})
 
-    from ocm_ray.ops.pairs import shard_scan
+    from ocm_ray.ops.pairs import key_shard_fn, shard_scan
 
-    def shard_of(tbl: pa.Table) -> np.ndarray:
-        from ocm_ray.engine.tokens import hash_string_array
-
-        col = tbl.column(key)
-        if pa.types.is_integer(tbl.schema.field(key).type):
-            from ocm_ray.core.hashing import wanghash
-
-            h = wanghash(col.to_numpy(zero_copy_only=False)
-                         .astype(np.uint64))
-        else:
-            h = hash_string_array(col)
-        return (h % np.uint64(n_shards)).astype(np.int32)
+    # canonical key-hash shard fn (pairs.key_shard_fn needs a power of
+    # two, so round the requested count up — extra shards only add
+    # near-empty scan tasks, never change the merged result)
+    ns_pow2 = 1 << max(0, int(n_shards - 1).bit_length())
+    shard_of = key_shard_fn(key, ns_pow2)
+    n_shards = ns_pow2
 
     def merge_shard(tbl: pa.Table) -> pa.Table:
         keys_np = tbl.column(key).to_numpy(zero_copy_only=False)

@@ -113,8 +113,9 @@ def _round_pass_counts(shard_counts, np_bits: int, nh: int, seedseed: int,
     documented grouped-conservative semantics for the fused OCCM pass
     (each shard's occurrences processed token-grouped). This removes the
     reference's 2n-1 re-reads entirely; at scales where the count tables
-    don't fit the object store, pass ``cache_shard_counts=False`` to
-    re-scan Parquet per pass instead.
+    don't fit the object store, drive ``build_ocm`` with
+    ``dataset_factory=`` instead of ``files=`` — that path streams the
+    corpus per pass instead of caching count tables.
     """
     # refs nested inside a list are NOT auto-resolved by Ray — fetch them
     # (zero-copy from the shared store; the tables were put once)

@@ -27,8 +27,14 @@ from ray.data import Dataset
 
 def _block_group_sum(keys: List[str], sum_cols: List[str]):
     def combine(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+        if t.num_columns == 0:
+            # schema-less empty (rule 8b) — nothing to aggregate from
             return t
+        # NOTE: a schema'd EMPTY block must still go through group_by:
+        # the aggregate promotes int32 sums to int64 and reorders
+        # columns to keys+sums, and passing the raw input schema
+        # through would leave the repartition tree concatenating
+        # blocks with conflicting schemas
         g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
         cols = {k: g.column(k) for k in keys}
         for c in sum_cols:

@@ -32,6 +32,26 @@ from ray.data import Dataset
 U64 = np.uint64
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """Dataset schema as a REAL ``pa.Schema`` (usable for
+    ``empty_table()``): Ray returns a PandasBlockSchema when upstream
+    blocks are pandas, which has names/types but no Arrow surface."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(base.names, base.types):
+        if isinstance(typ, pa.DataType):
+            fields.append((name, typ))
+        else:
+            try:
+                fields.append((name, pa.from_numpy_dtype(np.dtype(typ))))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((name, pa.string()))  # object dtype
+    return pa.schema(fields)
+
+
 def _shard_bits(n_shards: int) -> int:
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
     return int(n_shards).bit_length() - 1
@@ -178,14 +198,17 @@ def shard_scan(ds: Dataset, shard_fn, scan_fn, n_shards: int) -> Dataset:
 
     split_task = ray.remote(split_block)
 
-    def scan_shard(part_refs):
+    def scan_shard(part_refs, fb_schema):
         all_parts = ray.get(list(part_refs))
         parts = [p for p in all_parts if p.num_rows]
         if parts:
             tbl = pa.concat_tables(parts)
-        else:  # all-empty shard: prefer a part that still carries schema
+        else:  # all-empty shard: prefer a part that still carries schema;
+            # if EVERY part is schema-less (all upstream blocks empty),
+            # synthesize from the dataset schema so scan_fn never sees
+            # pa.table({})
             tbl = next((p for p in all_parts if p.num_columns),
-                       all_parts[0])
+                       fb_schema.empty_table())
         return scan_fn(tbl)
 
     scan_task = ray.remote(scan_shard)
@@ -201,23 +224,26 @@ def shard_scan(ds: Dataset, shard_fn, scan_fn, n_shards: int) -> Dataset:
         block_refs = [bref for bundle in ds.iter_internal_ref_bundles()
                       for bref in bundle.block_refs]
         if not block_refs:
-            sch = ds.schema()
-            arrow_sch = getattr(sch, "base_schema", sch)
-            return rd.from_arrow(scan_fn(arrow_sch.empty_table()))
+            return rd.from_arrow(scan_fn(_arrow_schema(ds).empty_table()))
+
+        fb0 = _arrow_schema(ds)
 
         def scan_all(*blocks):
             nonempty = [b for b in map(_as_arrow, blocks) if b.num_rows]
-            return scan_fn(pa.concat_tables(nonempty) if nonempty
-                           else _as_arrow(blocks[0]))
+            if nonempty:
+                return scan_fn(pa.concat_tables(nonempty))
+            first = _as_arrow(blocks[0])
+            return scan_fn(first if first.num_columns
+                           else fb0.empty_table())
         return rd.from_arrow_refs([ray.remote(scan_all).remote(*block_refs)])
     block_refs, split_refs = _streamed_splits(ds, split_task)
     if not block_refs:
-        sch = ds.schema()
-        arrow_sch = getattr(sch, "base_schema", sch)
-        return rd.from_arrow(scan_fn(arrow_sch.empty_table()))
+        return rd.from_arrow(scan_fn(_arrow_schema(ds).empty_table()))
+    # schema is cheap here: _streamed_splits already executed the input
+    fb_schema = _arrow_schema(ds)
     per_block = _gather_splits(split_refs)
     out = [scan_task.remote([per_block[b][s]
-                             for b in range(len(per_block))])
+                             for b in range(len(per_block))], fb_schema)
            for s in range(n_shards)]
     return rd.from_arrow_refs(out)
 
@@ -327,6 +353,8 @@ def lookup_rows_for_ids(ds: Dataset, ids: np.ndarray, id_col: str) -> pa.Table:
     ref = ray.put(np.sort(np.asarray(ids)))
 
     def keep_wanted(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({})
         wanted = ray.get(ref)  # zero-copy from the shared object store
         mask = pc.is_in(batch.column(id_col), value_set=pa.array(wanted))
         return batch.filter(mask)
@@ -336,7 +364,14 @@ def lookup_rows_for_ids(ds: Dataset, ids: np.ndarray, id_col: str) -> pa.Table:
     nonempty = [t for t in all_t if t.num_rows]
     if not (nonempty or all_t):
         return pa.table({})
-    return pa.concat_tables(nonempty or all_t[:1], promote_options="default")
+    if not nonempty:
+        # prefer a schema-carrying empty (rule 8b); if none, synthesize
+        # from the dataset schema so callers can read their columns
+        schemad = next((t for t in all_t if t.num_columns), None)
+        if schemad is None:
+            return _arrow_schema(ds).empty_table()
+        return schemad
+    return pa.concat_tables(nonempty, promote_options="default")
 
 
 def shard_scan2(ds_a: Dataset, ds_b: Dataset, shard_fn_a, shard_fn_b,
@@ -359,31 +394,40 @@ def shard_scan2(ds_a: Dataset, ds_b: Dataset, shard_fn_a, shard_fn_b,
                     for part in _split_by_shard(tbl, shard_fn(tbl), n_shards)]
         return ray.remote(split_block)
 
-    def _fold(refs):
+    def _fold(refs, fb_schema):
         parts = ray.get(list(refs))
         nonempty = [p for p in parts if p.num_rows]
         if nonempty:
             return pa.concat_tables(nonempty)
-        return next((p for p in parts if p.num_columns), parts[0])
+        # prefer a schema-carrying part; if every part is schema-less,
+        # synthesize from the side's dataset schema (rule 8b)
+        return next((p for p in parts if p.num_columns),
+                    fb_schema.empty_table())
 
-    def scan_shard(a_refs, b_refs):
-        return scan_fn(_fold(a_refs), _fold(b_refs))
+    def scan_shard(a_refs, b_refs, fb_a, fb_b):
+        return scan_fn(_fold(a_refs, fb_a), _fold(b_refs, fb_b))
 
     scan_task = ray.remote(scan_shard)
     split_a, split_b = make_split(shard_fn_a), make_split(shard_fn_b)
     # wave-scheduled (see shard_scan): splits launch as upstream blocks
-    # stream out of each side's executor
-    refs_a, splits_a = _streamed_splits(ds_a, split_a)
-    refs_b, splits_b = _streamed_splits(ds_b, split_b)
+    # stream out of each side's executor. The two sides drain
+    # CONCURRENTLY (a thread drives side a) — sequential drains cost
+    # wall A+B for what is one co-partitioned exchange
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as tp:
+        fut_a = tp.submit(_streamed_splits, ds_a, split_a)
+        refs_b, splits_b = _streamed_splits(ds_b, split_b)
+        refs_a, splits_a = fut_a.result()
     if not refs_a or not refs_b:
-        sa = ds_a.schema()
-        sb = ds_b.schema()
-        return rd.from_arrow(scan_fn(
-            getattr(sa, "base_schema", sa).empty_table(),
-            getattr(sb, "base_schema", sb).empty_table()))
+        return rd.from_arrow(scan_fn(_arrow_schema(ds_a).empty_table(),
+                                     _arrow_schema(ds_b).empty_table()))
+    fb_a = _arrow_schema(ds_a)
+    fb_b = _arrow_schema(ds_b)
     per_a = _gather_splits(splits_a)
     per_b = _gather_splits(splits_b)
     out = [scan_task.remote([per_a[i][s] for i in range(len(per_a))],
-                            [per_b[i][s] for i in range(len(per_b))])
+                            [per_b[i][s] for i in range(len(per_b))],
+                            fb_a, fb_b)
            for s in range(n_shards)]
     return rd.from_arrow_refs(out)

@@ -354,3 +354,78 @@ def test_windowed_distinct_shard_invariance():
     want = (df.assign(w=(df["ts"] // 3_600_000_000) * 3_600_000_000)
             .groupby(["event_type", "w"])["user_id"].nunique())
     assert outs[0]["n_distinct"].sum() == int(want.sum())
+
+
+def test_shard_scan_all_blocks_empty_and_schema_less():
+    """When EVERY upstream block is a schema-less empty (rule 8b), the
+    scan fn must receive a schema'd empty synthesized from the dataset
+    schema, not pa.table({})."""
+    import ray.data
+
+    from ocm_ray.ops.pairs import key_shard_fn, shard_scan, shard_scan2
+
+    df = pd.DataFrame({"k": [f"u{i}" for i in range(40)],
+                       "v": np.arange(40, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(4).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow")
+
+    def scan(tbl):
+        # would KeyError on pa.table({})
+        assert tbl.column("k") is not None
+        return pa.table({"k": tbl.column("k"), "n": pa.array(
+            np.zeros(tbl.num_rows, np.int64))})
+
+    out = shard_scan(ds, key_shard_fn("k", 4), scan, 4).to_pandas()
+    assert len(out) == 0
+
+    def scan2(a, b):
+        assert a.column("k") is not None and b.column("k") is not None
+        return pa.table({"k": a.column("k").slice(0, 0)})
+
+    full = ray.data.from_pandas(df).repartition(4)
+    out2 = shard_scan2(ds, full, key_shard_fn("k", 4),
+                       key_shard_fn("k", 4), scan2, 4).to_pandas()
+    assert len(out2) == 0
+
+
+def test_grouped_sum_schema_stable_with_empty_blocks_and_int32():
+    """An empty-but-schema'd block must come out of the combine with
+    the AGGREGATED schema (int32 sums promote to int64, columns
+    reordered) or the repartition tree fails schema unification."""
+    import ray.data
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    t = pa.table({"cnt": pa.array(np.arange(20, dtype=np.int32)),
+                  "k": pa.array([f"s{i % 3}" for i in range(20)])})
+    ds = ray.data.from_arrow(t).repartition(5).map_batches(
+        lambda b: b.filter(pa.array(
+            [x != "s2" for x in b.column("k").to_pylist()]))
+        if b.num_rows else b, batch_format="pyarrow")
+    out = grouped_sum(ds, ["k"], ["cnt"]).to_pandas()
+    want = {"s0": sum(i for i in range(20) if i % 3 == 0),
+            "s1": sum(i for i in range(20) if i % 3 == 1)}
+    assert dict(zip(out["k"], out["cnt"])) == want
+
+
+def test_grouped_sketches_empty_blocks_and_null_keys():
+    import ray.data
+
+    from ocm_ray.engine.build import grouped_sketches
+    from ocm_ray.sketches import HyperLogLog
+
+    df = pd.DataFrame({
+        "source": [f"s{i % 2}" for i in range(40)],
+        "tokens": [list(range(i, i + 5)) for i in range(40)]})
+    ds = ray.data.from_pandas(df).repartition(8).map_batches(
+        lambda t: t.filter(pa.array(
+            [s == "s0" for s in t.column("source").to_pylist()]))
+        if t.num_rows else t, batch_format="pyarrow")
+    out = grouped_sketches(ds, "source", lambda: HyperLogLog(10))
+    assert set(out) == {"s0"}
+
+    bad = pd.DataFrame({"source": ["a", None, "b"],
+                        "tokens": [[1, 2], [3], [4]]})
+    with pytest.raises(Exception, match="null"):
+        grouped_sketches(ray.data.from_pandas(bad), "source",
+                         lambda: HyperLogLog(10))
