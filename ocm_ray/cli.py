@@ -30,31 +30,36 @@ def _init_ray(num_cpus):
     import ray
 
     if not ray.is_initialized():
-        kw = dict(address="local", include_dashboard=False, logging_level="ERROR")
-        if num_cpus:
-            kw["num_cpus"] = num_cpus
-        ray.init(**kw)
+        # Honor a real cluster address (ray job submit sets RAY_ADDRESS):
+        # address="local" would force a private one-node instance ON the
+        # head node and leave the cluster idle. Only default to "local"
+        # when no cluster is advertised.
+        addr = os.environ.get("RAY_ADDRESS") or "local"
+        if addr == "local":
+            kw = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+            if num_cpus:
+                kw["num_cpus"] = num_cpus
+            ray.init(**kw)
+        else:
+            ray.init(address=addr, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
 
 
 def _parquet_rows(out_dir: str) -> int:
-    """Row count of a written parquet dir from FILE METADATA (free) —
-    never .count() a lazy Dataset after write_parquet: Ray re-executes
-    the full plan per consumption."""
-    import glob as _g
+    from ocm_ray.engine.io import parquet_rows
 
-    import pyarrow.parquet as _pq
-
-    return sum(_pq.read_metadata(f).num_rows for f in
-               _g.glob(os.path.join(out_dir, "**", "*.parquet"),
-                       recursive=True))
+    return parquet_rows(out_dir)
 
 
 def _input_files(path: str):
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # recursive: Hive-partitioned layouts (curate's own source=X/
+        # output) must be readable back by report/dedup/classify/...
+        return sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                recursive=True))
     return sorted(glob.glob(path))
 
 
@@ -64,6 +69,10 @@ def cmd_count(args) -> int:
     from ocm_ray.engine.rounds import build_ocm
     from ocm_ray.sketches import CountMin
 
+    if args.width <= 0 or (args.width & (args.width - 1)) != 0:
+        print(f"--width must be a positive power of two, got {args.width}",
+              file=sys.stderr)
+        return 2
     _init_ray(args.num_cpus)
     np_bits = int(math.log2(args.width))
     files = _input_files(args.input)
@@ -72,10 +81,23 @@ def cmd_count(args) -> int:
         return 2
     t0 = time.time()
     if args.rounds > 1:
-        hook = RoundCheckpointer(args.checkpoint_dir) if args.checkpoint_dir else None
+        hook = None
+        if args.checkpoint_dir:
+            from ocm_ray.engine.checkpoint import _fingerprint
+
+            # run identity: a rerun with different geometry/seed/corpus
+            # must NOT resume from the old run's round files (rounds is
+            # deliberately absent — round r is independent of the total)
+            hook = RoundCheckpointer(args.checkpoint_dir, params={
+                "np_bits": np_bits, "nh": args.nh, "seed": args.seed,
+                "conservative": bool(args.conservative),
+                "column": args.column, "kgram": args.kgram,
+                "input": _fingerprint(files)})
         resume = None
         if hook is not None and hook.last_completed() >= 0 and args.resume:
-            last = hook.last_completed()
+            # a rerun with FEWER rounds than a finished longer run picks
+            # the round the shorter run would have ended on
+            last = min(hook.last_completed(), args.rounds - 1)
             resume = (last, hook.load(last))
             print(f"resuming after completed round {last}", file=sys.stderr)
         sk = build_ocm(np_bits=np_bits, nh=args.nh, seedseed=args.seed,
@@ -88,7 +110,7 @@ def cmd_count(args) -> int:
             files, lambda: CountMin(np_bits, args.nh, args.seed,
                                     conservative=args.conservative),
             args.checkpoint_dir, column=args.column, kgram=args.kgram,
-            resume=args.resume)
+            shards=args.parallelism, resume=args.resume)
     else:
         sk = build_sketch_sharded(
             files, lambda: CountMin(np_bits, args.nh, args.seed,
@@ -188,6 +210,9 @@ def cmd_sketch(args) -> int:
         "ocm_ray.sketches.hll", fromlist=["SparseHLL"]).SparseHLL(args.p)
     _init_ray(args.num_cpus)
     files = _input_files(args.input)
+    if not files:
+        print(f"no parquet files under {args.input}", file=sys.stderr)
+        return 2
     t0 = time.time()
     if args.group_col:
         # per-key sketch fleet: one npz per key + a manifest (the
@@ -531,18 +556,21 @@ def cmd_report(args) -> int:
     def partials(batch: pa.Table) -> pa.Table:
         import json as _json
 
+        import numpy as _np
         import pyarrow as _pa
+        import pyarrow.compute as _pc
 
-        from ocm_ray.engine.tokens import split_words_hashed
-
-        flat, lens = split_words_hashed(batch.column(text_col))
         txt = batch.column(text_col)
         if isinstance(txt, _pa.ChunkedArray):
             txt = txt.combine_chunks()
-        import pyarrow.compute as _pc
-
-        n_chars = int(_pc.sum(_pc.utf8_length(txt.fill_null(""))).as_py()
-                      or 0)
+        txt = txt.fill_null("")
+        # token counts need only the split lengths — hashing every word
+        # (split_words_hashed) would pay full-corpus stable hashing for
+        # values the report never uses. Same split semantics: single
+        # space, empties kept (split_words_hashed / DuckDB string_split).
+        lens = _pc.list_value_length(_pc.split_pattern(txt, " ")) \
+            .to_numpy(zero_copy_only=False).astype(_np.int64)
+        n_chars = int(_pc.sum(_pc.utf8_length(txt)).as_py() or 0)
         srcs = {}
         if source_col:
             import polars as _pl
@@ -649,7 +677,9 @@ def main(argv=None) -> int:
     c.add_argument("--column", default="tokens")
     c.add_argument("-o", "--output", required=True)
     c.add_argument("--checkpoint-dir")
-    c.add_argument("--resume", action="store_true", default=True)
+    c.add_argument("--resume", action=argparse.BooleanOptionalAction,
+                   default=True, help="--no-resume ignores existing "
+                                      "checkpoints and rebuilds from zero")
     c.add_argument("--parallelism", type=int)
     c.add_argument("--num-cpus", type=int)
     c.add_argument("--reference-format", action="store_true",

@@ -39,7 +39,14 @@ from ocm_ray.sketches.base import MergeableSketch
 
 
 def _fingerprint(files: List[str]) -> str:
-    parts = [f"{os.path.basename(f)}:{os.path.getsize(f)}" for f in sorted(files)]
+    # full path + size + mtime_ns: basename+size alone would let a
+    # same-size regenerated shard (fixed-width columns) or a different
+    # corpus with coincident part-NNNNN names silently reuse a stale
+    # partial
+    parts = []
+    for f in sorted(files):
+        st = os.stat(f)
+        parts.append(f"{os.path.abspath(f)}:{st.st_size}:{st.st_mtime_ns}")
     return ";".join(parts)
 
 
@@ -146,11 +153,35 @@ def build_sketch_checkpointed(files: List[str], factory, ckpt_dir: str,
 class RoundCheckpointer:
     """``on_round_end`` hook for ``build_ocm``: persists the merged sketch
     after every round so a killed multi-round build resumes at the last
-    completed round instead of round 0 (vs reference restart-from-zero)."""
+    completed round instead of round 0 (vs reference restart-from-zero).
 
-    def __init__(self, ckpt_dir: str):
+    ``params`` (any JSON-serializable dict of the run's identity — sketch
+    geometry, seed, column, kgram, input fingerprint) guards resume:
+    round files written under DIFFERENT params are stale — they are
+    discarded on construction rather than silently resumed into a run
+    they don't belong to. ``rounds`` itself should NOT be in ``params``:
+    round r of a multi-round build is independent of the total round
+    count, so a longer rerun legitimately extends a shorter one.
+    """
+
+    def __init__(self, ckpt_dir: str, params: Optional[dict] = None):
         self.dir = ckpt_dir
         os.makedirs(ckpt_dir, exist_ok=True)
+        ppath = os.path.join(ckpt_dir, "params.json")
+        if params is not None:
+            stale = False
+            if os.path.exists(ppath):
+                try:
+                    stale = json.load(open(ppath)) != params
+                except (json.JSONDecodeError, OSError):
+                    stale = True
+            if stale:
+                for f in os.listdir(ckpt_dir):
+                    if f.startswith("round-") and f.endswith(".sk"):
+                        os.remove(os.path.join(ckpt_dir, f))
+            with open(ppath + ".tmp", "w") as fh:
+                json.dump(params, fh, sort_keys=True)
+            os.replace(ppath + ".tmp", ppath)
 
     def __call__(self, round_no: int, sketch) -> None:
         p = os.path.join(self.dir, f"round-{round_no:02d}.sk")

@@ -23,6 +23,20 @@ import pyarrow as pa
 import ray
 
 
+def parquet_rows(out_dir: str) -> int:
+    """Row count of a written parquet dir from FILE METADATA (free) —
+    never ``.count()`` a lazy Dataset after ``write_parquet``: Ray
+    re-executes the full plan per consumption. Recursive so Hive
+    layouts (``partition_cols``) count too."""
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    return sum(_pq.read_metadata(f).num_rows for f in
+               _g.glob(os.path.join(out_dir, "**", "*.parquet"),
+                       recursive=True))
+
+
 @ray.remote(num_cpus=1)
 def _etl_shard(in_file: str, out_file: str, transform, columns,
                batch_size: int) -> dict:

@@ -186,7 +186,8 @@ def items_from_batch(batch: pa.Table, column: str = "tokens", kgram: int = 1,
     if pa.types.is_integer(col_type):
         return _flat_numpy(batch.column(column)).astype(U64, copy=False)
     if pa.types.is_string(col_type) or pa.types.is_large_string(col_type) \
-            or pa.types.is_binary(col_type):
+            or pa.types.is_binary(col_type) \
+            or pa.types.is_large_binary(col_type):
         return hash_string_array(batch.column(column))
     if pa.types.is_floating(col_type):
         # value sketches (KLL/t-digest) take floats; reinterpret losslessly

@@ -219,13 +219,9 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     # key) — the written Parquet then serves as the materialization point
     # for every downstream consumer instead of re-running the filter
     final.write_parquet(out_dir, partition_cols=["source"])
-    import glob as _glob
+    from ocm_ray.engine.io import parquet_rows
 
-    import pyarrow.parquet as pq
-
-    n_output = sum(pq.read_metadata(f).num_rows for f in
-                   _glob.glob(os.path.join(out_dir, "**", "*.parquet"),
-                              recursive=True))
+    n_output = parquet_rows(out_dir)
 
     # 6. per-source distinct-document estimates over the written output
     # (pruned column read of the sink — no pipeline re-execution)

@@ -212,3 +212,62 @@ def test_cli_dedup_semantic_and_ngram(tmp_path):
     # docs share nothing
     assert (st.loc[st.doc_id < 10, "n_dup_grams"] > 0).all()
     assert (st.loc[st.doc_id >= 10, "n_dup_grams"] == 0).all()
+
+
+def test_cli_width_rejected_before_ray(tmp_path):
+    """A non-power-of-two width is a usage error (exit 2), not a silent
+    truncation to the next-lower power of two."""
+    r = _run(["count", "-w", "1000000", "--input", "/tmp", "-o",
+              str(tmp_path / "x.sk")], timeout=60)
+    assert r.returncode == 2
+    assert "power of two" in r.stderr
+    r = _run(["count", "-w", "0", "--input", "/tmp", "-o",
+              str(tmp_path / "x.sk")], timeout=60)
+    assert r.returncode == 2
+
+
+def test_cli_input_files_recursive(tmp_path):
+    """Directory inputs glob recursively so Hive-partitioned layouts
+    (curate's own source=X/ output) are readable by every subcommand."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocm_ray.cli import _input_files
+
+    d = tmp_path / "corpus" / "source=web"
+    d.mkdir(parents=True)
+    pq.write_table(pa.table({"x": [1]}), str(d / "part-0.parquet"))
+    pq.write_table(pa.table({"x": [2]}),
+                   str(tmp_path / "corpus" / "top.parquet"))
+    found = _input_files(str(tmp_path / "corpus"))
+    assert len(found) == 2
+
+
+def test_cli_count_param_mismatch_no_stale_resume(small_seq, tmp_path):
+    """A rerun with a different seed must NOT resume from the previous
+    run's round checkpoints; --no-resume must rebuild even with same
+    params."""
+    sk = str(tmp_path / "a.sk")
+    ck = str(tmp_path / "ck")
+    base = ["count", "-n", "2", "-w", "8192", "--nh", "3", "--input",
+            small_seq, "--num-cpus", "4", "--checkpoint-dir", ck]
+    r = _run([*base, "-o", sk])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "resuming" not in r.stderr
+    # same params: resumes
+    r = _run([*base, "-o", str(tmp_path / "b.sk")])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "resuming after completed round 1" in r.stderr
+    # changed seed: stale rounds discarded, no resume
+    r = _run([*base, "--seed", "999", "-o", str(tmp_path / "c.sk")])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "resuming" not in r.stderr
+    # same (new) params but --no-resume: rebuild from zero
+    r = _run([*base, "--seed", "999", "--no-resume",
+              "-o", str(tmp_path / "d.sk")])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "resuming" not in r.stderr
+    # seed-999 rebuilds agree with each other but differ from seed-137
+    c, d, a = (open(str(tmp_path / f"{n}.sk"), "rb").read()
+               for n in "cda")
+    assert c == d and c != a

@@ -507,3 +507,61 @@ def test_streaming_split_survives_stray_fractional_actor(seq_dir, truth):
         assert (est >= truth.true_count.values).all()
     finally:
         ray.kill(stray)
+
+
+def test_checkpoint_fingerprint_mtime_sensitive(seq_dir, tmp_path):
+    """A regenerated shard file with IDENTICAL byte size must invalidate
+    the shard fingerprint (basename+size alone would silently reuse a
+    stale partial)."""
+    from ocm_ray.engine.checkpoint import _fingerprint
+
+    f = str(tmp_path / "part-00000.parquet")
+    with open(f, "wb") as fh:
+        fh.write(b"x" * 128)
+    before = _fingerprint([f])
+    os.utime(f, ns=(1_000_000_000, 1_000_000_000))  # same size, new mtime
+    assert _fingerprint([f]) != before
+    # and the path (not just basename) is part of the identity
+    g = str(tmp_path / "sub")
+    os.makedirs(g)
+    g = os.path.join(g, "part-00000.parquet")
+    with open(g, "wb") as fh:
+        fh.write(b"x" * 128)
+    os.utime(g, ns=(1_000_000_000, 1_000_000_000))
+    assert _fingerprint([g]) != _fingerprint([f])
+
+
+def test_round_checkpointer_params_guard(tmp_path):
+    """Round files written under different run params are stale: a rerun
+    with a changed seed/geometry must NOT resume from them."""
+    from ocm_ray.engine.checkpoint import RoundCheckpointer
+    from ocm_ray.sketches import CountMin
+
+    d = str(tmp_path / "rounds")
+    a = {"np_bits": 13, "nh": 3, "seed": 137, "conservative": True,
+         "column": "tokens", "kgram": 1, "input": "fp-a"}
+    ck = RoundCheckpointer(d, params=a)
+    ck(0, CountMin(8, 3))
+    ck(1, CountMin(8, 3))
+    assert ck.last_completed() == 1
+    # same params → resume point survives re-construction
+    assert RoundCheckpointer(d, params=dict(a)).last_completed() == 1
+    # changed seed → stale round files are discarded
+    b = dict(a, seed=999)
+    assert RoundCheckpointer(d, params=b).last_completed() == -1
+    # and the new identity is now the persisted one
+    assert RoundCheckpointer(d, params=b).last_completed() == -1
+
+
+def test_items_from_batch_large_binary():
+    """large_binary columns (polars / >2GB Arrow promotion) hash
+    identically to binary ones instead of raising TypeError."""
+    import pyarrow as pa
+
+    from ocm_ray.engine.tokens import items_from_batch
+
+    vals = [b"alpha", b"beta", b"", b"gamma"]
+    small = pa.table({"content": pa.array(vals, type=pa.binary())})
+    large = pa.table({"content": pa.array(vals, type=pa.large_binary())})
+    np.testing.assert_array_equal(items_from_batch(small, "content"),
+                                  items_from_batch(large, "content"))
