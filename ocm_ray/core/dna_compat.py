@@ -82,9 +82,17 @@ def kmer_stream_from_fasta(data: bytes, k: int, canonicalize: bool = True,
     cur = 0
     in_header = False
     mask = (1 << (2 * k)) - 1
-    for ch in data:
-        if ch == 0xFF:  # the reader's `if(ch==EOF) break` sentinel
-            break
+    skip_until = 0
+    for i, ch in enumerate(data):
+        if i < skip_until:
+            continue
+        if ch == 0xFF:
+            # the reader's `if(ch==EOF) break` (ocm.h:544) exits ONLY the
+            # inner while(i<chunk_size) scan — the outer read loop
+            # continues with the next chunk, k-mer state intact. Skip to
+            # the next chunk boundary, not the end of the stream.
+            skip_until = ((i // chunk_size) + 1) * chunk_size
+            continue
         if ch == 0x3E:  # '>'
             in_header = True
             kmer = 0

@@ -104,8 +104,18 @@ def generate_sequences(out_dir: str, n_docs: int, seed: int = 42,
 def ensure_sequences(n_docs: int, seed: int = 42, n_files: int = 8,
                      root: str = "/tmp/ocm_ray_data", tag: str = "",
                      **kw) -> str:
-    """Cache-or-create a sequences table; returns its directory."""
-    d = os.path.join(root, f"seq_{n_docs}_{seed}_{n_files}{tag}")
+    """Cache-or-create a sequences table; returns its directory.
+
+    The cache key covers EVERY generation parameter: generate_sequences
+    keeps already-present part files, so two calls differing only in
+    ``**kw`` (hot_source_skew, mean_len, ...) must not resolve to the
+    same directory — the second would silently get the first's data."""
+    kw_tag = ""
+    if kw:
+        kw_tag = "_" + "_".join(f"{k}-{kw[k]}" for k in sorted(kw))
+        kw_tag = "".join(c if c.isalnum() or c in "_-." else "-"
+                         for c in kw_tag)
+    d = os.path.join(root, f"seq_{n_docs}_{seed}_{n_files}{tag}{kw_tag}")
     generate_sequences(d, n_docs, seed=seed, n_files=n_files, **kw)
     return d
 
@@ -149,6 +159,9 @@ def validate_sequences(seq_dir: str, seed: int = 42, **gen_kw) -> dict:
         return {"rows": stored.num_rows, "bad": bad}
 
     files = sorted(glob.glob(os.path.join(seq_dir, "part-*.parquet")))
+    if not files:
+        # zero files would "pass" vacuously — a typo'd path must fail loud
+        raise FileNotFoundError(f"no part-*.parquet under {seq_dir}")
     import pyarrow.parquet as pq
 
     counts = [pq.read_metadata(f).num_rows for f in files]

@@ -50,11 +50,13 @@ def attach_estimates(queries: Dataset, sketch: MergeableSketch,
     # half-CPU actors, pool ≤ half the cluster: a pool that reserves every
     # CPU starves the upstream read tasks and deadlocks the pipeline
     n = int(ray.cluster_resources().get("CPU", 8))
+    # cap the CALLER's value too: a pool reserving every CPU starves the
+    # upstream read tasks and wedges the pipeline (CLAUDE.md rule 1)
     return queries.map_batches(
         _Estimator,
         fn_constructor_args=(ref, item_col, out_col, kgram),
         batch_format="pyarrow",
-        concurrency=concurrency or max(1, n // 2),
+        concurrency=max(1, min(concurrency or n // 2, n // 2)),
         num_cpus=0.5,
     )
 

@@ -26,7 +26,6 @@ small (one row per block is fine for video).
 from __future__ import annotations
 
 import struct
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -283,7 +282,13 @@ class DecodeImage:
     dims — the Ray plumbing (constructor-once state, per-batch decode,
     fixed-size-list output column) is identical either way."""
 
-    def __init__(self, fake: bool = False, target_size: Optional[int] = 64):
+    def __init__(self, fake: bool = False, target_size: int = 64):
+        if not isinstance(target_size, int) or target_size <= 0:
+            # fail at construction, not as a retried TypeError inside the
+            # actor pool ("None = native resolution" is NOT supported:
+            # the output column is a fixed-size list)
+            raise ValueError(f"target_size must be a positive int, got "
+                             f"{target_size!r}")
         self.fake = fake
         self.target = target_size
         self._pil = None
@@ -317,6 +322,12 @@ class DecodeImage:
         out = np.empty((len(payloads), t * t), dtype=np.uint8)
         means = np.empty(len(payloads), dtype=np.float64)
         for i, (p, m) in enumerate(zip(payloads, mimes)):
+            if p is None:
+                # read_webdataset yields null payloads for missing tar
+                # members — zero-fill instead of TypeError'ing the task
+                out[i] = 0
+                means[i] = 0.0
+                continue
             if self.fake:
                 seed = int(wanghash(np.frombuffer(p[:16].ljust(16, b"\0"),
                                                   dtype=np.uint64))[0])
@@ -370,10 +381,15 @@ class ExtractAudioFeatures:
         payloads = batch.column("payload").to_pylist()
         feats = np.empty((len(payloads), self.N_FEATURES), dtype=np.float32)
         for i, p in enumerate(payloads):
+            if p is None:
+                feats[i] = 0.0
+                continue
             if self.fake:
                 arr = np.frombuffer(p, dtype=np.uint8)[:4096].astype(np.float32)
                 chunks = np.array_split(arr, self.N_FEATURES)
-                feats[i] = [c.mean() for c in chunks]
+                # short payloads yield EMPTY chunks whose mean is NaN —
+                # zero-fill like the real path's empty bands
+                feats[i] = [c.mean() if len(c) else 0.0 for c in chunks]
             else:
                 x = self._wav_samples(p)
                 bands = np.array_split(x, self.N_FEATURES - 2)

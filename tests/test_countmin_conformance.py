@@ -196,3 +196,33 @@ def test_even_nh_odd_forcing_matches_reference(streams, reference_binaries,
     assert ours.nh == 5
     ours.update(streams[1000])
     assert np.array_equal(ours.core, ref.core)
+
+
+def test_eof_sentinel_skips_chunk_not_stream(reference_binaries,
+                                             tmp_path_factory):
+    """A 0xFF byte mid-file: the reference's `if(ch==EOF)break` exits
+    only the CURRENT chunk scan (ocm.h:544) and keeps emitting k-mers
+    from later chunks — the stream emulation must match bit-exactly,
+    not stop at the sentinel."""
+    from ocm_ray.core.dna_compat import random_fasta
+
+    data = bytearray(random_fasta(300, 400, seed=7))
+    assert len(data) >= 100000
+    pos = 5500  # inside chunk 5 of the cm reader (1000-byte chunks)
+    while data[pos] in (0x3E, 0x0A):
+        pos += 1
+    data[pos] = 0xFF
+    fa = str(tmp_path_factory.mktemp("ff") / "ff.fa")
+    open(fa, "wb").write(bytes(data))
+    out = fa + ".bin"
+    subprocess.run([reference_binaries["cm"], "count", "-k", str(K),
+                    "-h", str(NH), "-w", str(W), "-o", out,
+                    "-fa", fa, "pad"], check=True, capture_output=True)
+    ref = CountMin.load_reference_format(out)
+    stream = kmer_stream_from_fasta(bytes(data), K, canonicalize=True,
+                                    chunk_size=1000)
+    cm = CountMin(NP, NH, 137, conservative=False)
+    cm.update(stream)
+    assert np.array_equal(cm.core, ref.core)
+    # and the stream really continues past the sentinel's chunk
+    assert len(stream) > 100000

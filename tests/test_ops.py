@@ -780,3 +780,50 @@ def test_pack_sequences_invariants():
                           eos_id=0, drop_remainder=True).to_pandas()
     mats2 = np.stack([np.asarray(r) for r in out2["input_ids"]])
     assert np.array_equal(np.sort(mats.ravel()), np.sort(mats2.ravel()))
+
+
+def test_multimodal_edge_payloads():
+    """Null and tiny payloads must not NaN/TypeError the decode stages
+    (read_webdataset yields null payloads for missing tar members)."""
+    import pyarrow as pa
+
+    from ocm_ray.ops.multimodal import DecodeImage, ExtractAudioFeatures
+
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], type=pa.int64()),
+        "payload": pa.array([b"\x01\x02", None, b"\x09" * 64],
+                            type=pa.binary()),
+        "mime": pa.array(["application/octet-stream"] * 3),
+    })
+    feats = ExtractAudioFeatures(fake=True)(t).to_pandas()
+    mat = np.vstack(feats["features"].to_numpy())
+    assert np.isfinite(mat).all()          # short payload: no NaN chunks
+    assert (mat[1] == 0.0).all()           # null payload: zero-filled
+
+    px = DecodeImage(fake=True, target_size=4)(t).to_pandas()
+    assert (np.asarray(px["pixels"].iloc[1]) == 0).all()
+    assert px["mean_luma"].iloc[1] == 0.0
+
+    with pytest.raises(ValueError):
+        DecodeImage(fake=True, target_size=None)
+    with pytest.raises(ValueError):
+        DecodeImage(fake=True, target_size=0)
+
+
+def test_sequences_kwarg_cache_key(tmp_path):
+    """ensure_sequences must not serve a cached table generated with
+    DIFFERENT kwargs (part files are kept, so the dir key must cover
+    every generation parameter)."""
+    from ocm_ray.data.sequences import ensure_sequences, validate_sequences
+
+    root = str(tmp_path / "cache")
+    a = ensure_sequences(64, seed=1, n_files=2, root=root)
+    b = ensure_sequences(64, seed=1, n_files=2, root=root, mean_len=3.0)
+    assert a != b
+    import pyarrow.parquet as pq
+    ta = pq.read_table(f"{a}/part-00000.parquet")
+    tb = pq.read_table(f"{b}/part-00000.parquet")
+    assert not ta.equals(tb)
+
+    with pytest.raises(FileNotFoundError):
+        validate_sequences(str(tmp_path / "nope"))
