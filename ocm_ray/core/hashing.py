@@ -203,3 +203,15 @@ def hash_strings(arr, seed: int = 137) -> np.ndarray:
     engine's stable codec (scalar path — for driver-side / test use; hot
     paths go through :func:`stable_hash_bytes` on Arrow buffers)."""
     return np.array([stable_hash_scalar(s, seed) for s in arr], dtype=U64)
+
+
+def counter_uniforms(ctr: np.ndarray, seedseed: int, k: int) -> np.ndarray:
+    """k deterministic uniforms in (0, 1] from a counter-mode WangHash
+    stream; advances ``ctr[0]`` in place. The shared decay/Morris RNG of
+    HeavyKeeper and CountMinPow2 — one definition so the two stay
+    bit-identical (the counter persists with sketch state: a restored
+    sketch must not replay a fresh sketch's stream)."""
+    ctr[0] += 1
+    base = wanghash(ctr.astype(U64) ^ U64(seedseed))[0]
+    h = wanghash(np.arange(k, dtype=U64) ^ base)
+    return (h.astype(np.float64) + 1.0) / np.float64(2.0**64)

@@ -131,6 +131,8 @@ def merge_sorted_counts(u1: np.ndarray, c1: np.ndarray,
     segment-sum; no second unique)."""
     u = np.concatenate([u1, u2])
     c = np.concatenate([c1, c2])
+    if len(u) == 0:
+        return u, c
     order = np.argsort(u, kind="stable")
     u, c = u[order], c[order]
     new_run = np.empty(len(u), dtype=bool)

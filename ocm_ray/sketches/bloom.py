@@ -23,6 +23,24 @@ from ocm_ray.sketches.base import MergeableSketch, register_sketch
 
 U64 = np.uint64
 
+# bits-per-byte lookup: popcount via one gather + sum (8x less transient
+# allocation than np.unpackbits, which materializes a bit-per-BYTE array)
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1
+                                                         ).astype(np.int64)
+
+
+def _probe_positions(items: np.ndarray, seeds: np.ndarray,
+                     mask: np.uint64, nh: int) -> np.ndarray:
+    """The shared seeded-WangHash probe kernel: (n, nh) slot/bit indexes.
+    One definition for BloomFilter bits and CountingBloomFilter slots —
+    a probe-distribution change can't silently miss a twin."""
+    items = np.asarray(items).astype(U64, copy=False)
+    out = np.empty((len(items), nh), dtype=np.int64)
+    for j, s in enumerate(seeds):
+        out[:, j] = (wanghash(items ^ U64(s)) & mask).astype(np.int64)
+    return out
+
 
 @register_sketch
 class BloomFilter(MergeableSketch):
@@ -38,12 +56,8 @@ class BloomFilter(MergeableSketch):
         self.seeds = np.array([rng() for _ in range(self.nh)], dtype=U64)
 
     def _bit_positions(self, items: np.ndarray) -> np.ndarray:
-        items = np.asarray(items).astype(U64, copy=False)
-        mask = U64(self.nbits - 1)
-        out = np.empty((len(items), self.nh), dtype=np.int64)
-        for j, s in enumerate(self.seeds):
-            out[:, j] = (wanghash(items ^ U64(s)) & mask).astype(np.int64)
-        return out
+        return _probe_positions(items, self.seeds, U64(self.nbits - 1),
+                                self.nh)
 
     def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
         items = np.asarray(items)
@@ -86,7 +100,7 @@ class BloomFilter(MergeableSketch):
 
     # ---- estimators --------------------------------------------------------
     def popcount(self) -> int:
-        return int(np.unpackbits(self.words.view(np.uint8)).sum())
+        return int(_POPCOUNT8[self.words.view(np.uint8)].sum())
 
     def cardinality_estimate(self) -> float:
         """Linear counting through the k-hash Bloom occupancy
@@ -148,17 +162,16 @@ class CountingBloomFilter(MergeableSketch):
         self.nh = int(nh)
         self.seedseed = int(seedseed)
         self.nslots = 1 << self.p
-        self.counts = np.zeros(self.nslots, dtype=np.int32)
+        # int64: the design corpus scale (countmin.py:33-35 — hot token
+        # ~4e10 occurrences) overflows int32 slot counters, and merge()
+        # sums partials on top of that
+        self.counts = np.zeros(self.nslots, dtype=np.int64)
         rng = MT19937_64(seedseed)
         self.seeds = np.array([rng() for _ in range(self.nh)], dtype=U64)
 
     def _slots(self, items: np.ndarray) -> np.ndarray:
-        items = np.asarray(items).astype(U64, copy=False)
-        mask = U64(self.nslots - 1)
-        out = np.empty((len(items), self.nh), dtype=np.int64)
-        for j, s in enumerate(self.seeds):
-            out[:, j] = (wanghash(items ^ U64(s)) & mask).astype(np.int64)
-        return out
+        return _probe_positions(items, self.seeds, U64(self.nslots - 1),
+                                self.nh)
 
     def update(self, items: np.ndarray, counts=None) -> None:
         items = np.asarray(items)
@@ -168,8 +181,7 @@ class CountingBloomFilter(MergeableSketch):
 
         uniq, cnt = dedupe_counts(items, counts)
         pos = self._slots(uniq)
-        np.add.at(self.counts, pos.ravel(),
-                  np.repeat(cnt, self.nh).astype(np.int32))
+        np.add.at(self.counts, pos.ravel(), np.repeat(cnt, self.nh))
 
     def delete(self, items: np.ndarray, counts=None) -> None:
         """Remove previously-inserted items (caller guarantees they were
@@ -182,8 +194,7 @@ class CountingBloomFilter(MergeableSketch):
 
         uniq, cnt = dedupe_counts(items, counts)
         pos = self._slots(uniq)
-        np.add.at(self.counts, pos.ravel(),
-                  -np.repeat(cnt, self.nh).astype(np.int32))
+        np.add.at(self.counts, pos.ravel(), -np.repeat(cnt, self.nh))
 
     def contains(self, items: np.ndarray) -> np.ndarray:
         items = np.asarray(items)

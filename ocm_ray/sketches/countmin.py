@@ -266,12 +266,9 @@ class CountMinPow2(_CMGeometry):
         self._rng_ctr = np.zeros(1, dtype=np.int64)
 
     def _uniform(self, k: int) -> np.ndarray:
-        self._rng_ctr[0] += 1
-        from ocm_ray.core.hashing import wanghash as _wh
+        from ocm_ray.core.hashing import counter_uniforms
 
-        base = _wh(self._rng_ctr.astype(U64) ^ U64(self.seedseed))[0]
-        h = _wh(np.arange(k, dtype=U64) ^ base)
-        return (h.astype(np.float64) + 1.0) / np.float64(2.0**64)
+        return counter_uniforms(self._rng_ctr, self.seedseed, k)
 
     def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
         items = np.asarray(items).astype(U64, copy=False)
@@ -331,6 +328,11 @@ class CountMinPow2(_CMGeometry):
         combined[(a == 0) & (b == 0)] = 0
         self.core = np.minimum(combined, 255).astype(self.core.dtype)
         self.n_items += other.n_items
+        # advance past BOTH streams' counters (HeavyKeeper.merge shape):
+        # re-consuming values the merged-in partial already used would
+        # correlate subsequent Morris trials with its past trials
+        self._rng_ctr[0] = max(int(self._rng_ctr[0]),
+                               int(other._rng_ctr[0])) + 1
         return self
 
     def _params(self) -> Dict:

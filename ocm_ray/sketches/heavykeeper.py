@@ -69,11 +69,9 @@ class HeavyKeeper(MergeableSketch):
 
     def _uniform(self, k: int) -> np.ndarray:
         """k deterministic uniforms in (0, 1] from a counter-mode stream."""
-        self._ctr[0] += 1
-        base = wanghash(np.asarray([self._ctr[0]], dtype=np.int64).astype(U64)
-                        ^ U64(self.seedseed))[0]
-        h = wanghash(np.arange(k, dtype=U64) ^ base)
-        return (h.astype(np.float64) + 1.0) / np.float64(2.0**64)
+        from ocm_ray.core.hashing import counter_uniforms
+
+        return counter_uniforms(self._ctr, self.seedseed, k)
 
     def _decay(self, C: np.ndarray, n: np.ndarray):
         """Simulate n sequential mismatch occurrences against resident

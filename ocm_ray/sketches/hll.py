@@ -164,19 +164,37 @@ class HyperLogLog(MergeableSketch):
 
     # ---- merge / io --------------------------------------------------------
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
-        assert self.p == other.p and self.seedseed == other.seedseed, "geometry mismatch"
+        assert self.p == other.p and self.seedseed == other.seedseed \
+            and self.prehashed == other.prehashed, "geometry mismatch"
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
     def compress(self, new_p: int) -> "HyperLogLog":
-        """Fold registers down to a smaller precision (``hll.h:902-910``):
-        new register = max over the fold group, adjusted for the index bits
-        that move into the rank field. Conservative fold (max only) — valid
-        merge target for mixed-precision unions."""
+        """Fold registers down to a smaller precision (``hll.h:902-910``),
+        adjusting for the ``d = p - new_p`` index bits that move into the
+        rank field: an old register at index ``i = (j << d) | t`` with
+        value ``r`` contributes new-rank ``d + r`` when ``t == 0`` (the
+        moved bits are all zero, so the old leading-zero run extends) and
+        ``d - bit_length(t) + 1`` otherwise (the run stops inside the
+        moved bits — independent of ``r``). This makes the fold
+        REGISTER-EXACT vs a natively built ``new_p`` sketch over the same
+        items, hence a valid merge target for mixed-precision unions."""
         assert new_p <= self.p
-        out = HyperLogLog(new_p, self.seedseed, self.prehashed)
-        folded = self.registers.reshape(1 << new_p, -1).max(axis=1)
-        out.registers = folded
+        out = HyperLogLog(new_p, self.seedseed, self.prehashed,
+                          self.estimator)
+        d = self.p - new_p
+        if d == 0:
+            out.registers = self.registers.copy()
+            return out
+        regs = self.registers.reshape(1 << new_p, 1 << d)
+        set_mask = regs > 0
+        t = np.arange(1, 1 << d, dtype=np.int64)
+        tb = np.floor(np.log2(t)).astype(np.int64) + 1  # bit_length(t)
+        cand = np.zeros(regs.shape, dtype=np.int64)
+        cand[:, 0] = np.where(set_mask[:, 0],
+                              regs[:, 0].astype(np.int64) + d, 0)
+        cand[:, 1:] = np.where(set_mask[:, 1:], (d - tb + 1)[None, :], 0)
+        out.registers = cand.max(axis=1).astype(np.uint8)
         return out
 
     def _params(self) -> Dict:
@@ -277,8 +295,8 @@ class SparseHLL(MergeableSketch):
 
     # ---- merge / io ---------------------------------------------------------
     def merge(self, other: "SparseHLL") -> "SparseHLL":
-        assert self.p == other.p and self.seedseed == other.seedseed, \
-            "geometry mismatch"
+        assert self.p == other.p and self.seedseed == other.seedseed \
+            and self.prehashed == other.prehashed, "geometry mismatch"
         self._absorb(other.encoded)
         return self
 

@@ -42,7 +42,8 @@ class BottomKMinHash(MergeableSketch):
         self.values = np.unique(np.concatenate([self.values, cand]))[: self.k]
 
     def merge(self, other: "BottomKMinHash") -> "BottomKMinHash":
-        assert (self.k, self.seedseed) == (other.k, other.seedseed), "geometry mismatch"
+        assert (self.k, self.seedseed, self.prehashed) == \
+            (other.k, other.seedseed, other.prehashed), "geometry mismatch"
         self.values = np.unique(np.concatenate([self.values, other.values]))[: self.k]
         return self
 
@@ -100,15 +101,10 @@ class CountingBottomKMinHash(MergeableSketch):
         self.counts = np.empty(0, dtype=np.int64)  # aligned with values
 
     def _fold(self, h: np.ndarray, c: np.ndarray) -> None:
-        vals = np.concatenate([self.values, h])
-        cnts = np.concatenate([self.counts, c])
-        order = np.argsort(vals, kind="stable")
-        vals, cnts = vals[order], cnts[order]
-        run = np.concatenate([[True], vals[1:] != vals[:-1]]) if len(vals) \
-            else np.empty(0, bool)
-        starts = np.flatnonzero(run)
-        tot = np.add.reduceat(cnts, starts) if len(starts) else cnts
-        self.values = vals[starts][: self.k]
+        from ocm_ray.sketches.base import merge_sorted_counts
+
+        vals, tot = merge_sorted_counts(self.values, self.counts, h, c)
+        self.values = vals[: self.k]
         self.counts = tot[: self.k].astype(np.int64)
 
     def update(self, items: np.ndarray,
@@ -119,17 +115,15 @@ class CountingBottomKMinHash(MergeableSketch):
         h = items if self.prehashed else wanghash(items ^ U64(self.seedseed))
         if counts is None:
             uniq, c = np.unique(h, return_counts=True)
+            self._fold(uniq, c.astype(np.int64))
         else:
-            order = np.argsort(h, kind="stable")
-            hs, cs = h[order], np.asarray(counts, np.int64)[order]
-            run = np.concatenate([[True], hs[1:] != hs[:-1]])
-            starts = np.flatnonzero(run)
-            uniq, c = hs[starts], np.add.reduceat(cs, starts)
-        self._fold(uniq, c.astype(np.int64))
+            # merge_sorted_counts aggregates duplicate keys within either
+            # input exactly (int64 segment sums) — no pre-dedup needed
+            self._fold(h, np.asarray(counts, np.int64))
 
     def merge(self, other: "CountingBottomKMinHash") -> "CountingBottomKMinHash":
-        assert (self.k, self.seedseed) == (other.k, other.seedseed), \
-            "geometry mismatch"
+        assert (self.k, self.seedseed, self.prehashed) == \
+            (other.k, other.seedseed, other.prehashed), "geometry mismatch"
         self._fold(other.values, other.counts)
         return self
 

@@ -491,3 +491,92 @@ def test_bbitminhash_jaccard_and_merge():
     assert np.array_equal(a.minvals, u.minvals)
     back = MergeableSketch.from_bytes(a.to_bytes())
     assert back.jaccard_index(u) == 1.0
+
+
+def test_hll_compress_register_exact_and_estimator_preserved():
+    """compress(new_p) must equal a NATIVELY built new_p sketch register
+    by register (the moved index bits fold into the rank field), and
+    keep the configured estimator."""
+    from ocm_ray.sketches.hll import HyperLogLog
+
+    rng = np.random.default_rng(3)
+    items = rng.integers(0, 2**63, 100000).astype(np.uint64)
+    for p, q in [(14, 10), (12, 8), (10, 10)]:
+        hi = HyperLogLog(p, estimator="original")
+        hi.update(items)
+        lo = HyperLogLog(q, estimator="original")
+        lo.update(items)
+        f = hi.compress(q)
+        assert f.estimator == "original"
+        assert np.array_equal(f.registers, lo.registers), (p, q)
+        # mixed-precision union is therefore exact: fold-then-merge ==
+        # native union at the lower precision
+        extra = rng.integers(0, 2**63, 5000).astype(np.uint64)
+        nat = HyperLogLog(q, estimator="original")
+        nat.update(np.concatenate([items, extra]))
+        other = HyperLogLog(q, estimator="original")
+        other.update(extra)
+        assert np.array_equal(f.merge(other).registers, nat.registers)
+
+
+def test_sketch_merge_rejects_prehashed_mismatch():
+    """prehashed defines hash geometry — merging across it must raise,
+    not silently union incompatible registers/values."""
+    from ocm_ray.sketches import BottomKMinHash, CountingBottomKMinHash
+    from ocm_ray.sketches.hll import HyperLogLog, SparseHLL
+
+    items = np.arange(100, dtype=np.uint64)
+    for cls in (HyperLogLog, SparseHLL):
+        a, b = cls(10), cls(10, prehashed=True)
+        a.update(items); b.update(items)
+        with pytest.raises(AssertionError):
+            a.merge(b)
+    for cls in (BottomKMinHash, CountingBottomKMinHash):
+        a, b = cls(16), cls(16, prehashed=True)
+        a.update(items); b.update(items)
+        with pytest.raises(AssertionError):
+            a.merge(b)
+
+
+def test_cbf_counters_survive_int32_overflow():
+    """Slot counters must hold counts past 2^31 (the documented corpus
+    design scale) without wrapping negative."""
+    from ocm_ray.sketches import CountingBloomFilter
+
+    cbf = CountingBloomFilter(p=8, nh=2)
+    big = np.array([3_000_000_000], dtype=np.int64)
+    items = np.array([42], dtype=np.uint64)
+    cbf.update(items, big)
+    cbf.update(items, big)  # merge-shaped accumulation on top
+    assert cbf.est_count(items)[0] == 6_000_000_000
+    assert bool(cbf.contains(items)[0])
+    cbf.delete(items, np.array([5_999_999_999], dtype=np.int64))
+    assert cbf.est_count(items)[0] == 1
+
+
+def test_merge_sorted_counts_empty_inputs():
+    from ocm_ray.sketches import merge_sorted_counts
+
+    e_u = np.empty(0, np.uint64)
+    e_c = np.empty(0, np.int64)
+    u, c = merge_sorted_counts(e_u, e_c, e_u, e_c)
+    assert len(u) == 0 and len(c) == 0
+    u, c = merge_sorted_counts(e_u, e_c, np.array([7], np.uint64),
+                               np.array([2], np.int64))
+    assert list(u) == [7] and list(c) == [2]
+
+
+def test_countminpow2_merge_advances_rng_counter():
+    """The Morris decay-RNG counter must advance past BOTH partials on
+    merge (as HeavyKeeper does) so the merged sketch never re-consumes a
+    partial's consumed stream."""
+    from ocm_ray.sketches.countmin import CountMinPow2
+
+    rng = np.random.default_rng(0)
+    a, b = CountMinPow2(10, 3), CountMinPow2(10, 3)
+    a.update(rng.integers(0, 1000, 20000).astype(np.uint64))
+    b.update(rng.integers(0, 1000, 20000).astype(np.uint64))
+    ca, cb = int(a._rng_ctr[0]), int(b._rng_ctr[0])
+    assert ca > 0 and cb > 0
+    a.merge(b)
+    assert int(a._rng_ctr[0]) == max(ca, cb) + 1
