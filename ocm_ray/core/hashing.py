@@ -215,3 +215,22 @@ def counter_uniforms(ctr: np.ndarray, seedseed: int, k: int) -> np.ndarray:
     base = wanghash(ctr.astype(U64) ^ U64(seedseed))[0]
     h = wanghash(np.arange(k, dtype=U64) ^ base)
     return (h.astype(np.float64) + 1.0) / np.float64(2.0**64)
+
+
+_PC_M1 = U64(0x5555555555555555)
+_PC_M2 = U64(0x3333333333333333)
+_PC_M4 = U64(0x0F0F0F0F0F0F0F0F)
+_PC_H01 = U64(0x0101010101010101)
+
+
+def popcount64(v: np.ndarray) -> np.ndarray:
+    """Branch-free SWAR popcount of a uint64 array (numpy<2 lacks
+    ``bitwise_count``) — the ONE shared definition (hbb rollovers,
+    simhash Hamming distances); a numpy>=2 migration to
+    ``np.bitwise_count`` changes exactly this function."""
+    v = v.astype(U64, copy=True)
+    v -= (v >> U64(1)) & _PC_M1
+    v = (v & _PC_M2) + ((v >> U64(2)) & _PC_M2)
+    v = (v + (v >> U64(4))) & _PC_M4
+    with np.errstate(over="ignore"):
+        return ((v * _PC_H01) >> U64(56)).astype(np.int64)

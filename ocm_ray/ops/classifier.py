@@ -309,7 +309,7 @@ def nb_keep_top_fraction(ds, model: NBModel, frac: float,
             merged.merge(MergeableSketch.from_bytes(raw.as_py()))
     if merged.n[0] == 0:
         return ds, float("-inf")
-    threshold = float(merged.quantile(1.0 - frac)[0])
+    threshold = float(merged.quantile(1.0 - frac))
     grid = 10.0 ** (-ndigits)
     return (nb_filter(ds, model, text_col=text_col,
                       threshold=threshold - grid / 2, ndigits=ndigits),

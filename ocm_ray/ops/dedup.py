@@ -469,10 +469,9 @@ def simhash_fingerprints(ds: Dataset, id_col: str = "doc_id",
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of a uint64 array (numpy<2 has no
-    bitwise_count): unpack to bits bytewise and sum per word."""
-    bits = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
-    return bits.sum(axis=1).astype(np.int64)
+    from ocm_ray.core.hashing import popcount64
+
+    return popcount64(np.ascontiguousarray(x).astype(np.uint64, copy=False))
 
 
 def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",

@@ -45,6 +45,13 @@ class MergeableSketch:
 
     kind: str = "abstract"
 
+    # False for sketches whose ``counts`` is an element's FINAL weight
+    # (cws/pmh): update(x, w1) then update(x, w2) is NOT update(x, w1+w2)
+    # for those, so combiners must never split one element's count across
+    # two updates (CountCombiner consults this to disable its mid-stream
+    # flush).
+    weight_additive: bool = True
+
     # ---- subclass surface -------------------------------------------------
     def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
         """Absorb items (uint64 ndarray). ``counts`` (int64, same length)
@@ -159,6 +166,11 @@ class CountCombiner:
     def __init__(self, sketch: Optional[MergeableSketch],
                  flush_limit: int = 1 << 22):
         self.sketch = sketch
+        if sketch is not None and not sketch.weight_additive:
+            # final-weight sketches (cws/pmh): a mid-stream flush would
+            # split an element's weight into two updates whose draws
+            # differ from the total-weight draw — never flush early
+            flush_limit = 1 << 62
         self.flush_limit = flush_limit
         self.uniq: Optional[np.ndarray] = None
         self.cnt: Optional[np.ndarray] = None

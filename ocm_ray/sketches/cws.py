@@ -67,6 +67,9 @@ class WeightedMinHash(MergeableSketch):
     matching (element, t) slots."""
 
     kind = "cws"
+    # counts = FINAL weight, not additive occurrences (module docstring):
+    # combiners must deliver each element's weight in ONE update
+    weight_additive = False
 
     CHUNK = 1 << 16  # elements per kernel chunk (perm × chunk matrix ≤ ~4 MB)
 

@@ -32,8 +32,15 @@ def _fold(counts: np.ndarray, offset: int, idx: np.ndarray,
     growing/collapsing as needed. Returns (counts, offset)."""
     if len(idx) == 0:
         return counts, offset
-    lo = int(min(idx.min(), offset))
-    hi = int(max(idx.max(), offset + len(counts) - 1))
+    if len(counts) == 0:
+        # empty store: span from the incoming indices ALONE — including
+        # the phantom [offset, offset-1] span would anchor lo/hi at 0 and
+        # force a spurious collapse for all-negative (x<1) or
+        # all-large-positive index ranges
+        lo, hi = int(idx.min()), int(idx.max())
+    else:
+        lo = int(min(idx.min(), offset))
+        hi = int(max(idx.max(), offset + len(counts) - 1))
     if hi - lo + 1 > max_bins:
         lo = hi - max_bins + 1  # collapse lowest buckets into bin lo
     new = np.zeros(hi - lo + 1, dtype=np.int64)

@@ -33,26 +33,15 @@ most (#rollovers + 1) vector passes per batch.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ocm_ray.core.hashing import wanghash
 
 U64 = np.uint64
 
-_M1 = U64(0x5555555555555555)
-_M2 = U64(0x3333333333333333)
-_M4 = U64(0x0F0F0F0F0F0F0F0F)
-_H01 = U64(0x0101010101010101)
-
-
-def _popcount(v: np.ndarray) -> np.ndarray:
-    """Branch-free popcount of a uint64 array (numpy<2 lacks
-    ``bitwise_count``)."""
-    v = v - ((v >> U64(1)) & _M1)
-    v = (v & _M2) + ((v >> U64(2)) & _M2)
-    v = (v + (v >> U64(4))) & _M4
-    with np.errstate(over="ignore"):
-        return ((v * _H01) >> U64(56)).astype(np.int64)
+from ocm_ray.core.hashing import popcount64 as _popcount
 
 
 def _ctz(v: np.ndarray) -> np.ndarray:
@@ -130,6 +119,10 @@ class HyperBitBit:
 
     @classmethod
     def load(cls, path: str) -> "HyperBitBit":
+        # np.savez appends ".npz" to a bare path — accept the same bare
+        # path back (symmetric save(p)/load(p) contract)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         z = np.load(path)
         hb = cls(seedseed=int(z["seedseed"]))
         hb.logn = int(z["logn"])

@@ -88,9 +88,34 @@ class KLL(MergeableSketch):
 
     def update(self, items: np.ndarray, counts: Optional[np.ndarray] = None) -> None:
         items = np.asarray(items)
-        if counts is not None:
-            items = np.repeat(items, np.asarray(counts, dtype=np.int64))
-        self.update_values(items.astype(np.float64))
+        if counts is None:
+            self.update_values(items.astype(np.float64))
+            return
+        # weighted insert WITHOUT materializing the stream (np.repeat
+        # would allocate O(sum(counts)) — an 8 GB spike for a 1B-row
+        # pre-aggregated shard): decompose each weight in binary and
+        # insert the value directly at every level h with bit h set — a
+        # level-h item carries weight 2^h, and promoting equal values
+        # pairwise is lossless, so this is rank-equivalent to the repeat.
+        vals = np.asarray(items, dtype=np.float64)
+        cnt = np.asarray(counts, dtype=np.int64)
+        keep = (cnt > 0) & ~np.isnan(vals)
+        vals, cnt = vals[keep], cnt[keep]
+        if vals.size == 0:
+            return
+        self.n[0] += int(cnt.sum())
+        chunk = max(64, 4 * self.k)
+        for h in range(int(cnt.max()).bit_length()):
+            sel = (cnt >> h) & 1 == 1
+            if not sel.any():
+                continue
+            while len(self.levels) <= h:
+                self.levels.append(np.empty(0, dtype=np.float64))
+            v = vals[sel]
+            for i in range(0, len(v), chunk):
+                self.levels[h] = np.concatenate([self.levels[h],
+                                                 v[i:i + chunk]])
+                self._compress()
 
     # ---- queries -----------------------------------------------------------
     def _weighted(self):
@@ -111,11 +136,11 @@ class KLL(MergeableSketch):
         qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
         v, w = self._weighted()
         if v.size == 0:
-            return np.full(qs.shape, np.nan)
+            return np.full(qs.shape, np.nan) if np.ndim(q) else float("nan")
         cum = np.cumsum(w) - w / 2.0
         ranks = qs * float(w.sum())
         out = np.interp(ranks, cum, v)
-        return out if np.ndim(q) else out  # vector in, vector out
+        return out if np.ndim(q) else float(out[0])  # scalar in, scalar out
 
     def rank(self, values) -> np.ndarray:
         """Approximate normalized rank of each value."""

@@ -68,7 +68,12 @@ class ModSketch(MergeableSketch):
         pow2 branch): keep quotients whose low bits are zero."""
         assert log2_factor >= 0
         if log2_factor == 0:
-            return self
+            # fresh sketch like every other factor — returning self
+            # aliased would let mutations of the "reduced" sketch corrupt
+            # the source only in the factor-0 case
+            out = ModSketch(self.log2_mod, self.seedseed)
+            out.quots = self.quots.copy()
+            return out
         out = ModSketch(self.log2_mod + log2_factor, self.seedseed)
         mask = U64((1 << log2_factor) - 1)
         keep = self.quots[(self.quots & mask) == U64(0)]

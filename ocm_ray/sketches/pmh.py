@@ -50,6 +50,10 @@ _INF = np.inf
 @register_sketch
 class ProbMinHash(MergeableSketch):
     kind = "pmh"
+    # counts = FINAL weight (draws are keyed by the weight's bit
+    # pattern): combiners must deliver each element's weight in ONE
+    # update — see MergeableSketch.weight_additive
+    weight_additive = False
 
     def __init__(self, n_regs: int = 128, seedseed: int = 137):
         self.n_regs = int(n_regs)

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import numpy as np
 
 from ocm_ray.sketches.countmin import CountMin
@@ -100,17 +102,24 @@ class SlidingWindowCM:
     # ---------------------------------------------------------- persistence
     def save(self, path: str) -> None:
         np.savez(path, window=self.window, n=self._n, buf=self._buf,
-                 core=self.cm.core, np_bits=self.cm.np_bits,
+                 core=self.cm.core, n_items=self.cm.n_items,
+                 np_bits=self.cm.np_bits,
                  nh=self.cm.nh, seedseed=self.cm.seedseed)
 
     @classmethod
     def load(cls, path: str) -> "SlidingWindowCM":
+        # np.savez appends ".npz" to a bare path — accept the same bare
+        # path back (symmetric save(p)/load(p) contract)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         z = np.load(path)
         sw = cls(int(z["window"]), np_bits=int(z["np_bits"]),
                  nh=int(z["nh"]), seedseed=int(z["seedseed"]))
         sw._n = int(z["n"])
         sw._buf = z["buf"].copy()
         sw.cm.core = z["core"].copy()
+        if "n_items" in z:  # stream-length state (absent in old files)
+            sw.cm.n_items = z["n_items"].copy()
         return sw
 
 

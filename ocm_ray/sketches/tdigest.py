@@ -67,6 +67,14 @@ class TDigest(MergeableSketch):
             return
         w = (np.ones_like(values) if weights is None
              else np.asarray(weights, dtype=np.float64)[mask])
+        if weights is not None:
+            # zero/negative weights would produce 0/0 = NaN cluster means
+            # in _compress and permanently poison the digest
+            pos = w > 0
+            if not pos.all():
+                values, w = values[pos], w[pos]
+                if values.size == 0:
+                    return
         self._buf_v.append(values)
         self._buf_w.append(w)
         self._buf_n += values.size

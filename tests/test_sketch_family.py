@@ -580,3 +580,117 @@ def test_countminpow2_merge_advances_rng_counter():
     assert ca > 0 and cb > 0
     a.merge(b)
     assert int(a._rng_ctr[0]) == max(ca, cb) + 1
+
+
+def test_ddsketch_empty_store_first_fold():
+    """First update over sub-1.0 (all-negative-index) values must not
+    collapse into one bucket: the empty store's phantom [0,-1] span used
+    to anchor hi at 0 and blow the max_bins budget."""
+    from ocm_ray.sketches.ddsketch import DDSketch
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.001, 0.05, 10000)
+    d = DDSketch(alpha=0.01, max_bins=128)
+    d.update(x)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = float(d.quantile(q)[0])
+        true = float(np.quantile(x, q))
+        assert abs(est - true) / true < 0.02, (q, est, true)
+    big = rng.uniform(1e6, 2e6, 10000)
+    d2 = DDSketch(alpha=0.01, max_bins=128)
+    d2.update(big)
+    est = float(d2.quantile(0.5)[0])
+    assert abs(est - float(np.quantile(big, 0.5))) / est < 0.02
+
+
+def test_kll_weighted_update_no_repeat():
+    """Weighted KLL inserts via binary weight decomposition — bounded
+    memory (no O(sum counts) np.repeat) and rank-correct."""
+    from ocm_ray.sketches.kll import KLL
+
+    rng = np.random.default_rng(0)
+    vals = rng.normal(0, 1, 200)
+    cnt = np.full(200, 1_000_000, dtype=np.int64)  # 200M virtual items
+    k = KLL(200)
+    k.update(vals, cnt)  # would be a 1.6 GB allocation via repeat
+    assert int(k.n[0]) == 200_000_000
+    for q in (0.25, 0.5, 0.75):
+        assert abs(k.rank(float(np.quantile(vals, q)))[0] - q) < 0.05
+    # scalar in, scalar out
+    assert isinstance(k.quantile(0.5), float)
+    # zero counts are dropped
+    k2 = KLL(64)
+    k2.update(np.array([1.0, 2.0]), np.array([0, 3], dtype=np.int64))
+    assert int(k2.n[0]) == 3 and abs(k2.quantile(0.9) - 2.0) < 1e-9
+
+
+def test_tdigest_zero_weight_no_nan():
+    from ocm_ray.sketches.tdigest import TDigest
+
+    td = TDigest()
+    td.update_values(np.array([1.0, 2.0, 3.0]),
+                     np.array([0.0, 5.0, 0.0]))
+    td.update_values(np.array([4.0]), np.array([5.0]))
+    q = np.atleast_1d(td.quantile(0.5))
+    assert np.isfinite(q).all()
+
+
+def test_sliding_hbb_save_load_roundtrip(tmp_path):
+    """save(p)/load(p) with a bare path must round-trip (np.savez appends
+    .npz), and SlidingWindowCM must persist the CM's stream length."""
+    from ocm_ray.sketches.hbb import HyperBitBit
+    from ocm_ray.sketches.sliding import SlidingWindowCM
+
+    rng = np.random.default_rng(0)
+    hb = HyperBitBit()
+    hb.update(rng.integers(0, 2**63, 50000).astype(np.uint64))
+    p = str(tmp_path / "hb")
+    hb.save(p)
+    hb2 = HyperBitBit.load(p)
+    assert hb2.estimate() == hb.estimate()
+
+    sw = SlidingWindowCM(1000, np_bits=10, nh=3)
+    sw.update(rng.integers(0, 500, 5000).astype(np.uint64))
+    p = str(tmp_path / "sw")
+    sw.save(p)
+    sw2 = SlidingWindowCM.load(p)
+    assert int(sw2.cm.n_items[0]) == int(sw.cm.n_items[0]) > 0
+    probe = np.arange(10, dtype=np.uint64)
+    assert np.array_equal(sw2.estimate(probe), sw.estimate(probe))
+
+
+def test_modsketch_reduce_zero_not_aliased():
+    from ocm_ray.sketches.modvac import ModSketch
+
+    m = ModSketch(6)
+    m.update(np.arange(5000, dtype=np.uint64))
+    before = m.quots.copy()
+    r = m.reduce(0)
+    assert r is not m
+    r.update(np.arange(5000, 20000, dtype=np.uint64))
+    assert np.array_equal(m.quots, before)  # source untouched
+
+
+def test_cws_pmh_combiner_never_splits_weights():
+    """CountCombiner must not flush mid-stream for final-weight sketches
+    (cws/pmh): a split weight draws different signatures than the total
+    weight. The combiner path (tiny flush_limit) must equal one-shot."""
+    from ocm_ray.sketches.base import CountCombiner
+    from ocm_ray.sketches.cws import WeightedMinHash
+    from ocm_ray.sketches.pmh import ProbMinHash
+
+    rng = np.random.default_rng(2)
+    # unbounded-looking domain: big hash-like ids, repeated across batches
+    ids = rng.integers(2**48, 2**60, 2000).astype(np.uint64)
+    stream = np.concatenate([ids, ids, ids])
+    for cls in (WeightedMinHash, ProbMinHash):
+        one = cls(32)
+        u, c = np.unique(stream, return_counts=True)
+        one.update(u, c.astype(np.int64))
+        comb = CountCombiner(cls(32), flush_limit=64)  # would split w/o guard
+        for lo in range(0, len(stream), 500):
+            comb.add(stream[lo:lo + 500])
+        two = comb.finish()
+        for name, a in one._arrays().items():
+            assert np.array_equal(a, two._arrays()[name]), \
+                (cls.__name__, name)
