@@ -48,6 +48,9 @@ def grouped_sum(ds: Dataset, keys: List[str], sum_cols: List[str],
                 fanin: int = 8, levels: int = 2) -> Dataset:
     """Exact grouped sums via the per-block tree (see module docstring).
     Returns a Dataset with columns ``keys + sum_cols`` (single block)."""
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1 (got {levels}): levels=0 "
+                         "would return un-collapsed multi-block partials")
     combine = _block_group_sum(keys, sum_cols)
     out = ds.map_batches(combine, batch_size=None, batch_format="pyarrow")
     width = fanin ** (levels - 1)
@@ -75,30 +78,44 @@ def grouped_topk(ds: Dataset, keys: List[str], rank_col: str, k: int,
     Driver/output size is bounded by k × |keys|.
     """
     import numpy as np
+    import pyarrow.compute as pc
 
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1 (got {levels}): levels=0 "
+                         "would return un-collapsed multi-block partials")
     tie_cols = tie_cols or []
 
     def sel(t: pa.Table) -> pa.Table:
+        # Arrow-native (no pandas round-trip): sort_by + take PRESERVE
+        # the input schema exactly, so empty passthrough blocks and
+        # selected blocks can't diverge (int64-with-null → float64 and
+        # large_string → string drift would break the repartition tree's
+        # concat — the hazard _block_group_sum's NOTE documents)
         if t.num_rows == 0:
             return t
-        import pandas as pd
-
-        df = t.to_pandas()
-        df = df.sort_values(
-            keys + [rank_col] + tie_cols,
-            ascending=[True] * len(keys) + [not descending]
-            + [True] * len(tie_cols),
-            kind="mergesort", ignore_index=True)
-        kv = [df[c].to_numpy() for c in keys]
-        new_key = np.zeros(len(df), dtype=bool)
+        order = [(c, "ascending") for c in keys] \
+            + [(rank_col, "descending" if descending else "ascending")] \
+            + [(c, "ascending") for c in tie_cols]
+        t = t.sort_by(order)
+        n = t.num_rows
+        new_key = np.zeros(n, dtype=bool)
         new_key[0] = True
-        for col in kv:
-            new_key[1:] |= col[1:] != col[:-1]
+        for c in keys:
+            col = t.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            a, b = col.slice(1), col.slice(0, n - 1)
+            # null-aware boundary (SQL semantics: NULLs form ONE group):
+            # change iff null-ness differs, or both non-null and unequal
+            an, bn = pc.is_null(a), pc.is_null(b)
+            neq = pc.fill_null(pc.not_equal(a, b), False)
+            change = pc.or_(pc.xor(an, bn), neq)
+            new_key[1:] |= change.to_numpy(zero_copy_only=False)
         run = np.cumsum(new_key) - 1
-        pos = np.arange(len(df), dtype=np.int64)
+        pos = np.arange(n, dtype=np.int64)
         starts = pos[new_key]
         keep = (pos - starts[run]) < k
-        return pa.Table.from_pandas(df[keep], preserve_index=False)
+        return t.take(np.flatnonzero(keep))
 
     out = ds.map_batches(sel, batch_size=None, batch_format="pyarrow")
     width = fanin ** (levels - 1)

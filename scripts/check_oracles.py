@@ -68,6 +68,14 @@ def main(sf_dir="/root/testdata/sf0.01", *only):
 
     failures = []
     record = {}
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a typo'd name silently matching nothing would print
+            # "FAILURES: none" and exit 0 — a false green
+            print(f"unknown query names: {unknown}; known: {sorted(qs)}",
+                  file=sys.stderr)
+            return 2
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,6 +95,8 @@ def main(sf_dir="/root/testdata/sf0.01", *only):
         except Exception as e:
             print(f"[ERR ] {name}: oracle raised {e}")
             failures.append(name)
+            record[name] = {"rows": len(mine),
+                            "err": f"oracle: {type(e).__name__}: {e}"}
             continue
         ok_rows = len(mine) == len(oracle)
         ok_cols = list(mine.columns) == list(oracle.columns)

@@ -77,11 +77,20 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     if not os.path.exists(os.path.join(OUT, "_done")):
+        # build-then-rename: a crash mid-write must not leave partial
+        # parquet files that a rerun's write_parquet would append to
+        # (duplicated corpus, confusing n_distinct failures)
+        import shutil
+
+        tmp = OUT + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(OUT, ignore_errors=True)
         t0 = time.time()
         (rd.range(N_DOCS, override_num_blocks=64)
          .map_batches(gen_batch, batch_format="pyarrow")
-         .write_parquet(OUT))
-        open(os.path.join(OUT, "_done"), "w").close()
+         .write_parquet(tmp))
+        open(os.path.join(tmp, "_done"), "w").close()
+        os.replace(tmp, OUT)
         print(f"# generated {N_DOCS} docs in {time.time() - t0:.1f}s",
               file=sys.stderr)
 

@@ -57,8 +57,10 @@ def synth_docs(n_docs: int) -> rd.Dataset:
 
 
 def main() -> int:
-    ray.init(address="local", num_cpus=32, include_dashboard=False,
-             logging_level="ERROR")
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -1391,3 +1391,33 @@ def test_partitioned_window_empty_shards_schema_stable():
            .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert list(wide.columns) == list(one.columns)
     pd.testing.assert_frame_equal(wide, one)
+
+
+def test_grouped_topk_null_keys_and_schema_stability():
+    """NULL keys form ONE group (SQL PARTITION BY semantics) and the
+    Arrow-native selection preserves the input schema exactly even when
+    some blocks are empty or carry nulls (the pandas round-trip used to
+    drift int64-with-null to float64 and large_string to string)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocm_ray.ops.agg import grouped_sum, grouped_topk
+
+    t = pa.table({
+        "g": pa.array(["a", None, "a", None, None, "b"],
+                      type=pa.large_string()),
+        "score": pa.array([5, 9, 3, 8, 7, 1], type=pa.int64()),
+        "item": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+    })
+    got = (grouped_topk(rd.from_arrow(t).repartition(4), ["g"], "score", 2,
+                        tie_cols=["item"]).to_pandas())
+    # null group keeps only its top 2 (scores 9, 8), not all three
+    nulls = got[got["g"].isna()]
+    assert sorted(nulls["score"].tolist()) == [8, 9]
+    assert sorted(got[got["g"] == "a"]["score"].tolist()) == [3, 5]
+    assert got[got["g"] == "b"]["score"].tolist() == [1]
+
+    with pytest.raises(ValueError):
+        grouped_topk(rd.from_arrow(t), ["g"], "score", 2, levels=0)
+    with pytest.raises(ValueError):
+        grouped_sum(rd.from_arrow(t), ["g"], ["score"], levels=0)
