@@ -48,7 +48,21 @@ def test_cli_count_query_roundtrip(small_seq, tmp_path):
     df = pd.read_csv(out)
     assert list(df.columns) == ["token", "true_count", "estimated_count"]
     assert len(df) == 3
-    assert df.loc[df.token == 99999999, "estimated_count"].iloc[0] >= 0
+    # one-sided guarantee vs the ACTUAL corpus counts (>= 0 alone can
+    # never fail — estimates are unsigned by construction)
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    toks = np.concatenate([
+        np.concatenate(_pq.read_table(f, columns=["tokens"])
+                       .column("tokens").to_pylist())
+        for f in _g.glob(os.path.join(small_seq, "*.parquet"))])
+    for t in (1, 2):
+        actual = int((toks == t).sum())
+        assert actual > 0  # Zipf head tokens are present
+        est = int(df.loc[df.token == t, "estimated_count"].iloc[0])
+        assert est >= actual, (t, est, actual)
 
 
 def test_cli_sketch_kinds(small_seq, tmp_path):
@@ -111,6 +125,11 @@ def test_cli_dedup_modes(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = pq.read_table(exact_pq).to_pandas()
     assert out["n_copies"].sum() == len(docs)
+    # conservation alone also holds for a broken dedup that groups
+    # nothing — the two planted duplicates must actually be detected
+    dups = out[out["n_copies"] > 1]
+    assert len(dups) == 2 and set(dups["n_copies"]) == {2}
+    assert set(dups["doc_id"]) == {5, 7}  # keeper = min doc_id per group
 
     bloom_dir = str(tmp_path / "bloomed")
     r = run("dedup", "--mode", "bloom", "--input", src, "-o", bloom_dir,

@@ -370,22 +370,25 @@ def test_shard_scan_all_blocks_empty_and_schema_less():
         lambda t: t.slice(0, 0), batch_format="pyarrow")
 
     def scan(tbl):
-        # would KeyError on pa.table({})
-        assert tbl.column("k") is not None
-        return pa.table({"k": tbl.column("k"), "n": pa.array(
-            np.zeros(tbl.num_rows, np.int64))})
+        # a schema'd empty (would KeyError on pa.table({})); emit ONE
+        # marker row so an early-return-without-invoking-scan regression
+        # is detectable from the output row count
+        assert "k" in tbl.schema.names
+        return pa.table({"k": pa.array(["_marker"]),
+                         "n": pa.array([tbl.num_rows], type=pa.int64())})
 
     out = shard_scan(ds, key_shard_fn("k", 4), scan, 4).to_pandas()
-    assert len(out) == 0
+    assert len(out) == 4 and (out["n"] == 0).all()  # ran per shard
 
     def scan2(a, b):
-        assert a.column("k") is not None and b.column("k") is not None
-        return pa.table({"k": a.column("k").slice(0, 0)})
+        assert "k" in a.schema.names and "k" in b.schema.names
+        return pa.table({"k": pa.array(["_marker"]),
+                         "na": pa.array([a.num_rows], type=pa.int64())})
 
     full = ray.data.from_pandas(df).repartition(4)
     out2 = shard_scan2(ds, full, key_shard_fn("k", 4),
                        key_shard_fn("k", 4), scan2, 4).to_pandas()
-    assert len(out2) == 0
+    assert len(out2) == 4 and (out2["na"] == 0).all()
 
 
 def test_grouped_sum_schema_stable_with_empty_blocks_and_int32():

@@ -1097,6 +1097,11 @@ def test_kmeans_lloyd_and_semdedup():
     cents, hist = kmeans_lloyd(ds, n_clusters=8, iters=5, sample_size=1500)
     assert cents.shape == (8, 32)
     assert all(hist[i + 1] <= hist[i] + 1e-12 for i in range(len(hist) - 1))
+    # monotone-alone is satisfied by a NO-OP Lloyd step (constant hist);
+    # the update must strictly improve inertia (the sample init is
+    # already near-optimal on this fixture, so demand improvement, not
+    # a fixed fraction)
+    assert hist[-1] < hist[0] * (1 - 1e-4), hist
 
     # SemDeDup finds every planted near-dup pair and nothing spurious
     # beyond the brute-force >= threshold set (subset by construction)

@@ -143,10 +143,15 @@ def test_grouped_sketches_many_keys_linear():
                            column="tokens", n_shards=8)
     wall = time.perf_counter() - t0
     assert len(out) == n_keys
-    # every key saw exactly `reps` distinct tokens; HLL(6) at n=3 is exact
-    # in expectation-range — assert the estimate is plausibly around 3
-    some = [out[k].estimate() for k in range(0, n_keys, 997)]
-    assert all(0 < e < 12 for e in some)
+    # every key saw EXACTLY tokens {3k, 3k+1, 3k+2}: the sampled keys'
+    # registers must equal a directly-built sketch over that exact set —
+    # a sort/slice run-boundary leak (one neighboring key's token
+    # bleeding in) changes registers and fails; a loose estimate band
+    # would not
+    for k in range(0, n_keys, 997):
+        want = HyperLogLog(6)
+        want.update(np.arange(3 * k, 3 * k + reps, dtype=np.uint64))
+        assert np.array_equal(out[k].registers, want.registers), k
     assert wall < 120, f"grouped partials took {wall:.0f}s for 10k keys"
 
 

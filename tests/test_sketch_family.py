@@ -160,14 +160,22 @@ def test_tdigest_merge(rng):
 
 
 def test_tdigest_weighted_update(rng):
+    # SKEWED weights: near-uniform counts would make the weighted and
+    # unweighted quantiles coincide, letting a TDigest that silently
+    # ignores its weight argument pass
     t1, t2 = TDigest(100), TDigest(100)
-    vals = rng.integers(0, 100, 5000).astype(np.float64)
-    uniq, cnt = np.unique(vals, return_counts=True)
+    uniq = np.arange(100, dtype=np.float64)
+    cnt = np.where(uniq < 10, 1000, 1).astype(np.int64)  # head-heavy
+    vals = np.repeat(uniq, cnt)
     t1.update_values(vals)
     t2.update_values(uniq, cnt.astype(np.float64))
+    assert abs(t2.n - cnt.sum()) < 1e-9  # weights actually counted
     q1 = np.atleast_1d(t1.quantile([0.25, 0.5, 0.75]))
     q2 = np.atleast_1d(t2.quantile([0.25, 0.5, 0.75]))
     assert np.allclose(q1, q2, atol=2.0)
+    # the weighted median sits in the heavy head (~5), nowhere near the
+    # unweighted median of the value domain (~50)
+    assert q2[1] < 15
 
 
 # ---------------- bottom-k ----------------
@@ -404,8 +412,12 @@ def test_probcounter_single_register():
 
     pc_sk = ProbabilisticCounter()
     pc_sk.update(np.arange(100_000, dtype=np.uint64))
-    # single FM register: unbiased only to within a ~1.6x factor band
-    assert 100_000 / 4 < pc_sk.estimate() < 100_000 * 4
+    # deterministic input + hash chain: the estimate is EXACTLY
+    # 2^R / phi for the register's lowest unset bit R (here 17) —
+    # pinning it catches a dropped phi correction (1.29x) or an
+    # off-by-one in the rank convention (2x), both of which the old
+    # n/4..4n band admitted
+    assert pc_sk.estimate() == pytest.approx(2**17 / 0.77351, rel=1e-3)
 
 
 def test_filterhll_counts_repeated_items():
