@@ -58,18 +58,45 @@ def _etl_shard(in_file: str, out_file: str, transform, columns,
                 writer = pq.ParquetWriter(tmp, out.schema)
             writer.write_table(out)
             rows_out += out.num_rows
-        if writer is None:  # fully filtered shard still marks completion
-            pq.write_table(pa.table({}), tmp)
+        if writer is None:
+            # fully filtered shard still marks completion — but it must
+            # carry the OUTPUT schema (rule 8b): a zero-column part makes
+            # a directory read silently return zero columns and makes
+            # duckdb's glob read hard-error. Derive it by transforming an
+            # empty table of the (pruned) input schema; fall back to that
+            # input schema if the transform can't handle empties.
+            in_schema = pf.schema_arrow
+            if columns:
+                in_schema = pa.schema([in_schema.field(c) for c in columns])
+            empty_in = in_schema.empty_table()
+            try:
+                empty_out = transform(empty_in)
+                if empty_out is None or empty_out.num_columns == 0:
+                    empty_out = empty_in
+            except Exception:
+                empty_out = empty_in
+            pq.write_table(empty_out, tmp)
         else:
             writer.close()
             writer = None
         os.replace(tmp, out_file)
+    except BaseException:
+        # don't leave a truncated .tmp behind for tools scanning out_dir
+        if writer is not None:
+            writer.close()
+            writer = None
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     finally:
         if writer is not None:
             writer.close()
-    return {"in_file": os.path.basename(in_file),
+    st = os.stat(in_file)
+    return {"in_file": os.path.abspath(in_file),
             "out_file": os.path.basename(out_file),
-            "size": os.path.getsize(in_file),
+            "size": st.st_size, "mtime_ns": st.st_mtime_ns,
             "rows_in": rows_in, "rows_out": rows_out,
             "wall_sec": round(time.monotonic() - t0, 4)}
 
@@ -80,9 +107,19 @@ def run_resumable_etl(files: List[str], out_dir: str,
                       batch_size: int = 65536,
                       resume: bool = True) -> dict:
     """Apply ``transform`` (Arrow table → Arrow table, vectorized) to each
-    input Parquet file, writing ``out_dir/part-NNNNN.parquet`` per input
-    file atomically. Returns the run manifest; reruns skip shards whose
-    recorded input size still matches."""
+    input Parquet file, writing one ``out_dir/part-<pathhash>.parquet``
+    per input file atomically (the part name is a pure function of the
+    input PATH — adding/removing inputs cannot re-map another file's
+    stale output, the failure positional naming had). The manifest is
+    appended incrementally as shards complete, so a crash mid-run keeps
+    every finished shard's record and a rerun skips them; reruns also
+    skip shards whose recorded (size, mtime_ns) still match. On a fully
+    successful run, part files not in the manifest (stale leftovers of
+    older layouts/inputs) are removed so directory readers can't
+    double-count."""
+    import glob as _glob
+    import hashlib
+
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(files)
     mpath = os.path.join(out_dir, "_manifest.json")
@@ -92,23 +129,49 @@ def run_resumable_etl(files: List[str], out_dir: str,
             done = {e["in_file"]: e for e in json.load(open(mpath))["shards"]}
         except (json.JSONDecodeError, KeyError, OSError):
             done = {}
+
+    def _out_name(f: str) -> str:
+        h = hashlib.sha1(os.path.abspath(f).encode()).hexdigest()[:12]
+        return f"part-{h}.parquet"
+
     pending = []
     kept = []
-    for i, f in enumerate(files):
-        out_f = os.path.join(out_dir, f"part-{i:05d}.parquet")
-        prev = done.get(os.path.basename(f))
-        if prev and prev.get("size") == os.path.getsize(f) \
+    for f in files:
+        out_f = os.path.join(out_dir, _out_name(f))
+        prev = done.get(os.path.abspath(f))
+        st = os.stat(f)
+        if prev and prev.get("size") == st.st_size \
+                and prev.get("mtime_ns") == st.st_mtime_ns \
+                and prev.get("out_file") == _out_name(f) \
                 and os.path.exists(out_f):
             kept.append(prev)
         else:
             pending.append((f, out_f))
-    new = ray.get([_etl_shard.remote(f, o, transform, columns, batch_size)
-                   for f, o in pending])
-    manifest = {"shards": sorted(kept + list(new), key=lambda e: e["in_file"]),
-                "skipped": len(kept), "built": len(pending)}
-    with open(mpath + ".tmp", "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    os.replace(mpath + ".tmp", mpath)
+
+    def _write_manifest(shards, complete: bool) -> dict:
+        manifest = {"shards": sorted(shards, key=lambda e: e["in_file"]),
+                    "skipped": len(kept), "built": len(pending),
+                    "complete": complete}
+        with open(mpath + ".tmp", "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(mpath + ".tmp", mpath)
+        return manifest
+
+    refs = [_etl_shard.remote(f, o, transform, columns, batch_size)
+            for f, o in pending]
+    shards = list(kept)
+    remaining = list(refs)
+    while remaining:
+        ready, remaining = ray.wait(remaining, num_returns=1)
+        shards.append(ray.get(ready[0]))  # raises on shard failure —
+        # the manifest already records every shard finished BEFORE it
+        _write_manifest(shards, complete=False)
+    manifest = _write_manifest(shards, complete=True)
+    # reconcile: drop stale parts no current shard owns
+    owned = {e["out_file"] for e in manifest["shards"]}
+    for p in _glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        if os.path.basename(p) not in owned:
+            os.unlink(p)
     return manifest
 
 

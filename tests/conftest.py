@@ -16,6 +16,7 @@ SF_SMALL = "/root/testdata/sf0.01"
 def ray_session():
     import ray
 
+    did_init = False
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -24,12 +25,16 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        did_init = True
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield
-    ray.shutdown()
+    # only tear down a session this fixture created — an adopted
+    # pre-existing cluster belongs to whoever started it
+    if did_init:
+        ray.shutdown()
 
 
 @pytest.fixture(scope="session")

@@ -255,8 +255,10 @@ def test_resumable_etl(seq_dir, tmp_path):
     # rerun: everything skipped, outputs unchanged
     m2 = run_resumable_etl(files, out, keep_long, columns=["doc_id", "n_tok"])
     assert m2["built"] == 0 and m2["skipped"] == len(files)
-    # crash simulation: lose one output part
-    os.remove(os.path.join(out, "part-00002.parquet"))
+    # crash simulation: lose one output part (names are path-hashed —
+    # read the victim's name from the manifest)
+    victim = m2["shards"][2]["out_file"]
+    os.remove(os.path.join(out, victim))
     m3 = run_resumable_etl(files, out, keep_long, columns=["doc_id", "n_tok"])
     assert m3["built"] == 1 and m3["skipped"] == len(files) - 1
     # row counts correct vs duckdb
@@ -565,3 +567,47 @@ def test_items_from_batch_large_binary():
     large = pa.table({"content": pa.array(vals, type=pa.large_binary())})
     np.testing.assert_array_equal(items_from_batch(small, "content"),
                                   items_from_batch(large, "content"))
+
+
+def test_resumable_etl_input_set_change_and_empty_shards(seq_dir, tmp_path):
+    """Path-hashed part names: adding an input must NOT remap another
+    file's stale output (the positional-naming corruption); a fully
+    filtered shard writes a SCHEMA'D empty part (zero-column parts make
+    directory reads silently drop all columns)."""
+    import glob as g
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ocm_ray.engine.io import run_resumable_etl
+
+    files = sorted(g.glob(os.path.join(seq_dir, "*.parquet")))
+
+    def keep_none_of_first(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n_tok"), 10_000_000))
+
+    out = str(tmp_path / "etl2")
+    run_resumable_etl(files[1:], out, keep_none_of_first,
+                      columns=["doc_id", "n_tok"])
+    # every part is fully filtered but still schema'd: the directory
+    # must read back with the OUTPUT schema, zero rows
+    t = pq.read_table(out)
+    assert t.num_rows == 0 and set(t.schema.names) == {"doc_id", "n_tok"}
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/part-*.parquet')"
+    ).fetchone()[0]  # duckdb hard-errors on zero-column parts
+    assert n == 0
+    con.close()
+
+    # now ADD the first file: only IT builds; no kept shard's output is
+    # served from another input's part
+    m = run_resumable_etl(files, out, keep_none_of_first,
+                          columns=["doc_id", "n_tok"])
+    assert m["built"] == 1 and m["skipped"] == len(files) - 1
+    assert len({e["out_file"] for e in m["shards"]}) == len(files)
+    # stale-part reconciliation: exactly one part per current input
+    parts = g.glob(os.path.join(out, "part-*.parquet"))
+    assert len(parts) == len(files)
