@@ -42,6 +42,11 @@ def _init_ray(num_cpus):
                 kw["num_cpus"] = num_cpus
             ray.init(**kw)
         else:
+            if num_cpus:
+                print(f"--num-cpus {num_cpus} ignored: connecting to the "
+                      f"existing cluster at RAY_ADDRESS={addr} (per-job "
+                      "CPU caps don't apply when joining a cluster)",
+                      file=sys.stderr)
             ray.init(address=addr, logging_level="ERROR")
     from ray.data import DataContext
 

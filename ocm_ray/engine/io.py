@@ -120,8 +120,14 @@ def run_resumable_etl(files: List[str], out_dir: str,
     import glob as _glob
     import hashlib
 
+    # fail loud on an empty list (a typo'd glob): proceeding would write
+    # a "complete" empty manifest and the reconcile pass below would
+    # then delete every previously built part. Dedupe: duplicate input
+    # paths would collide on one path-hashed part (+ one shared .tmp).
+    files = sorted({os.path.abspath(f) for f in files})
+    if not files:
+        raise FileNotFoundError("run_resumable_etl: empty input file list")
     os.makedirs(out_dir, exist_ok=True)
-    files = sorted(files)
     mpath = os.path.join(out_dir, "_manifest.json")
     done = {}
     if resume and os.path.exists(mpath):

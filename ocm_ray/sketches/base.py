@@ -166,11 +166,13 @@ class CountCombiner:
     def __init__(self, sketch: Optional[MergeableSketch],
                  flush_limit: int = 1 << 22):
         self.sketch = sketch
-        if sketch is not None and not sketch.weight_additive:
-            # final-weight sketches (cws/pmh): a mid-stream flush would
-            # split an element's weight into two updates whose draws
-            # differ from the total-weight draw — never flush early
-            flush_limit = 1 << 62
+        # final-weight sketches (cws/pmh): a mid-stream flush would split
+        # an element's weight into two updates whose draws differ from
+        # the total-weight draw. For them flush_limit stays a MEMORY cap
+        # but crossing it is an ERROR (pre-aggregate weights upstream —
+        # grouped count tables), never a silent flush and never a silent
+        # unbounded table.
+        self._weight_additive = sketch is None or sketch.weight_additive
         self.flush_limit = flush_limit
         self.uniq: Optional[np.ndarray] = None
         self.cnt: Optional[np.ndarray] = None
@@ -204,6 +206,14 @@ class CountCombiner:
         else:
             self.uniq, self.cnt = merge_sorted_counts(self.uniq, self.cnt, u, c)
         if len(self.uniq) > self.flush_limit:
+            if not self._weight_additive:
+                raise ValueError(
+                    f"{type(self.sketch).__name__} takes FINAL weights "
+                    f"(weight_additive=False): the combiner table exceeded "
+                    f"flush_limit={self.flush_limit} and flushing would "
+                    "split element weights across updates. Pre-aggregate "
+                    "to one (element, total_weight) row per element "
+                    "upstream (grouped count tables) or raise flush_limit.")
             self.flush()
 
     def _spill_dense(self) -> None:

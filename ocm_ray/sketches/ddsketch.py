@@ -101,13 +101,14 @@ class DDSketch(MergeableSketch):
         # midpoint of (gamma^(i-1), gamma^i]: 2·gamma^i / (gamma+1)
         return 2.0 * np.power(self.gamma, idx.astype(np.float64)) / (self.gamma + 1)
 
-    def quantile(self, q) -> np.ndarray:
+    def quantile(self, q):
         """Value(s) at quantile(s) q ∈ [0,1]; each within relative error
-        alpha of the true order statistic."""
+        alpha of the true order statistic. Vector q → ndarray; scalar q
+        → float (family contract shared with KLL/TDigest)."""
         qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
         total = int(self.n_items[0])
         if total == 0:
-            return np.full(len(qs), np.nan)
+            return np.full(len(qs), np.nan) if np.ndim(q) else float("nan")
         # global ascending value order: negatives (desc bucket idx), zeros,
         # positives (asc bucket idx)
         neg_idx = np.arange(len(self.neg))[::-1] + int(self.neg_offset[0])
@@ -122,7 +123,8 @@ class DDSketch(MergeableSketch):
         cum = np.cumsum(counts)
         ranks = np.clip((qs * (total - 1)).astype(np.int64), 0, total - 1)
         sel = np.searchsorted(cum, ranks + 1)
-        return vals[np.minimum(sel, len(vals) - 1)]
+        out = vals[np.minimum(sel, len(vals) - 1)]
+        return out if np.ndim(q) else float(out[0])
 
     def merge(self, other: "DDSketch") -> "DDSketch":
         assert (self.alpha, self.max_bins) == (other.alpha, other.max_bins), \

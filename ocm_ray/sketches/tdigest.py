@@ -90,17 +90,21 @@ class TDigest(MergeableSketch):
     def n(self) -> float:
         return float(self.weights.sum() + sum(float(w.sum()) for w in self._buf_w))
 
-    def quantile(self, q) -> np.ndarray:
+    def quantile(self, q):
+        """Vector q → ndarray; scalar q → float (family contract shared
+        with KLL.quantile and DDSketch.quantile)."""
         self._compress()
         qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
         if self.means.size == 0:
-            return np.full(qs.shape, np.nan)
-        if self.means.size == 1:
-            return np.full(qs.shape, self.means[0])
-        w = self.weights
-        cum = np.cumsum(w) - w / 2.0
-        ranks = qs * float(w.sum())
-        return np.interp(ranks, cum, self.means)
+            out = np.full(qs.shape, np.nan)
+        elif self.means.size == 1:
+            out = np.full(qs.shape, self.means[0])
+        else:
+            w = self.weights
+            cum = np.cumsum(w) - w / 2.0
+            ranks = qs * float(w.sum())
+            out = np.interp(ranks, cum, self.means)
+        return out if np.ndim(q) else float(out[0])
 
     def rank(self, values) -> np.ndarray:
         self._compress()

@@ -605,13 +605,14 @@ def test_ddsketch_empty_store_first_fold():
     d = DDSketch(alpha=0.01, max_bins=128)
     d.update(x)
     for q in (0.1, 0.5, 0.9, 0.99):
-        est = float(d.quantile(q)[0])
+        est = d.quantile(q)
+        assert isinstance(est, float)
         true = float(np.quantile(x, q))
         assert abs(est - true) / true < 0.02, (q, est, true)
     big = rng.uniform(1e6, 2e6, 10000)
     d2 = DDSketch(alpha=0.01, max_bins=128)
     d2.update(big)
-    est = float(d2.quantile(0.5)[0])
+    est = d2.quantile(0.5)
     assert abs(est - float(np.quantile(big, 0.5))) / est < 0.02
 
 
@@ -699,10 +700,16 @@ def test_cws_pmh_combiner_never_splits_weights():
         one = cls(32)
         u, c = np.unique(stream, return_counts=True)
         one.update(u, c.astype(np.int64))
-        comb = CountCombiner(cls(32), flush_limit=64)  # would split w/o guard
+        comb = CountCombiner(cls(32))  # default limit: no mid-stream flush
         for lo in range(0, len(stream), 500):
             comb.add(stream[lo:lo + 500])
         two = comb.finish()
         for name, a in one._arrays().items():
             assert np.array_equal(a, two._arrays()[name]), \
                 (cls.__name__, name)
+        # a table crossing the cap must ERROR (splitting weights would
+        # silently corrupt signatures; unbounded growth would OOM)
+        tight = CountCombiner(cls(32), flush_limit=64)
+        with pytest.raises(ValueError, match="FINAL weights"):
+            for lo in range(0, len(stream), 500):
+                tight.add(stream[lo:lo + 500])
