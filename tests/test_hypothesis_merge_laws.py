@@ -85,3 +85,72 @@ def test_conservative_one_sided_always(xs):
     if len(arr):
         uniq, cnt = np.unique(arr, return_counts=True)
         assert (s.estimate(uniq) >= cnt).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(streams, st.integers(2, 10), st.integers(0, 8))
+def test_hll_compress_equals_native_lower_p(xs, p, d):
+    """compress(p-d) of a p sketch is REGISTER-EXACT vs a native build
+    at p-d over the same items, for any geometry — the fold moves the
+    d index bits into the rank field losslessly."""
+    q = max(2, p - d)
+    hi, lo = HyperLogLog(p), HyperLogLog(q)
+    arr = np.array(xs, dtype=np.uint64)
+    hi.update(arr)
+    lo.update(arr)
+    assert np.array_equal(hi.compress(q).registers, lo.registers)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.floats(-1e6, 1e6, allow_nan=False),
+                          st.integers(0, 1 << 20)),
+                min_size=0, max_size=60))
+def test_kll_weighted_equals_repeat(pairs):
+    """Binary weight decomposition is rank-equivalent to np.repeat for
+    any (value, count) multiset small enough to materialize."""
+    from ocm_ray.sketches import KLL
+
+    vals = np.array([v for v, _ in pairs], dtype=np.float64)
+    cnt = np.array([c for _, c in pairs], dtype=np.int64)
+    a, b = KLL(64), KLL(64)
+    a.update(vals, cnt)
+    # cap the materialized stream for the repeat side
+    rep = np.repeat(vals, np.minimum(cnt, 1 << 12))
+    b.update_values(rep)
+    assert int(a.n[0]) == int(cnt.sum())
+    if cnt.sum() == 0:
+        return
+    # rank agreement where both sides saw the same multiset
+    if (cnt <= 1 << 12).all() and cnt.sum() > 0:
+        for q in (0.25, 0.5, 0.75):
+            ra = a.quantile(q)
+            # both sketches' ranks of each other's quantile within eps
+            assert abs(b.rank(ra)[0] - q) < 0.15, (q, ra)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(-5, 5)),
+                max_size=40),
+       st.lists(st.tuples(st.integers(0, 50), st.integers(-5, 5)),
+                max_size=40))
+def test_merge_sorted_counts_equals_dict_fold(a, b):
+    """merge_sorted_counts == a plain dict fold for any two runs
+    (including empty ones and duplicate keys WITHIN a run)."""
+    from ocm_ray.sketches import merge_sorted_counts
+
+    def run(pairs):
+        u = np.array(sorted(k for k, _ in pairs), dtype=np.uint64)
+        # keep duplicates: the kernel must aggregate them too
+        c = np.array([c for _, c in sorted(pairs, key=lambda p: p[0])],
+                     dtype=np.int64)
+        return u, c
+
+    u1, c1 = run(a)
+    u2, c2 = run(b)
+    u, c = merge_sorted_counts(u1, c1, u2, c2)
+    want = {}
+    for k, v in a + b:
+        want[k] = want.get(k, 0) + v
+    got = dict(zip(u.tolist(), c.tolist()))
+    assert got == want  # duplicate keys aggregated, all keys present
+    assert list(u) == sorted(set(k for k, _ in a + b))
