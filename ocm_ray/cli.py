@@ -261,6 +261,11 @@ def cmd_sketch(args) -> int:
         info["estimate"] = round(sk.estimate())
     elif args.kind == "modsketch":
         info["estimate"] = round(sk.cardinality_estimate())
+    elif args.kind in ("kll", "tdigest", "ddsketch"):
+        info["quantiles"] = {f"p{int(q * 100)}": round(float(v), 4)
+                             for q, v in zip(
+                                 (0.5, 0.9, 0.99),
+                                 sk.quantile([0.5, 0.9, 0.99]))}
     print(json.dumps(info))
     return 0
 

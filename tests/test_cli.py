@@ -290,3 +290,19 @@ def test_cli_count_param_mismatch_no_stale_resume(small_seq, tmp_path):
     c, d, a = (open(str(tmp_path / f"{n}.sk"), "rb").read()
                for n in "cda")
     assert c == d and c != a
+
+
+def test_cli_value_sketch_quantiles(small_seq, tmp_path):
+    """Value-sketch builds report p50/p90/p99 so the CLI is usable
+    without loading the sketch file; KLL and DDSketch must agree
+    (cross-estimator check through the whole CLI path)."""
+    outs = {}
+    for kind in ("kll", "ddsketch"):
+        r = _run(["sketch", "--kind", kind, "--input", small_seq,
+                  "--column", "n_tok", "-o", str(tmp_path / f"{kind}.sk"),
+                  "--num-cpus", "4"])
+        assert r.returncode == 0, r.stderr[-500:]
+        outs[kind] = json.loads(r.stdout.strip().splitlines()[-1])["quantiles"]
+    for p in ("p50", "p90", "p99"):
+        a, b = outs["kll"][p], outs["ddsketch"][p]
+        assert abs(a - b) / max(a, b) < 0.1, (p, a, b)
