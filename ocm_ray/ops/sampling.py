@@ -420,6 +420,46 @@ def token_budget_sample(ds: Dataset, budgets: Dict[str, int],
     return ds.map_batches(keep, batch_format="pyarrow"), summary
 
 
+def _tier_thresholds(th, source_col: str, q_lo: float, q_hi: float):
+    """Sorted-key threshold arrays from a grouped-quantiles pandas frame,
+    built ONCE before the broadcast so per-batch lookup is a vectorized
+    searchsorted, not a pandas object-dtype Series.map. A null source
+    group (if any) is dropped — its rows take the unmatched -> "head"
+    path in :func:`_tier_of`."""
+    th = th[th[source_col].notna()]
+    t_lo = th[th["q"] == q_lo].sort_values(source_col)
+    t_hi = th[th["q"] == q_hi].set_index(source_col)
+    keys = t_lo[source_col].to_numpy()
+    lo_v = t_lo["logprob"].to_numpy(dtype=np.float64)
+    hi_v = t_hi.loc[t_lo[source_col]]["logprob"].to_numpy(dtype=np.float64)
+    return keys, lo_v, hi_v
+
+
+def _tier_of(keys: np.ndarray, lo_v: np.ndarray, hi_v: np.ndarray,
+             col, scores: np.ndarray) -> np.ndarray:
+    """Vectorized head/middle/tail assignment for an Arrow source column
+    against broadcast per-source thresholds. Unmatched or null source:
+    NaN thresholds -> both compares false -> "head" (the exact semantics
+    of the old dict-map path)."""
+    import pyarrow.compute as pc
+
+    src = col.to_numpy(zero_copy_only=False)
+    v = pc.is_valid(col)
+    if isinstance(col, pa.ChunkedArray):
+        v = v.combine_chunks()
+    valid = v.to_numpy(zero_copy_only=False)
+    if not valid.all():
+        # a null source can't be searchsorted against string keys
+        src = np.where(valid, src, keys[0] if len(keys) else "")
+    idx = np.minimum(np.searchsorted(keys, src), max(len(keys) - 1, 0))
+    ok = ((keys[idx] == src) & valid if len(keys)
+          else np.zeros(len(src), bool))
+    lo = np.where(ok, lo_v[idx] if len(keys) else 0.0, np.nan)
+    hi = np.where(ok, hi_v[idx] if len(keys) else 0.0, np.nan)
+    return np.where(scores <= lo, "tail",
+                    np.where(scores <= hi, "middle", "head"))
+
+
 def perplexity_buckets(ds: Dataset, id_col: str = "doc_id",
                        text_col: str = "text", source_col: str = "source",
                        qs: tuple = (1 / 3, 2 / 3), ndigits: int = 4,
@@ -453,46 +493,12 @@ def perplexity_buckets(ds: Dataset, id_col: str = "doc_id",
                              keep_cols=(source_col,)).materialize()
     th = grouped_quantiles(scored, source_col, "logprob", qs=list(qs),
                            n_shards=n_shards).to_pandas()
-    # sorted-key threshold arrays, built ONCE: per-batch lookup is a
-    # vectorized searchsorted, not pandas object-dtype Series.map.
-    # A null source group (if any) is dropped from the keys — its rows
-    # take the unmatched -> "head" path in assign.
-    th = th[th[source_col].notna()]
-    t_lo = th[th["q"] == q_lo].sort_values(source_col)
-    t_hi = th[th["q"] == q_hi].sort_values(source_col)
-    keys = t_lo[source_col].to_numpy()
-    lo_v = t_lo["logprob"].to_numpy(dtype=np.float64)
-    hi_v = t_hi.set_index(source_col).loc[t_lo[source_col]]["logprob"] \
-        .to_numpy(dtype=np.float64)
-    ref = ray.put((keys, lo_v, hi_v))
+    ref = ray.put(_tier_thresholds(th, source_col, q_lo, q_hi))
 
     def assign(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         keys, lo_v, hi_v = ray.get(ref)
-        col = batch.column(source_col)
-        src = col.to_numpy(zero_copy_only=False)
         lp = batch.column("logprob").to_numpy(zero_copy_only=False)
-        valid = pc.is_valid(col).combine_chunks() \
-            .to_numpy(zero_copy_only=False) \
-            if isinstance(col, pa.ChunkedArray) \
-            else pc.is_valid(col).to_numpy(zero_copy_only=False)
-        if not valid.all():
-            # a null source can't be searchsorted against string keys;
-            # route it through the unmatched -> "head" path (the old
-            # dict-map semantics: NaN thresholds, both compares false)
-            src = np.where(valid, src, keys[0] if len(keys) else "")
-        idx = np.minimum(np.searchsorted(keys, src),
-                         max(len(keys) - 1, 0))
-        ok = ((keys[idx] == src) & valid if len(keys)
-              else np.zeros(len(src), bool))
-        # unmatched source (can't happen when scoring the training
-        # corpus): NaN thresholds -> both compares false -> "head",
-        # the exact semantics of the old dict-map path
-        lo = np.where(ok, lo_v[idx] if len(keys) else 0.0, np.nan)
-        hi = np.where(ok, hi_v[idx] if len(keys) else 0.0, np.nan)
-        bucket = np.where(lp <= lo, "tail",
-                          np.where(lp <= hi, "middle", "head"))
+        bucket = _tier_of(keys, lo_v, hi_v, batch.column(source_col), lp)
         return batch.append_column("ppl_bucket",
                                    pa.array(bucket.astype(object)))
 
@@ -532,23 +538,17 @@ def perplexity_tier_filter(ds: Dataset, tiers=("head", "middle"),
     # (id_col=source_col: the quantile stage only needs (source, score))
     th = grouped_quantiles(scored, source_col, "logprob", qs=list(qs),
                            n_shards=n_shards).to_pandas()
-    lo_map = th[th["q"] == q_lo].set_index(source_col)["logprob"].to_dict()
-    hi_map = th[th["q"] == q_hi].set_index(source_col)["logprob"].to_dict()
 
     # the SAME scoring kernel unigram_logprob used (shared closure, not
     # a copy), so the filter's re-score reproduces the rounded values
     # bit-for-bit by construction
     score_values = unigram_score_kernel(counts, text_col, ndigits)
-    th_ref = ray.put((lo_map, hi_map))
+    th_ref = ray.put(_tier_thresholds(th, source_col, q_lo, q_hi))
 
     def keep_rows(batch: pa.Table) -> pa.Table:
-        lo_map, hi_map = ray.get(th_ref)
+        keys, lo_v, hi_v = ray.get(th_ref)
         score = score_values(batch)
-        src = batch.column(source_col).to_pandas()
-        lo = src.map(lo_map).to_numpy(dtype=np.float64)
-        hi = src.map(hi_map).to_numpy(dtype=np.float64)
-        tier = np.where(score <= lo, "tail",
-                        np.where(score <= hi, "middle", "head"))
+        tier = _tier_of(keys, lo_v, hi_v, batch.column(source_col), score)
         mask = np.isin(tier, list(keep))
         return batch.filter(pa.array(mask))
 
