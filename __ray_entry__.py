@@ -1693,19 +1693,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["decontaminate_eval"] = decontaminate_eval
 
     def _roundtrip_source_stats(sf_dir, fmt):
-        """Text source/sink round trip (fmt = "json" | "csv"): documents
-        are exported once (atomic tmp-dir rename — rerunning cannot
-        double-count, the curate dirty-sink contract), read back with
-        the matching ``ray.data.read_*``, and aggregated per source.
-        The oracle reads the PARQUET view — matching proves the text
-        path carries identical data. One parameterized kernel so the
-        two formats cannot drift apart."""
+        """Source/sink round trip (fmt = "json" | "csv" | "orc"):
+        documents are exported once (atomic tmp-dir rename — rerunning
+        cannot double-count, the curate dirty-sink contract), read back
+        with the matching reader (``ray.data.read_*`` for the text
+        formats, the engine's stripe-streaming ``engine.io.read_orc``
+        for ORC), and aggregated per source. The oracle reads the
+        PARQUET view — matching proves each format path carries
+        identical data. One parameterized kernel so the formats cannot
+        drift apart."""
         import glob as _glob
         import shutil
 
         import pyarrow as pa
         import ray.data as rd
 
+        from ocm_ray.engine.io import read_orc, write_orc
         from ocm_ray.ops.agg import grouped_sum
 
         base = _cache_tag(sf_dir, "documents")
@@ -1715,12 +1718,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             shutil.rmtree(tmp, ignore_errors=True)
             docs = _read(sf_dir, "documents",
                          columns=["doc_id", "source", "text"])
-            (docs.write_json if fmt == "json" else docs.write_csv)(tmp)
+            if fmt == "json":
+                docs.write_json(tmp)
+            elif fmt == "csv":
+                docs.write_csv(tmp)
+            else:
+                write_orc(docs, tmp)
             os.makedirs(os.path.dirname(out_dir), exist_ok=True)
             shutil.rmtree(out_dir, ignore_errors=True)
             os.rename(tmp, out_dir)
         ds = rd.read_json(out_dir) if fmt == "json" \
-            else rd.read_csv(out_dir)
+            else rd.read_csv(out_dir) if fmt == "csv" \
+            else read_orc(out_dir)
 
         def stats(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -2126,13 +2135,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["source_similarity"] = source_similarity
 
     def export_roundtrip_stats(sf_dir):
-        """JSONL AND CSV source/sink round trips (merged r4): documents
-        exported to both formats, read back, aggregated — the two
+        """JSONL, CSV AND ORC source/sink round trips (merged r4; ORC
+        added r5 via the engine's stripe-streaming reader): documents
+        exported to all three formats, read back, aggregated — the
         format paths must agree with each other exactly, and the single
-        oracle reads the PARQUET view (format independence, 3 ways)."""
+        oracle reads the PARQUET view (format independence, 4 ways)."""
         a = jsonl_source_stats(sf_dir)
         b = csv_source_stats(sf_dir)
+        c = _roundtrip_source_stats(sf_dir, "orc")
         pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, c)
         return a
     q["export_roundtrip_stats"] = export_roundtrip_stats
 

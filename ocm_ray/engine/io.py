@@ -181,6 +181,141 @@ def run_resumable_etl(files: List[str], out_dir: str,
     return manifest
 
 
+# ---------------------------------------------------------------------------
+# ORC source/sink (Ray Data has no built-in ORC reader/writer; pyarrow.orc
+# does the per-file codec work, Ray supplies the parallelism)
+
+
+def write_orc(ds, out_dir: str, overwrite: bool = False,
+              compression: str = "zstd",
+              stripe_size: int = 64 << 20, **writer_opts) -> list:
+    """Write a Dataset as ORC part files, one per input block (the resume
+    unit — a task holds one block + one open writer). Part names are a
+    digest of the block's IPC bytes: deterministic given the block
+    layout, collision-proof across blocks. Returns the part manifest
+    ``[(path, n_rows), ...]`` (driver-held, one row per part).
+
+    A non-empty ``out_dir`` is refused unless ``overwrite=True`` (the
+    same dirty-sink guard as :func:`write_webdataset` /
+    ``pipelines.pretraining.curate``): a rerun with a different block
+    layout writes differently-named parts and stale ones would silently
+    duplicate rows on read. With ``overwrite=True``, parts not in the
+    new manifest are reconciled away after the write."""
+    import glob as _glob
+    import hashlib
+
+    from pyarrow import orc
+
+    os.makedirs(out_dir, exist_ok=True)
+    preexisting = set(_glob.glob(os.path.join(out_dir, "*.orc")))
+    if preexisting and not overwrite:
+        raise ValueError(
+            f"write_orc: out_dir {out_dir!r} already holds "
+            f"{len(preexisting)} .orc part(s) from a previous run — "
+            "pass overwrite=True to reconcile, or use a fresh dir")
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64())})
+
+        class _HashSink:
+            """File-like sha1 sink — hashes the IPC stream without
+            materializing a second copy of the block."""
+
+            closed = False
+
+            def __init__(self):
+                self.h = hashlib.sha1()
+
+            def write(self, b):
+                self.h.update(b)
+                return len(b)
+
+            def writable(self):
+                return True
+
+            def readable(self):
+                return False
+
+            def seekable(self):
+                return False
+
+            def flush(self):
+                pass
+
+            def close(self):
+                self.closed = True
+
+        sink = _HashSink()
+        with pa.ipc.new_stream(pa.PythonFile(sink), batch.schema) as w:
+            w.write_table(batch)
+        path = os.path.join(out_dir, f"part-{sink.h.hexdigest()[:16]}.orc")
+        tmp = path + ".tmp"
+        try:
+            orc.write_table(batch, tmp, compression=compression,
+                            stripe_size=stripe_size, **writer_opts)
+            os.replace(tmp, path)  # atomic: a killed task leaves no part
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        return pa.table({"path": pa.array([path]),
+                         "n_rows": pa.array([batch.num_rows], pa.int64())})
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    out = list(manifest.itertuples(index=False, name=None))
+    # reconcile: delete parts the new manifest doesn't claim
+    written = {p for p, _ in out}
+    for stale in preexisting - written:
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+    return out
+
+
+def read_orc(paths, columns: Optional[List[str]] = None):
+    """Read ORC files into a Dataset: one task per file, streaming
+    stripe-by-stripe (the format's own scan unit — a task never holds
+    more than one stripe), with column pruning pushed into the stripe
+    read. ``paths`` is a directory, a glob, or an explicit list."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(os.path.join(paths, "*.orc"))
+                       if os.path.isdir(paths) else _glob.glob(paths))
+    paths = list(paths)
+    if not paths:
+        raise FileNotFoundError("read_orc: no .orc files found")
+
+    def parse_file(batch: pa.Table):
+        from pyarrow import orc
+
+        for path in batch.column("path").to_pylist():
+            f = orc.ORCFile(path)
+            schema = f.schema
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            if f.nstripes == 0:
+                # empty part still carries the (pruned) schema (rule 8b)
+                yield schema.empty_table()
+                continue
+            for i in range(f.nstripes):
+                rb = f.read_stripe(i, columns=columns)
+                yield pa.Table.from_batches([rb])
+
+    files = rd.from_items([{"path": p} for p in paths],
+                          override_num_blocks=len(paths))
+    return files.map_batches(parse_file, batch_format="pyarrow",
+                             batch_size=1)
+
+
 def write_partitioned_by(ds, out_dir: str, cols: List[str]) -> None:
     """Hive-partitioned Parquet layout (one directory tree per key value)
     — the layout that lets a 100 TB consumer prune at the read."""

@@ -611,3 +611,59 @@ def test_resumable_etl_input_set_change_and_empty_shards(seq_dir, tmp_path):
     # stale-part reconciliation: exactly one part per current input
     parts = g.glob(os.path.join(out, "part-*.parquet"))
     assert len(parts) == len(files)
+
+
+def test_orc_roundtrip_and_dirty_sink_guard(seq_dir, tmp_path):
+    """ORC source/sink: per-block parts round-trip the data exactly
+    (incl. list<int> token arrays), column pruning works at the stripe
+    read, a dirty sink is refused without overwrite=True, and
+    overwrite reconciles stale parts away."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pyarrow import orc
+
+    from ocm_ray.engine.io import read_orc, write_orc
+
+    out = str(tmp_path / "orc")
+    ds = rd.read_parquet(seq_dir, columns=["doc_id", "n_tok", "tokens"])
+    manifest = write_orc(ds, out, stripe_size=4096, batch_size=16)  # force multi-stripe
+    assert sum(n for _, n in manifest) == ds.count()
+    # at least one part must hold >1 stripe or the stripe loop is untested
+    assert any(orc.ORCFile(p).nstripes > 1 for p, _ in manifest)
+
+    back = read_orc(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = pq.read_table(
+        seq_dir, columns=["doc_id", "n_tok", "tokens"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == want["doc_id"].tolist()
+    assert back["n_tok"].tolist() == want["n_tok"].tolist()
+    assert all(np.array_equal(a, b)
+               for a, b in zip(back["tokens"], want["tokens"]))
+
+    # column pruning at the stripe read
+    pruned = read_orc(out, columns=["n_tok"])
+    t = pruned.take_batch(10, batch_format="pyarrow")
+    assert t.schema.names == ["n_tok"]
+    assert int(read_orc(out, columns=["n_tok"]).sum("n_tok")) \
+        == int(want["n_tok"].sum())
+
+    # dirty-sink guard
+    with pytest.raises(ValueError, match="already holds"):
+        write_orc(ds, out)
+    # overwrite reconciles: plant a stale part, rerun, stale is gone
+    stale = os.path.join(out, "part-stale.orc")
+    orc.write_table(pq.read_table(seq_dir, columns=["doc_id"]), stale)
+    m2 = write_orc(ds, out, overwrite=True, stripe_size=4096)
+    assert not os.path.exists(stale)
+    assert sum(n for _, n in m2) == len(want)
+
+    # rule 8b: an empty part still carries the (pruned) schema
+    empty_dir = str(tmp_path / "orc_empty")
+    os.makedirs(empty_dir)
+    orc.write_table(
+        pq.read_table(seq_dir, columns=["doc_id", "n_tok"]).slice(0, 0),
+        os.path.join(empty_dir, "part-empty.orc"))
+    e = read_orc(empty_dir, columns=["doc_id"])
+    assert e.schema().names == ["doc_id"] and e.count() == 0
