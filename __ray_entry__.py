@@ -1693,22 +1693,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["decontaminate_eval"] = decontaminate_eval
 
     def _roundtrip_source_stats(sf_dir, fmt):
-        """Source/sink round trip (fmt = "json" | "csv" | "orc"):
-        documents are exported once (atomic tmp-dir rename — rerunning
-        cannot double-count, the curate dirty-sink contract), read back
-        with the matching reader (``ray.data.read_*`` for the text
-        formats, the engine's stripe-streaming ``engine.io.read_orc``
-        for ORC), and aggregated per source. The oracle reads the
-        PARQUET view — matching proves each format path carries
-        identical data. One parameterized kernel so the formats cannot
-        drift apart."""
+        """Source/sink round trip (fmt = "json" | "csv" | "orc" |
+        "jsonl.zst"): documents are exported once (atomic tmp-dir
+        rename — rerunning cannot double-count, the curate dirty-sink
+        contract), read back with the matching reader
+        (``ray.data.read_*`` for the text formats, the engine's
+        stripe-streaming ``engine.io.read_orc`` for ORC, codec-detecting
+        ``engine.io.read_jsonl`` for compressed JSONL), and aggregated
+        per source. The oracle reads the PARQUET view — matching proves
+        each format path carries identical data. One parameterized
+        kernel so the formats cannot drift apart."""
         import glob as _glob
         import shutil
 
         import pyarrow as pa
         import ray.data as rd
 
-        from ocm_ray.engine.io import read_orc, write_orc
+        from ocm_ray.engine.io import (read_jsonl, read_orc, write_jsonl,
+                                       write_orc)
         from ocm_ray.ops.agg import grouped_sum
 
         base = _cache_tag(sf_dir, "documents")
@@ -1722,6 +1724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 docs.write_json(tmp)
             elif fmt == "csv":
                 docs.write_csv(tmp)
+            elif fmt == "jsonl.zst":
+                write_jsonl(docs, tmp, compression="zstd")
             else:
                 write_orc(docs, tmp)
             os.makedirs(os.path.dirname(out_dir), exist_ok=True)
@@ -1729,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.rename(tmp, out_dir)
         ds = rd.read_json(out_dir) if fmt == "json" \
             else rd.read_csv(out_dir) if fmt == "csv" \
+            else read_jsonl(out_dir) if fmt == "jsonl.zst" \
             else read_orc(out_dir)
 
         def stats(batch: pa.Table) -> pa.Table:
@@ -2135,16 +2140,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["source_similarity"] = source_similarity
 
     def export_roundtrip_stats(sf_dir):
-        """JSONL, CSV AND ORC source/sink round trips (merged r4; ORC
-        added r5 via the engine's stripe-streaming reader): documents
-        exported to all three formats, read back, aggregated — the
-        format paths must agree with each other exactly, and the single
-        oracle reads the PARQUET view (format independence, 4 ways)."""
+        """JSONL, CSV, ORC AND zstd-JSONL source/sink round trips
+        (merged r4; ORC + compressed JSONL added r5 via the engine's
+        stripe-streaming / codec-detecting readers): documents exported
+        to all four formats, read back, aggregated — the format paths
+        must agree with each other exactly, and the single oracle reads
+        the PARQUET view (format independence, 5 ways)."""
         a = jsonl_source_stats(sf_dir)
         b = csv_source_stats(sf_dir)
         c = _roundtrip_source_stats(sf_dir, "orc")
+        z = _roundtrip_source_stats(sf_dir, "jsonl.zst")
         pd.testing.assert_frame_equal(a, b)
         pd.testing.assert_frame_equal(a, c)
+        pd.testing.assert_frame_equal(a, z)
         return a
     q["export_roundtrip_stats"] = export_roundtrip_stats
 

@@ -671,6 +671,87 @@ def cmd_epoch(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Stream a table between storage formats (parquet / ORC /
+    jsonl[.gz|.zst] / csv) — the step-zero job of a web-scale pipeline
+    (a ``.jsonl.zst`` crawl dump has to become pruned Parquet before
+    anything else runs). Input format is auto-detected from the file
+    extensions; the whole conversion is one lazy Dataset plan (read
+    tasks feed write tasks under backpressure — nothing materializes)."""
+    import shutil
+
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from ocm_ray.engine.io import (parquet_rows, read_jsonl, read_orc,
+                                   write_jsonl, write_orc)
+
+    t0 = time.time()
+    path = args.input
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.*"),
+                                 recursive=True))
+    else:
+        files = sorted(glob.glob(path))
+    by_fmt = {"parquet": [], "orc": [], "jsonl": [], "csv": []}
+    for f in files:
+        b = os.path.basename(f)
+        if b.endswith(".parquet"):
+            by_fmt["parquet"].append(f)
+        elif b.endswith(".orc"):
+            by_fmt["orc"].append(f)
+        elif b.endswith((".jsonl", ".jsonl.gz", ".jsonl.zst", ".json")):
+            by_fmt["jsonl"].append(f)
+        elif b.endswith(".csv"):
+            by_fmt["csv"].append(f)
+    in_fmt = max(by_fmt, key=lambda k: len(by_fmt[k]))
+    files = by_fmt[in_fmt]
+    if not files:
+        print(f"convert: no recognizable input files under {path!r}",
+              file=sys.stderr)
+        return 2
+
+    cols = args.columns
+    if in_fmt == "parquet":
+        ds = rd.read_parquet(files, columns=cols)
+    elif in_fmt == "orc":
+        ds = read_orc(files, columns=cols)
+    else:
+        ds = read_jsonl(files) if in_fmt == "jsonl" else rd.read_csv(files)
+        if cols:
+            ds = ds.select_columns(cols)
+
+    out, rows, parts = args.output, None, None
+    if args.to in ("parquet", "csv"):
+        if os.path.isdir(out) and os.listdir(out):
+            if not args.overwrite:
+                print(f"convert: output dir {out!r} is not empty — pass "
+                      "--overwrite to replace it", file=sys.stderr)
+                return 2
+            shutil.rmtree(out)
+        if args.to == "parquet":
+            ds.write_parquet(out)
+            rows = parquet_rows(out)
+            parts = len(glob.glob(os.path.join(out, "*.parquet")))
+        else:
+            ds.write_csv(out)
+            parts = len(os.listdir(out))
+    elif args.to == "orc":
+        manifest = write_orc(ds, out, overwrite=args.overwrite)
+        rows, parts = sum(n for _, n in manifest), len(manifest)
+    else:  # jsonl / jsonl.gz / jsonl.zst
+        codec = {"jsonl": None, "jsonl.gz": "gzip",
+                 "jsonl.zst": "zstd"}[args.to]
+        manifest = write_jsonl(ds, out, compression=codec,
+                               overwrite=args.overwrite)
+        rows, parts = sum(n for _, n in manifest), len(manifest)
+    print(json.dumps({"in_format": in_fmt, "files_in": len(files),
+                      "out_format": args.to, "rows": rows, "parts": parts,
+                      "output": out,
+                      "wall_sec": round(time.time() - t0, 3)}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ocm_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -860,6 +941,20 @@ def main(argv=None) -> int:
     e.add_argument("-o", "--output", required=True)
     e.add_argument("--num-cpus", type=int)
     e.set_defaults(fn=cmd_epoch)
+
+    cv = sub.add_parser("convert", help="stream a table between storage "
+                                        "formats (parquet/orc/jsonl/csv)")
+    cv.add_argument("--input", required=True,
+                    help="dir or glob; format auto-detected from extensions")
+    cv.add_argument("--to", required=True,
+                    choices=["parquet", "orc", "jsonl", "jsonl.gz",
+                             "jsonl.zst", "csv"])
+    cv.add_argument("--columns", nargs="+",
+                    help="prune to these columns at the read")
+    cv.add_argument("--overwrite", action="store_true")
+    cv.add_argument("-o", "--output", required=True)
+    cv.add_argument("--num-cpus", type=int)
+    cv.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)
     try:

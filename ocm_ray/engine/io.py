@@ -182,79 +182,89 @@ def run_resumable_etl(files: List[str], out_dir: str,
 
 
 # ---------------------------------------------------------------------------
-# ORC source/sink (Ray Data has no built-in ORC reader/writer; pyarrow.orc
-# does the per-file codec work, Ray supplies the parallelism)
+# ORC + compressed-JSONL sources/sinks (Ray Data has no built-in ORC or
+# .jsonl.zst support; pyarrow does the per-file codec work, Ray supplies
+# the parallelism). Both sinks share the per-block part machinery below:
+# content-digest part names, dirty-sink guard, atomic replace, driver-held
+# (path, n_rows) manifest, stale-part reconcile.
 
 
-def write_orc(ds, out_dir: str, overwrite: bool = False,
-              compression: str = "zstd",
-              stripe_size: int = 64 << 20, **writer_opts) -> list:
-    """Write a Dataset as ORC part files, one per input block (the resume
-    unit — a task holds one block + one open writer). Part names are a
-    digest of the block's IPC bytes: deterministic given the block
-    layout, collision-proof across blocks. Returns the part manifest
+class _HashSink:
+    """File-like sha1 sink — hashes an IPC stream without materializing
+    a second copy of the block."""
+
+    closed = False
+
+    def __init__(self):
+        import hashlib
+
+        self.h = hashlib.sha1()
+
+    def write(self, b):
+        self.h.update(b)
+        return len(b)
+
+    def writable(self):
+        return True
+
+    def readable(self):
+        return False
+
+    def seekable(self):
+        return False
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self.closed = True
+
+
+def _block_digest(batch: pa.Table) -> str:
+    """Digest of the block's IPC bytes: deterministic given the block
+    layout, collision-proof across blocks."""
+    sink = _HashSink()
+    with pa.ipc.new_stream(pa.PythonFile(sink), batch.schema) as w:
+        w.write_table(batch)
+    return sink.h.hexdigest()[:16]
+
+
+def _write_part_files(ds, out_dir: str, ext: str, guard_exts, encode,
+                      overwrite: bool, label: str) -> list:
+    """Write a Dataset as per-block part files (the resume unit — a task
+    holds one block + one open writer); ``encode(batch, tmp_path)`` does
+    the format-specific serialization. Returns the part manifest
     ``[(path, n_rows), ...]`` (driver-held, one row per part).
 
     A non-empty ``out_dir`` is refused unless ``overwrite=True`` (the
-    same dirty-sink guard as :func:`write_webdataset` /
+    same dirty-sink guard as ``write_webdataset`` /
     ``pipelines.pretraining.curate``): a rerun with a different block
     layout writes differently-named parts and stale ones would silently
-    duplicate rows on read. With ``overwrite=True``, parts not in the
-    new manifest are reconciled away after the write."""
+    duplicate rows on read — ``guard_exts`` covers every sibling
+    extension a directory reader would pick up (a rerun with different
+    compression must not leave ``.jsonl`` parts beside ``.jsonl.zst``
+    ones). With ``overwrite=True``, parts not in the new manifest are
+    reconciled away after the write."""
     import glob as _glob
-    import hashlib
-
-    from pyarrow import orc
 
     os.makedirs(out_dir, exist_ok=True)
-    preexisting = set(_glob.glob(os.path.join(out_dir, "*.orc")))
+    preexisting = set()
+    for ge in guard_exts:
+        preexisting |= set(_glob.glob(os.path.join(out_dir, f"*.{ge}")))
     if preexisting and not overwrite:
         raise ValueError(
-            f"write_orc: out_dir {out_dir!r} already holds "
-            f"{len(preexisting)} .orc part(s) from a previous run — "
+            f"{label}: out_dir {out_dir!r} already holds "
+            f"{len(preexisting)} part(s) from a previous run — "
             "pass overwrite=True to reconcile, or use a fresh dir")
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "n_rows": pa.array([], pa.int64())})
-
-        class _HashSink:
-            """File-like sha1 sink — hashes the IPC stream without
-            materializing a second copy of the block."""
-
-            closed = False
-
-            def __init__(self):
-                self.h = hashlib.sha1()
-
-            def write(self, b):
-                self.h.update(b)
-                return len(b)
-
-            def writable(self):
-                return True
-
-            def readable(self):
-                return False
-
-            def seekable(self):
-                return False
-
-            def flush(self):
-                pass
-
-            def close(self):
-                self.closed = True
-
-        sink = _HashSink()
-        with pa.ipc.new_stream(pa.PythonFile(sink), batch.schema) as w:
-            w.write_table(batch)
-        path = os.path.join(out_dir, f"part-{sink.h.hexdigest()[:16]}.orc")
+        path = os.path.join(out_dir, f"part-{_block_digest(batch)}.{ext}")
         tmp = path + ".tmp"
         try:
-            orc.write_table(batch, tmp, compression=compression,
-                            stripe_size=stripe_size, **writer_opts)
+            encode(batch, tmp)
             os.replace(tmp, path)  # atomic: a killed task leaves no part
         except BaseException:
             try:
@@ -276,6 +286,93 @@ def write_orc(ds, out_dir: str, overwrite: bool = False,
         except OSError:
             pass
     return out
+
+
+def write_orc(ds, out_dir: str, overwrite: bool = False,
+              compression: str = "zstd",
+              stripe_size: int = 64 << 20, **writer_opts) -> list:
+    """Write a Dataset as ORC part files, one per input block. See
+    :func:`_write_part_files` for the part-naming / dirty-sink /
+    manifest contract."""
+
+    def encode(batch: pa.Table, tmp: str) -> None:
+        from pyarrow import orc
+
+        orc.write_table(batch, tmp, compression=compression,
+                        stripe_size=stripe_size, **writer_opts)
+
+    return _write_part_files(ds, out_dir, "orc", ["orc"], encode,
+                             overwrite, "write_orc")
+
+
+# compression codec → part extension; "detect" on the read side keys off
+# these exact extensions (pyarrow's open_input_stream contract)
+_JSONL_EXTS = {None: "jsonl", "gzip": "jsonl.gz", "zstd": "jsonl.zst"}
+
+
+def write_jsonl(ds, out_dir: str, compression: Optional[str] = "zstd",
+                overwrite: bool = False) -> list:
+    """Write a Dataset as (optionally compressed) JSON-lines part files —
+    the interchange format web-scale text corpora actually ship in
+    (``.jsonl.zst`` crawl dumps). One part per input block; the whole
+    block is serialized by pandas' C JSON writer and streamed through
+    ``pa.CompressedOutputStream`` (no Python-level row loop, no second
+    uncompressed copy on disk). See :func:`_write_part_files` for the
+    part-naming / dirty-sink / manifest contract — the guard covers ALL
+    jsonl extensions so a rerun with different ``compression`` can't
+    leave stale parts a directory reader would double-count.
+
+    Binary columns are not JSON-serializable; this sink is for text /
+    numeric / list columns (the documents-table shape)."""
+    if compression not in _JSONL_EXTS:
+        raise ValueError(f"write_jsonl: compression must be one of "
+                         f"{sorted(k or 'None' for k in _JSONL_EXTS)}, "
+                         f"got {compression!r}")
+    ext = _JSONL_EXTS[compression]
+
+    def encode(batch: pa.Table, tmp: str) -> None:
+        js = batch.to_pandas().to_json(orient="records", lines=True,
+                                       force_ascii=False,
+                                       double_precision=15)
+        if not js.endswith("\n"):
+            js += "\n"
+        data = js.encode()
+        if compression is None:
+            with open(tmp, "wb") as f:
+                f.write(data)
+        else:
+            with pa.CompressedOutputStream(tmp, compression) as f:
+                f.write(data)
+
+    return _write_part_files(ds, out_dir, ext, _JSONL_EXTS.values(),
+                             encode, overwrite, "write_jsonl")
+
+
+def read_jsonl(paths, **read_json_kwargs):
+    """Read (optionally compressed) JSON-lines files into a Dataset.
+    Thin wrapper over ``ray.data.read_json`` — Ray's own file-based
+    datasource already streams, parallelizes per file and honors
+    ``arrow_open_stream_args``; the wrapper adds per-file codec
+    auto-detection (``compression="detect"`` keys off the ``.gz`` /
+    ``.zst`` extension, so a mixed-compression directory reads
+    correctly) and directory globbing over every jsonl extension."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(p for ext in _JSONL_EXTS.values()
+                           for p in _glob.glob(
+                               os.path.join(paths, f"*.{ext}")))
+        else:
+            paths = sorted(_glob.glob(paths))
+    paths = list(paths)
+    if not paths:
+        raise FileNotFoundError("read_jsonl: no .jsonl[.gz|.zst] files found")
+    return rd.read_json(paths,
+                        arrow_open_stream_args={"compression": "detect"},
+                        **read_json_kwargs)
 
 
 def read_orc(paths, columns: Optional[List[str]] = None):

@@ -306,3 +306,54 @@ def test_cli_value_sketch_quantiles(small_seq, tmp_path):
     for p in ("p50", "p90", "p99"):
         a, b = outs["kll"][p], outs["ddsketch"][p]
         assert abs(a - b) / max(a, b) < 0.1, (p, a, b)
+
+
+def test_cli_convert_chain(small_seq, tmp_path):
+    """convert chains a table losslessly through every format it claims:
+    parquet → jsonl.zst → orc → parquet, with column pruning at each
+    read; the final parquet must carry the same rows/values as the
+    source. Also: the dirty-sink exit code and --overwrite."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    jl = str(tmp_path / "jl")
+    r = _run(["convert", "--input", small_seq, "--to", "jsonl.zst",
+              "-o", jl, "--columns", "doc_id", "n_tok", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m1 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m1["in_format"] == "parquet" and m1["parts"] >= 1
+
+    orc_dir = str(tmp_path / "orc")
+    r = _run(["convert", "--input", jl, "--to", "orc", "-o", orc_dir,
+              "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m2["in_format"] == "jsonl" and m2["rows"] == m1["rows"]
+
+    final = str(tmp_path / "pq")
+    r = _run(["convert", "--input", orc_dir, "--to", "parquet",
+              "-o", final, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m3 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m3["in_format"] == "orc" and m3["rows"] == m1["rows"]
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"""SELECT doc_id, n_tok FROM read_parquet('{final}/*.parquet')
+            ORDER BY doc_id""").df()
+    want = con.execute(
+        f"""SELECT doc_id, n_tok FROM read_parquet('{small_seq}/*.parquet')
+            ORDER BY doc_id""").df()
+    con.close()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tok"].astype(int).tolist() \
+        == want["n_tok"].astype(int).tolist()
+
+    # dirty sink → exit 2; --overwrite succeeds
+    r = _run(["convert", "--input", orc_dir, "--to", "parquet",
+              "-o", final, "--num-cpus", "4"])
+    assert r.returncode == 2 and "overwrite" in r.stderr
+    r = _run(["convert", "--input", orc_dir, "--to", "parquet",
+              "-o", final, "--overwrite", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert pq.read_table(final).num_rows == m1["rows"]

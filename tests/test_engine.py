@@ -667,3 +667,60 @@ def test_orc_roundtrip_and_dirty_sink_guard(seq_dir, tmp_path):
         os.path.join(empty_dir, "part-empty.orc"))
     e = read_orc(empty_dir, columns=["doc_id"])
     assert e.schema().names == ["doc_id"] and e.count() == 0
+
+
+def test_jsonl_compressed_roundtrip_and_mixed_codecs(seq_dir, tmp_path):
+    """Compressed JSONL source/sink: zstd parts round-trip the data
+    exactly (incl. list<int> token arrays), the dirty-sink guard
+    fires ACROSS extensions (a differently-compressed rerun can't
+    leave stale parts a directory reader would double-count), and
+    "detect" reads a mixed zstd+gzip directory correctly."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocm_ray.engine.io import read_jsonl, write_jsonl
+
+    out = str(tmp_path / "jl")
+    ds = rd.read_parquet(seq_dir, columns=["doc_id", "n_tok", "tokens"])
+    manifest = write_jsonl(ds, out)  # default zstd
+    assert sum(n for _, n in manifest) == ds.count()
+    assert all(p.endswith(".jsonl.zst") for p, _ in manifest)
+
+    want = pq.read_table(
+        seq_dir, columns=["doc_id", "n_tok", "tokens"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    back = read_jsonl(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert back["doc_id"].tolist() == want["doc_id"].tolist()
+    assert back["n_tok"].tolist() == want["n_tok"].tolist()
+    assert all(list(a) == list(b)
+               for a, b in zip(back["tokens"], want["tokens"]))
+
+    # cross-extension dirty-sink guard: plain rerun sees the zst parts
+    with pytest.raises(ValueError, match="already holds"):
+        write_jsonl(ds, out, compression=None)
+    # overwrite reconciles the old-extension parts away
+    m2 = write_jsonl(ds, out, compression=None, overwrite=True)
+    import glob as g
+    assert not g.glob(os.path.join(out, "*.jsonl.zst"))
+    assert sum(n for _, n in m2) == len(want)
+    assert int(read_jsonl(out).sum("n_tok")) == int(want["n_tok"].sum())
+
+    # mixed-codec directory: half the rows as gzip copied beside zstd
+    mixed = str(tmp_path / "mixed")
+    half = len(want) // 2
+    ids = set(want["doc_id"][:half])
+    lo = ds.filter(lambda r: r["doc_id"] in ids)
+    hi = ds.filter(lambda r: r["doc_id"] not in ids)
+    write_jsonl(lo, mixed, compression="zstd")
+    gz_dir = str(tmp_path / "gz")
+    write_jsonl(hi, gz_dir, compression="gzip")
+    for p in g.glob(os.path.join(gz_dir, "*.jsonl.gz")):
+        shutil.copy(p, mixed)
+    mixed_back = read_jsonl(mixed).to_pandas()
+    assert sorted(mixed_back["doc_id"]) == sorted(want["doc_id"])
+
+    with pytest.raises(ValueError, match="compression"):
+        write_jsonl(ds, str(tmp_path / "bad"), compression="lz9")
