@@ -236,6 +236,14 @@ def _write_part_files(ds, out_dir: str, ext: str, guard_exts, encode,
     the format-specific serialization. Returns the part manifest
     ``[(path, n_rows), ...]`` (driver-held, one row per part).
 
+    Part names are ``part-<content digest>-<task>-<seq>``: the same
+    task re-executed (Ray retries a crashed write task) re-derives the
+    SAME names and overwrites its own parts — idempotent, no duplicate
+    rows from a retry — while two IDENTICAL blocks (plausible after
+    column pruning: every block of a constant column serializes the
+    same) still get distinct names from the task/sequence suffix
+    instead of silently collapsing onto one file.
+
     A non-empty ``out_dir`` is refused unless ``overwrite=True`` (the
     same dirty-sink guard as ``write_webdataset`` /
     ``pipelines.pretraining.curate``): a rerun with a different block
@@ -257,11 +265,25 @@ def _write_part_files(ds, out_dir: str, ext: str, guard_exts, encode,
             f"{len(preexisting)} part(s) from a previous run — "
             "pass overwrite=True to reconcile, or use a fresh dir")
 
-    def write_block(batch: pa.Table) -> pa.Table:
+    def write_block(batch: pa.Table, _seq={}) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "n_rows": pa.array([], pa.int64())})
-        path = os.path.join(out_dir, f"part-{_block_digest(batch)}.{ext}")
+        import hashlib
+
+        try:
+            tid = ray.get_runtime_context().get_task_id() or "driver"
+        except Exception:
+            tid = "driver"
+        suffix = hashlib.sha1(tid.encode()).hexdigest()[:8]
+        # per-TASK block counter (a worker process may run several map
+        # tasks and caches the deserialized fn — a shared counter would
+        # give a retried task different names than its first attempt)
+        seq = _seq.get(tid, 0)
+        _seq[tid] = seq + 1
+        path = os.path.join(
+            out_dir,
+            f"part-{_block_digest(batch)}-{suffix}-{seq:04d}.{ext}")
         tmp = path + ".tmp"
         try:
             encode(batch, tmp)

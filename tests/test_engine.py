@@ -724,3 +724,31 @@ def test_jsonl_compressed_roundtrip_and_mixed_codecs(seq_dir, tmp_path):
 
     with pytest.raises(ValueError, match="compression"):
         write_jsonl(ds, str(tmp_path / "bad"), compression="lz9")
+
+
+def test_part_sink_identical_blocks_do_not_collide(tmp_path):
+    """Content-digest part names must not collapse IDENTICAL blocks onto
+    one file (plausible after column pruning: every block of a constant
+    column serializes the same) — the task/sequence suffix keeps them
+    distinct and every row survives the round trip."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocm_ray.engine.io import read_jsonl, read_orc, write_jsonl, write_orc
+
+    # 8 blocks, all byte-identical
+    t = pa.table({"v": pa.array([7] * 100, pa.int64())})
+    ds = rd.from_arrow([t] * 8)
+    assert ds.num_blocks() == 8
+
+    out = str(tmp_path / "orc")
+    m = write_orc(ds, out)
+    assert sum(n for _, n in m) == 800
+    assert len({p for p, _ in m}) == 8          # 8 distinct part files
+    assert read_orc(out).count() == 800
+
+    out2 = str(tmp_path / "jl")
+    m2 = write_jsonl(ds, out2, compression="zstd")
+    assert len({p for p, _ in m2}) == 8
+    assert read_jsonl(out2).count() == 800
+    assert int(read_jsonl(out2).sum("v")) == 5600
