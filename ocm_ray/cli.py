@@ -676,8 +676,13 @@ def cmd_convert(args) -> int:
     jsonl[.gz|.zst] / csv) — the step-zero job of a web-scale pipeline
     (a ``.jsonl.zst`` crawl dump has to become pruned Parquet before
     anything else runs). Input format is auto-detected from the file
-    extensions; the whole conversion is one lazy Dataset plan (read
-    tasks feed write tasks under backpressure — nothing materializes)."""
+    extensions (a mixed-format input is refused, never silently
+    partially converted); the whole conversion is one lazy Dataset plan
+    (read tasks feed write tasks under backpressure — nothing
+    materializes). Output lands in a sibling tmp dir and is swapped in
+    only after the write succeeds: a failed conversion leaves the old
+    output intact, and the input can never be deleted by --overwrite
+    (an output dir that contains the input files is refused)."""
     import shutil
 
     _init_ray(args.num_cpus)
@@ -704,11 +709,31 @@ def cmd_convert(args) -> int:
             by_fmt["jsonl"].append(f)
         elif b.endswith(".csv"):
             by_fmt["csv"].append(f)
-    in_fmt = max(by_fmt, key=lambda k: len(by_fmt[k]))
-    files = by_fmt[in_fmt]
-    if not files:
+    present = {k: v for k, v in by_fmt.items() if v}
+    if not present:
         print(f"convert: no recognizable input files under {path!r}",
               file=sys.stderr)
+        return 2
+    if len(present) > 1:
+        counts = ", ".join(f"{len(v)} {k}" for k, v in present.items())
+        print(f"convert: mixed input formats under {path!r} ({counts}) — "
+              "narrow --input to a glob that matches one format",
+              file=sys.stderr)
+        return 2
+    (in_fmt, files), = present.items()
+
+    out = args.output
+    out_real = os.path.realpath(out)
+    if any(os.path.realpath(f).startswith(out_real + os.sep)
+           for f in files):
+        print(f"convert: output dir {out!r} contains the input files — "
+              "converting onto the input would destroy it; pick a "
+              "different -o", file=sys.stderr)
+        return 2
+    dirty = os.path.isdir(out) and bool(os.listdir(out))
+    if dirty and not args.overwrite:
+        print(f"convert: output dir {out!r} is not empty — pass "
+              "--overwrite to replace it", file=sys.stderr)
         return 2
 
     cols = args.columns
@@ -721,30 +746,33 @@ def cmd_convert(args) -> int:
         if cols:
             ds = ds.select_columns(cols)
 
-    out, rows, parts = args.output, None, None
-    if args.to in ("parquet", "csv"):
-        if os.path.isdir(out) and os.listdir(out):
-            if not args.overwrite:
-                print(f"convert: output dir {out!r} is not empty — pass "
-                      "--overwrite to replace it", file=sys.stderr)
-                return 2
-            shutil.rmtree(out)
+    # write into a sibling tmp dir; swap in only on success
+    tmp_out = out.rstrip("/") + ".tmp-convert"
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    rows = parts = None
+    try:
         if args.to == "parquet":
-            ds.write_parquet(out)
-            rows = parquet_rows(out)
-            parts = len(glob.glob(os.path.join(out, "*.parquet")))
-        else:
-            ds.write_csv(out)
-            parts = len(os.listdir(out))
-    elif args.to == "orc":
-        manifest = write_orc(ds, out, overwrite=args.overwrite)
-        rows, parts = sum(n for _, n in manifest), len(manifest)
-    else:  # jsonl / jsonl.gz / jsonl.zst
-        codec = {"jsonl": None, "jsonl.gz": "gzip",
-                 "jsonl.zst": "zstd"}[args.to]
-        manifest = write_jsonl(ds, out, compression=codec,
-                               overwrite=args.overwrite)
-        rows, parts = sum(n for _, n in manifest), len(manifest)
+            ds.write_parquet(tmp_out)
+            rows = parquet_rows(tmp_out)
+            parts = len(glob.glob(os.path.join(tmp_out, "*.parquet")))
+        elif args.to == "csv":
+            ds.write_csv(tmp_out)
+            parts = len(os.listdir(tmp_out))
+        elif args.to == "orc":
+            manifest = write_orc(ds, tmp_out)
+            rows, parts = sum(n for _, n in manifest), len(manifest)
+        else:  # jsonl / jsonl.gz / jsonl.zst
+            codec = {"jsonl": None, "jsonl.gz": "gzip",
+                     "jsonl.zst": "zstd"}[args.to]
+            manifest = write_jsonl(ds, tmp_out, compression=codec)
+            rows, parts = sum(n for _, n in manifest), len(manifest)
+        if dirty or os.path.isdir(out):
+            shutil.rmtree(out)
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        os.rename(tmp_out, out)
+    except BaseException:
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        raise
     print(json.dumps({"in_format": in_fmt, "files_in": len(files),
                       "out_format": args.to, "rows": rows, "parts": parts,
                       "output": out,

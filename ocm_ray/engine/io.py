@@ -189,46 +189,6 @@ def run_resumable_etl(files: List[str], out_dir: str,
 # (path, n_rows) manifest, stale-part reconcile.
 
 
-class _HashSink:
-    """File-like sha1 sink — hashes an IPC stream without materializing
-    a second copy of the block."""
-
-    closed = False
-
-    def __init__(self):
-        import hashlib
-
-        self.h = hashlib.sha1()
-
-    def write(self, b):
-        self.h.update(b)
-        return len(b)
-
-    def writable(self):
-        return True
-
-    def readable(self):
-        return False
-
-    def seekable(self):
-        return False
-
-    def flush(self):
-        pass
-
-    def close(self):
-        self.closed = True
-
-
-def _block_digest(batch: pa.Table) -> str:
-    """Digest of the block's IPC bytes: deterministic given the block
-    layout, collision-proof across blocks."""
-    sink = _HashSink()
-    with pa.ipc.new_stream(pa.PythonFile(sink), batch.schema) as w:
-        w.write_table(batch)
-    return sink.h.hexdigest()[:16]
-
-
 def _write_part_files(ds, out_dir: str, ext: str, guard_exts, encode,
                       overwrite: bool, label: str) -> list:
     """Write a Dataset as per-block part files (the resume unit — a task
@@ -236,13 +196,15 @@ def _write_part_files(ds, out_dir: str, ext: str, guard_exts, encode,
     the format-specific serialization. Returns the part manifest
     ``[(path, n_rows), ...]`` (driver-held, one row per part).
 
-    Part names are ``part-<content digest>-<task>-<seq>``: the same
-    task re-executed (Ray retries a crashed write task) re-derives the
-    SAME names and overwrites its own parts — idempotent, no duplicate
-    rows from a retry — while two IDENTICAL blocks (plausible after
-    column pruning: every block of a constant column serializes the
-    same) still get distinct names from the task/sequence suffix
-    instead of silently collapsing onto one file.
+    Part names are ``part-<task-id hash>-<seq>``: the same task
+    re-executed (Ray retries / lineage-reconstructs a crashed write
+    task) re-derives the SAME names and overwrites its own parts —
+    idempotent, no duplicate rows from a retry — while two IDENTICAL
+    blocks (plausible after column pruning: every block of a constant
+    column serializes the same) still get distinct names from the
+    task/sequence suffix instead of silently collapsing onto one file.
+    No content digest: that would cost a second full serialization pass
+    per block and adds nothing the task/seq pair doesn't already give.
 
     A non-empty ``out_dir`` is refused unless ``overwrite=True`` (the
     same dirty-sink guard as ``write_webdataset`` /
@@ -265,25 +227,32 @@ def _write_part_files(ds, out_dir: str, ext: str, guard_exts, encode,
             f"{len(preexisting)} part(s) from a previous run — "
             "pass overwrite=True to reconcile, or use a fresh dir")
 
-    def write_block(batch: pa.Table, _seq={}) -> pa.Table:
+    def write_block(batch: pa.Table, _state={"tid": None, "seq": 0}) \
+            -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "n_rows": pa.array([], pa.int64())})
         import hashlib
+        import uuid
 
         try:
-            tid = ray.get_runtime_context().get_task_id() or "driver"
+            tid = ray.get_runtime_context().get_task_id() \
+                or f"driver-{uuid.uuid4().hex}"
         except Exception:
-            tid = "driver"
-        suffix = hashlib.sha1(tid.encode()).hexdigest()[:8]
-        # per-TASK block counter (a worker process may run several map
-        # tasks and caches the deserialized fn — a shared counter would
-        # give a retried task different names than its first attempt)
-        seq = _seq.get(tid, 0)
-        _seq[tid] = seq + 1
-        path = os.path.join(
-            out_dir,
-            f"part-{_block_digest(batch)}-{suffix}-{seq:04d}.{ext}")
+            tid = f"driver-{uuid.uuid4().hex}"
+        # Per-TASK block counter, reset whenever the task id changes: a
+        # worker process caches the deserialized fn across tasks, and a
+        # task's batches always run contiguously on one worker — so a
+        # tid transition (including the SAME task re-executed on a warm
+        # worker that ran it before) marks the start of a (re)execution
+        # and must restart at 0, or the retry would mint fresh names and
+        # orphan the first attempt's parts outside the manifest.
+        if tid != _state["tid"]:
+            _state["tid"], _state["seq"] = tid, 0
+        seq = _state["seq"]
+        _state["seq"] = seq + 1
+        suffix = hashlib.sha1(tid.encode()).hexdigest()[:12]
+        path = os.path.join(out_dir, f"part-{suffix}-{seq:04d}.{ext}")
         tmp = path + ".tmp"
         try:
             encode(batch, tmp)
@@ -336,13 +305,14 @@ def write_jsonl(ds, out_dir: str, compression: Optional[str] = "zstd",
                 overwrite: bool = False) -> list:
     """Write a Dataset as (optionally compressed) JSON-lines part files —
     the interchange format web-scale text corpora actually ship in
-    (``.jsonl.zst`` crawl dumps). One part per input block; the whole
-    block is serialized by pandas' C JSON writer and streamed through
-    ``pa.CompressedOutputStream`` (no Python-level row loop, no second
-    uncompressed copy on disk). See :func:`_write_part_files` for the
-    part-naming / dirty-sink / manifest contract — the guard covers ALL
-    jsonl extensions so a rerun with different ``compression`` can't
-    leave stale parts a directory reader would double-count.
+    (``.jsonl.zst`` crawl dumps). One part per input block, serialized
+    by orjson (Rust, shortest-round-trip float repr — pandas'
+    ``to_json`` caps at 15 significant digits and silently perturbs
+    doubles, which need 17) and streamed through
+    ``pa.CompressedOutputStream``. See :func:`_write_part_files` for
+    the part-naming / dirty-sink / manifest contract — the guard covers
+    ALL jsonl extensions so a rerun with different ``compression``
+    can't leave stale parts a directory reader would double-count.
 
     Binary columns are not JSON-serializable; this sink is for text /
     numeric / list columns (the documents-table shape)."""
@@ -353,12 +323,16 @@ def write_jsonl(ds, out_dir: str, compression: Optional[str] = "zstd",
     ext = _JSONL_EXTS[compression]
 
     def encode(batch: pa.Table, tmp: str) -> None:
-        js = batch.to_pandas().to_json(orient="records", lines=True,
-                                       force_ascii=False,
-                                       double_precision=15)
-        if not js.endswith("\n"):
-            js += "\n"
-        data = js.encode()
+        try:
+            from orjson import dumps
+        except ImportError:  # stdlib fallback: slower, still round-trips
+            import json as _json
+
+            def dumps(o):
+                return _json.dumps(o, ensure_ascii=False,
+                                   separators=(",", ":")).encode()
+
+        data = b"\n".join(map(dumps, batch.to_pylist())) + b"\n"
         if compression is None:
             with open(tmp, "wb") as f:
                 f.write(data)
@@ -427,7 +401,15 @@ def read_orc(paths, columns: Optional[List[str]] = None):
                 continue
             for i in range(f.nstripes):
                 rb = f.read_stripe(i, columns=columns)
-                yield pa.Table.from_batches([rb])
+                t = pa.Table.from_batches([rb])
+                if columns:
+                    # read_stripe returns FILE column order; force the
+                    # caller's order so every block (incl. the empty-part
+                    # fallback above) carries one consistent schema —
+                    # mixed-order blocks make downstream write_parquet
+                    # emit parts DuckDB rejects as a schema mismatch
+                    t = t.select(columns)
+                yield t
 
     files = rd.from_items([{"path": p} for p in paths],
                           override_num_blocks=len(paths))

@@ -357,3 +357,31 @@ def test_cli_convert_chain(small_seq, tmp_path):
               "-o", final, "--overwrite", "--num-cpus", "4"])
     assert r.returncode == 0, r.stderr[-500:]
     assert pq.read_table(final).num_rows == m1["rows"]
+
+
+def test_cli_convert_guards(small_seq, tmp_path):
+    """convert refuses mixed-format inputs (never silently drops the
+    minority format) and an output dir that contains the input files
+    (--overwrite could otherwise destroy the input); a failed
+    conversion must leave an existing output untouched."""
+    import shutil
+
+    mixed = str(tmp_path / "mixed_in")
+    os.makedirs(mixed)
+    for f in os.listdir(small_seq):
+        shutil.copy(os.path.join(small_seq, f), mixed)
+    with open(os.path.join(mixed, "sidecar.csv"), "w") as f:
+        f.write("a,b\n1,2\n")
+    r = _run(["convert", "--input", mixed, "--to", "orc",
+              "-o", str(tmp_path / "o1"), "--num-cpus", "4"])
+    assert r.returncode == 2 and "mixed input formats" in r.stderr
+
+    # output dir containing the inputs is refused even with --overwrite
+    r = _run(["convert", "--input", small_seq, "--to", "orc",
+              "-o", os.path.dirname(small_seq.rstrip("/")) or small_seq,
+              "--overwrite", "--num-cpus", "4"])
+    assert r.returncode == 2 and "contains the input" in r.stderr
+    r = _run(["convert", "--input", small_seq, "--to", "jsonl",
+              "-o", small_seq, "--overwrite", "--num-cpus", "4"])
+    assert r.returncode == 2 and "contains the input" in r.stderr
+    assert len(os.listdir(small_seq)) == 4  # inputs untouched

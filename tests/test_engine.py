@@ -752,3 +752,49 @@ def test_part_sink_identical_blocks_do_not_collide(tmp_path):
     assert len({p for p, _ in m2}) == 8
     assert read_jsonl(out2).count() == 800
     assert int(read_jsonl(out2).sum("v")) == 5600
+
+
+def test_jsonl_float_roundtrip_exact(tmp_path):
+    """JSONL serialization must round-trip doubles bit-exactly (pandas'
+    to_json caps at 15 significant digits; doubles need 17 — the sink
+    uses orjson's shortest-round-trip repr instead)."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocm_ray.engine.io import read_jsonl, write_jsonl
+
+    vals = [0.12345678901234568, math.pi, 1e-300, 1.7976931348623157e308,
+            2.0 / 3.0, -0.1]
+    t = pa.table({"i": list(range(len(vals))),
+                  "x": pa.array(vals, pa.float64())})
+    out = str(tmp_path / "fl")
+    write_jsonl(rd.from_arrow(t), out, compression="zstd")
+    back = read_jsonl(out).to_pandas().sort_values("i")
+    assert back["x"].tolist() == vals  # bit-exact, not approx
+
+
+def test_read_orc_honors_column_order_with_empty_parts(tmp_path):
+    """read_orc must return the CALLER's column order for every block —
+    including the empty-part schema fallback — or downstream
+    write_parquet emits mixed-schema parts DuckDB rejects."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pyarrow import orc
+
+    from ocm_ray.engine.io import read_orc
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    d = str(tmp_path / "oc")
+    os.makedirs(d)
+    orc.write_table(t, os.path.join(d, "part-full.orc"))
+    orc.write_table(t.slice(0, 0), os.path.join(d, "part-empty.orc"))
+
+    ds = read_orc(d, columns=["b", "a"])
+    # every block — populated and empty — carries (b, a) in that order
+    schemas = {tuple(b.schema.names)
+               for b in ds.iter_batches(batch_format="pyarrow")}
+    assert schemas == {("b", "a")}
+    df = read_orc(d, columns=["b", "a"]).to_pandas()
+    assert list(df.columns) == ["b", "a"] and len(df) == 3
