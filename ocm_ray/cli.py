@@ -698,7 +698,7 @@ def cmd_convert(args) -> int:
                                  recursive=True))
     else:
         files = sorted(glob.glob(path))
-    by_fmt = {"parquet": [], "orc": [], "jsonl": [], "csv": []}
+    by_fmt = {"parquet": [], "orc": [], "jsonl": [], "csv": [], "wds": []}
     for f in files:
         b = os.path.basename(f)
         if b.endswith(".parquet"):
@@ -709,6 +709,8 @@ def cmd_convert(args) -> int:
             by_fmt["jsonl"].append(f)
         elif b.endswith(".csv"):
             by_fmt["csv"].append(f)
+        elif b.endswith(".tar"):
+            by_fmt["wds"].append(f)
     present = {k: v for k, v in by_fmt.items() if v}
     if not present:
         print(f"convert: no recognizable input files under {path!r}",
@@ -741,6 +743,14 @@ def cmd_convert(args) -> int:
         ds = rd.read_parquet(files, columns=cols)
     elif in_fmt == "orc":
         ds = read_orc(files, columns=cols)
+    elif in_fmt == "wds":
+        from ocm_ray.ops.multimodal import read_webdataset
+
+        exts = tuple(args.wds_exts.split(",")) if args.wds_exts \
+            else ("bin", "json")
+        ds = read_webdataset(files, exts=exts, key_col=args.key_col)
+        if cols:
+            ds = ds.select_columns(cols)
     else:
         ds = read_jsonl(files) if in_fmt == "jsonl" else rd.read_csv(files)
         if cols:
@@ -760,6 +770,16 @@ def cmd_convert(args) -> int:
             parts = len(os.listdir(tmp_out))
         elif args.to == "orc":
             manifest = write_orc(ds, tmp_out)
+            rows, parts = sum(n for _, n in manifest), len(manifest)
+        elif args.to == "wds":
+            from ocm_ray.ops.multimodal import write_webdataset
+
+            wds_cols = None
+            if args.wds_cols:
+                wds_cols = dict(kv.split("=", 1)
+                                for kv in args.wds_cols.split(","))
+            manifest = write_webdataset(ds, tmp_out, key_col=args.key_col,
+                                        cols=wds_cols)
             rows, parts = sum(n for _, n in manifest), len(manifest)
         else:  # jsonl / jsonl.gz / jsonl.zst
             codec = {"jsonl": None, "jsonl.gz": "gzip",
@@ -976,9 +996,15 @@ def main(argv=None) -> int:
                     help="dir or glob; format auto-detected from extensions")
     cv.add_argument("--to", required=True,
                     choices=["parquet", "orc", "jsonl", "jsonl.gz",
-                             "jsonl.zst", "csv"])
+                             "jsonl.zst", "csv", "wds"])
     cv.add_argument("--columns", nargs="+",
                     help="prune to these columns at the read")
+    cv.add_argument("--key-col", default="sample_id",
+                    help="WebDataset sample-key column (tar in/out)")
+    cv.add_argument("--wds-cols",
+                    help="--to wds member map, e.g. text=txt,meta=json")
+    cv.add_argument("--wds-exts",
+                    help="tar-input member extensions, e.g. txt,json")
     cv.add_argument("--overwrite", action="store_true")
     cv.add_argument("-o", "--output", required=True)
     cv.add_argument("--num-cpus", type=int)

@@ -385,3 +385,38 @@ def test_cli_convert_guards(small_seq, tmp_path):
               "-o", small_seq, "--overwrite", "--num-cpus", "4"])
     assert r.returncode == 2 and "contains the input" in r.stderr
     assert len(os.listdir(small_seq)) == 4  # inputs untouched
+
+
+def test_cli_convert_webdataset_roundtrip(small_seq, tmp_path):
+    """convert: parquet → WebDataset tar shards → parquet. Text columns
+    become utf-8 tar members keyed by doc_id; reading back gives binary
+    columns whose decoded values match the source."""
+    import duckdb
+
+    wds = str(tmp_path / "wds")
+    r = _run(["convert", "--input", small_seq, "--to", "wds", "-o", wds,
+              "--key-col", "doc_id", "--wds-cols", "n_tok=txt",
+              "--columns", "doc_id", "n_tok", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["out_format"] == "wds" and m["parts"] >= 1
+
+    back = str(tmp_path / "back")
+    r = _run(["convert", "--input", wds, "--to", "parquet", "-o", back,
+              "--key-col", "doc_id", "--wds-exts", "txt",
+              "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m2["in_format"] == "wds" and m2["rows"] == m["rows"]
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"""SELECT doc_id, CAST(decode(txt) AS BIGINT) AS n_tok
+            FROM read_parquet('{back}/*.parquet') ORDER BY doc_id""").df()
+    want = con.execute(
+        f"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
+            FROM read_parquet('{small_seq}/*.parquet')
+            ORDER BY doc_id""").df()
+    con.close()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tok"].tolist() == want["n_tok"].tolist()
