@@ -688,8 +688,9 @@ def cmd_convert(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from ocm_ray.engine.io import (parquet_rows, read_jsonl, read_orc,
-                                   write_jsonl, write_orc)
+    from ocm_ray.engine.io import (parquet_rows, read_ipc, read_jsonl,
+                                   read_orc, write_ipc, write_jsonl,
+                                   write_orc)
 
     t0 = time.time()
     path = args.input
@@ -698,7 +699,8 @@ def cmd_convert(args) -> int:
                                  recursive=True))
     else:
         files = sorted(glob.glob(path))
-    by_fmt = {"parquet": [], "orc": [], "jsonl": [], "csv": [], "wds": []}
+    by_fmt = {"parquet": [], "orc": [], "jsonl": [], "csv": [], "wds": [],
+              "ipc": []}
     for f in files:
         b = os.path.basename(f)
         if b.endswith(".parquet"):
@@ -711,6 +713,8 @@ def cmd_convert(args) -> int:
             by_fmt["csv"].append(f)
         elif b.endswith(".tar"):
             by_fmt["wds"].append(f)
+        elif b.endswith((".arrow", ".feather")):
+            by_fmt["ipc"].append(f)
     present = {k: v for k, v in by_fmt.items() if v}
     if not present:
         print(f"convert: no recognizable input files under {path!r}",
@@ -743,6 +747,8 @@ def cmd_convert(args) -> int:
         ds = rd.read_parquet(files, columns=cols)
     elif in_fmt == "orc":
         ds = read_orc(files, columns=cols)
+    elif in_fmt == "ipc":
+        ds = read_ipc(files, columns=cols)
     elif in_fmt == "wds":
         from ocm_ray.ops.multimodal import read_webdataset
 
@@ -770,6 +776,9 @@ def cmd_convert(args) -> int:
             parts = len(os.listdir(tmp_out))
         elif args.to == "orc":
             manifest = write_orc(ds, tmp_out)
+            rows, parts = sum(n for _, n in manifest), len(manifest)
+        elif args.to == "ipc":
+            manifest = write_ipc(ds, tmp_out)
             rows, parts = sum(n for _, n in manifest), len(manifest)
         elif args.to == "wds":
             from ocm_ray.ops.multimodal import write_webdataset
@@ -996,7 +1005,7 @@ def main(argv=None) -> int:
                     help="dir or glob; format auto-detected from extensions")
     cv.add_argument("--to", required=True,
                     choices=["parquet", "orc", "jsonl", "jsonl.gz",
-                             "jsonl.zst", "csv", "wds"])
+                             "jsonl.zst", "csv", "wds", "ipc"])
     cv.add_argument("--columns", nargs="+",
                     help="prune to these columns at the read")
     cv.add_argument("--key-col", default="sample_id",

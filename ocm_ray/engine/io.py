@@ -417,6 +417,66 @@ def read_orc(paths, columns: Optional[List[str]] = None):
                              batch_size=1)
 
 
+def write_ipc(ds, out_dir: str, overwrite: bool = False,
+              compression: Optional[str] = "zstd",
+              max_chunksize: int = 65536) -> list:
+    """Write a Dataset as Arrow IPC (Feather v2) part files — the
+    memory-mappable interchange format ML dataset tooling ships in.
+    One part per input block, record batches capped at
+    ``max_chunksize`` rows so the read side can stream batch-by-batch.
+    See :func:`_write_part_files` for the part-naming / dirty-sink /
+    manifest contract."""
+
+    def encode(batch: pa.Table, tmp: str) -> None:
+        opts = pa.ipc.IpcWriteOptions(
+            compression=compression) if compression else None
+        with pa.OSFile(tmp, "wb") as f, \
+                pa.ipc.new_file(f, batch.schema, options=opts) as w:
+            w.write_table(batch, max_chunksize=max_chunksize)
+
+    return _write_part_files(ds, out_dir, "arrow", ["arrow"], encode,
+                             overwrite, "write_ipc")
+
+
+def read_ipc(paths, columns: Optional[List[str]] = None):
+    """Read Arrow IPC (Feather v2) files into a Dataset: one task per
+    file, streaming record batch by record batch (the format's own
+    scan unit — a task never holds more than one batch plus its yield).
+    ``paths`` is a directory, a glob, or an explicit list."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(os.path.join(paths, "*.arrow"))
+                       if os.path.isdir(paths) else _glob.glob(paths))
+    paths = list(paths)
+    if not paths:
+        raise FileNotFoundError("read_ipc: no .arrow files found")
+
+    def parse_file(batch: pa.Table):
+        for path in batch.column("path").to_pylist():
+            with pa.OSFile(path, "rb") as f:
+                r = pa.ipc.open_file(f)
+                schema = r.schema
+                if columns:
+                    schema = pa.schema([schema.field(c) for c in columns])
+                if r.num_record_batches == 0:
+                    # empty part still carries the (pruned) schema (rule 8b)
+                    yield schema.empty_table()
+                    continue
+                for i in range(r.num_record_batches):
+                    t = pa.Table.from_batches([r.get_batch(i)])
+                    if columns:
+                        t = t.select(columns)
+                    yield t
+
+    files = rd.from_items([{"path": p} for p in paths],
+                          override_num_blocks=len(paths))
+    return files.map_batches(parse_file, batch_format="pyarrow",
+                             batch_size=1)
+
+
 def write_partitioned_by(ds, out_dir: str, cols: List[str]) -> None:
     """Hive-partitioned Parquet layout (one directory tree per key value)
     — the layout that lets a 100 TB consumer prune at the read."""

@@ -330,12 +330,19 @@ def test_cli_convert_chain(small_seq, tmp_path):
     m2 = json.loads(r.stdout.strip().splitlines()[-1])
     assert m2["in_format"] == "jsonl" and m2["rows"] == m1["rows"]
 
+    ipc_dir = str(tmp_path / "ipc")
+    r = _run(["convert", "--input", orc_dir, "--to", "ipc", "-o", ipc_dir,
+              "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m2b = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m2b["in_format"] == "orc" and m2b["rows"] == m1["rows"]
+
     final = str(tmp_path / "pq")
-    r = _run(["convert", "--input", orc_dir, "--to", "parquet",
+    r = _run(["convert", "--input", ipc_dir, "--to", "parquet",
               "-o", final, "--num-cpus", "4"])
     assert r.returncode == 0, r.stderr[-500:]
     m3 = json.loads(r.stdout.strip().splitlines()[-1])
-    assert m3["in_format"] == "orc" and m3["rows"] == m1["rows"]
+    assert m3["in_format"] == "ipc" and m3["rows"] == m1["rows"]
 
     con = duckdb.connect()
     got = con.execute(

@@ -798,3 +798,52 @@ def test_read_orc_honors_column_order_with_empty_parts(tmp_path):
     assert schemas == {("b", "a")}
     df = read_orc(d, columns=["b", "a"]).to_pandas()
     assert list(df.columns) == ["b", "a"] and len(df) == 3
+
+
+def test_ipc_roundtrip_streaming_and_pruning(seq_dir, tmp_path):
+    """Arrow IPC (Feather v2) source/sink: per-block parts round-trip
+    exactly (incl. list<int> token arrays), the reader streams record
+    batch by record batch (multi-batch parts forced via max_chunksize),
+    column pruning holds caller order, and empty parts keep the pruned
+    schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocm_ray.engine.io import read_ipc, write_ipc
+
+    out = str(tmp_path / "ipc")
+    ds = rd.read_parquet(seq_dir, columns=["doc_id", "n_tok", "tokens"])
+    manifest = write_ipc(ds, out, max_chunksize=16)  # force multi-batch
+    assert sum(n for _, n in manifest) == ds.count()
+    with pa.OSFile(manifest[0][0], "rb") as f:
+        assert pa.ipc.open_file(f).num_record_batches > 1
+
+    want = pq.read_table(
+        seq_dir, columns=["doc_id", "n_tok", "tokens"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    back = read_ipc(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert back["doc_id"].tolist() == want["doc_id"].tolist()
+    assert all(list(a) == list(b)
+               for a, b in zip(back["tokens"], want["tokens"]))
+
+    pruned = read_ipc(out, columns=["n_tok", "doc_id"])
+    schemas = {tuple(b.schema.names)
+               for b in pruned.iter_batches(batch_format="pyarrow")}
+    assert schemas == {("n_tok", "doc_id")}
+    assert int(read_ipc(out, columns=["n_tok"]).sum("n_tok")) \
+        == int(want["n_tok"].sum())
+
+    with pytest.raises(ValueError, match="already holds"):
+        write_ipc(ds, out)
+
+    # empty part carries the pruned schema (rule 8b)
+    empty_dir = str(tmp_path / "ipc_empty")
+    os.makedirs(empty_dir)
+    t0 = pq.read_table(seq_dir, columns=["doc_id", "n_tok"]).slice(0, 0)
+    with pa.OSFile(os.path.join(empty_dir, "part-e.arrow"), "wb") as f, \
+            pa.ipc.new_file(f, t0.schema) as w:
+        w.write_table(t0)
+    e = read_ipc(empty_dir, columns=["doc_id"])
+    assert e.schema().names == ["doc_id"] and e.count() == 0
