@@ -671,29 +671,10 @@ def cmd_epoch(args) -> int:
     return 0
 
 
-def cmd_convert(args) -> int:
-    """Stream a table between storage formats (parquet / ORC /
-    jsonl[.gz|.zst] / csv) — the step-zero job of a web-scale pipeline
-    (a ``.jsonl.zst`` crawl dump has to become pruned Parquet before
-    anything else runs). Input format is auto-detected from the file
-    extensions (a mixed-format input is refused, never silently
-    partially converted); the whole conversion is one lazy Dataset plan
-    (read tasks feed write tasks under backpressure — nothing
-    materializes). Output lands in a sibling tmp dir and is swapped in
-    only after the write succeeds: a failed conversion leaves the old
-    output intact, and the input can never be deleted by --overwrite
-    (an output dir that contains the input files is refused)."""
-    import shutil
-
-    _init_ray(args.num_cpus)
-    import ray.data as rd
-
-    from ocm_ray.engine.io import (parquet_rows, read_ipc, read_jsonl,
-                                   read_orc, write_ipc, write_jsonl,
-                                   write_orc)
-
-    t0 = time.time()
-    path = args.input
+def _detect_table_files(path: str, cmd: str):
+    """Resolve ``path`` (dir or glob) to (format, files); returns
+    (None, error_message) when nothing matches or formats are mixed —
+    a mixed dir is never silently partially read."""
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "**", "*.*"),
                                  recursive=True))
@@ -717,16 +698,66 @@ def cmd_convert(args) -> int:
             by_fmt["ipc"].append(f)
     present = {k: v for k, v in by_fmt.items() if v}
     if not present:
-        print(f"convert: no recognizable input files under {path!r}",
-              file=sys.stderr)
-        return 2
+        return None, f"{cmd}: no recognizable input files under {path!r}"
     if len(present) > 1:
         counts = ", ".join(f"{len(v)} {k}" for k, v in present.items())
-        print(f"convert: mixed input formats under {path!r} ({counts}) — "
-              "narrow --input to a glob that matches one format",
-              file=sys.stderr)
-        return 2
+        return None, (f"{cmd}: mixed input formats under {path!r} "
+                      f"({counts}) — narrow --input to a glob that "
+                      "matches one format")
     (in_fmt, files), = present.items()
+    return in_fmt, files
+
+
+def _read_any(in_fmt: str, files, cols, args):
+    """One Dataset reader per supported format, column-pruned at the
+    read where the format allows it."""
+    import ray.data as rd
+
+    from ocm_ray.engine.io import read_ipc, read_jsonl, read_orc
+
+    if in_fmt == "parquet":
+        return rd.read_parquet(files, columns=cols)
+    if in_fmt == "orc":
+        return read_orc(files, columns=cols)
+    if in_fmt == "ipc":
+        return read_ipc(files, columns=cols)
+    if in_fmt == "wds":
+        from ocm_ray.ops.multimodal import read_webdataset
+
+        exts = tuple(args.wds_exts.split(",")) if args.wds_exts \
+            else ("bin", "json")
+        ds = read_webdataset(files, exts=exts, key_col=args.key_col)
+    else:
+        ds = read_jsonl(files) if in_fmt == "jsonl" else rd.read_csv(files)
+    if cols:
+        ds = ds.select_columns(cols)
+    return ds
+
+
+def cmd_convert(args) -> int:
+    """Stream a table between storage formats (parquet / ORC /
+    jsonl[.gz|.zst] / csv) — the step-zero job of a web-scale pipeline
+    (a ``.jsonl.zst`` crawl dump has to become pruned Parquet before
+    anything else runs). Input format is auto-detected from the file
+    extensions (a mixed-format input is refused, never silently
+    partially converted); the whole conversion is one lazy Dataset plan
+    (read tasks feed write tasks under backpressure — nothing
+    materializes). Output lands in a sibling tmp dir and is swapped in
+    only after the write succeeds: a failed conversion leaves the old
+    output intact, and the input can never be deleted by --overwrite
+    (an output dir that contains the input files is refused)."""
+    import shutil
+
+    _init_ray(args.num_cpus)
+
+    from ocm_ray.engine.io import (parquet_rows, write_ipc, write_jsonl,
+                                   write_orc)
+
+    t0 = time.time()
+    in_fmt, files = _detect_table_files(args.input, "convert")
+    if in_fmt is None:
+        print(files, file=sys.stderr)
+        return 2
 
     out = args.output
     out_real = os.path.realpath(out)
@@ -742,25 +773,7 @@ def cmd_convert(args) -> int:
               "--overwrite to replace it", file=sys.stderr)
         return 2
 
-    cols = args.columns
-    if in_fmt == "parquet":
-        ds = rd.read_parquet(files, columns=cols)
-    elif in_fmt == "orc":
-        ds = read_orc(files, columns=cols)
-    elif in_fmt == "ipc":
-        ds = read_ipc(files, columns=cols)
-    elif in_fmt == "wds":
-        from ocm_ray.ops.multimodal import read_webdataset
-
-        exts = tuple(args.wds_exts.split(",")) if args.wds_exts \
-            else ("bin", "json")
-        ds = read_webdataset(files, exts=exts, key_col=args.key_col)
-        if cols:
-            ds = ds.select_columns(cols)
-    else:
-        ds = read_jsonl(files) if in_fmt == "jsonl" else rd.read_csv(files)
-        if cols:
-            ds = ds.select_columns(cols)
+    ds = _read_any(in_fmt, files, args.columns, args)
 
     # write into a sibling tmp dir; swap in only on success
     tmp_out = out.rstrip("/") + ".tmp-convert"
@@ -805,6 +818,35 @@ def cmd_convert(args) -> int:
     print(json.dumps({"in_format": in_fmt, "files_in": len(files),
                       "out_format": args.to, "rows": rows, "parts": parts,
                       "output": out,
+                      "wall_sec": round(time.time() - t0, 3)}))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    """One-JSON-line description of any supported table layout: format,
+    file/byte counts, schema (from the first block — no full scan), and
+    row count when it's free (parquet footers) or ``--rows`` forces a
+    counting scan."""
+    _init_ray(args.num_cpus)
+
+    t0 = time.time()
+    in_fmt, files = _detect_table_files(args.input, "inspect")
+    if in_fmt is None:
+        print(files, file=sys.stderr)
+        return 2
+    ds = _read_any(in_fmt, files, args.columns, args)
+    sch = ds.schema()
+    schema = {n: str(t) for n, t in zip(sch.names, sch.types)}
+    rows = None
+    if in_fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.read_metadata(f).num_rows for f in files)
+    elif args.rows:
+        rows = ds.count()
+    print(json.dumps({"format": in_fmt, "files": len(files),
+                      "bytes": sum(os.path.getsize(f) for f in files),
+                      "rows": rows, "schema": schema,
                       "wall_sec": round(time.time() - t0, 3)}))
     return 0
 
@@ -1018,6 +1060,17 @@ def main(argv=None) -> int:
     cv.add_argument("-o", "--output", required=True)
     cv.add_argument("--num-cpus", type=int)
     cv.set_defaults(fn=cmd_convert)
+
+    ins = sub.add_parser("inspect", help="one-JSON description of any "
+                                         "supported table layout")
+    ins.add_argument("--input", required=True, help="dir or glob")
+    ins.add_argument("--columns", nargs="+")
+    ins.add_argument("--rows", action="store_true",
+                     help="count rows even when it needs a scan")
+    ins.add_argument("--key-col", default="sample_id")
+    ins.add_argument("--wds-exts")
+    ins.add_argument("--num-cpus", type=int)
+    ins.set_defaults(fn=cmd_inspect)
 
     args = p.parse_args(argv)
     try:

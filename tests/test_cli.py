@@ -427,3 +427,25 @@ def test_cli_convert_webdataset_roundtrip(small_seq, tmp_path):
     con.close()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["n_tok"].tolist() == want["n_tok"].tolist()
+
+
+def test_cli_inspect(small_seq, tmp_path):
+    """inspect: free row counts for parquet, schema for every format,
+    --rows forcing a counting scan for jsonl."""
+    r = _run(["inspect", "--input", small_seq, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["format"] == "parquet" and m["rows"] == 300
+    assert m["schema"]["tokens"].startswith("list")
+
+    jl = str(tmp_path / "jl")
+    r = _run(["convert", "--input", small_seq, "--to", "jsonl.zst",
+              "-o", jl, "--columns", "doc_id", "n_tok", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    r = _run(["inspect", "--input", jl, "--num-cpus", "4"])
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["format"] == "jsonl" and m["rows"] is None \
+        and set(m["schema"]) == {"doc_id", "n_tok"}
+    r = _run(["inspect", "--input", jl, "--rows", "--num-cpus", "4"])
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 300
