@@ -754,6 +754,10 @@ def cmd_convert(args) -> int:
                                    write_orc)
 
     t0 = time.time()
+    if args.partition_by and args.to != "parquet":
+        print("convert: --partition-by only applies to --to parquet",
+              file=sys.stderr)
+        return 2
     in_fmt, files = _detect_table_files(args.input, "convert")
     if in_fmt is None:
         print(files, file=sys.stderr)
@@ -781,9 +785,13 @@ def cmd_convert(args) -> int:
     rows = parts = None
     try:
         if args.to == "parquet":
-            ds.write_parquet(tmp_out)
+            if args.partition_by:
+                ds.write_parquet(tmp_out, partition_cols=args.partition_by)
+            else:
+                ds.write_parquet(tmp_out)
             rows = parquet_rows(tmp_out)
-            parts = len(glob.glob(os.path.join(tmp_out, "*.parquet")))
+            parts = len(glob.glob(os.path.join(tmp_out, "**", "*.parquet"),
+                                  recursive=True))
         elif args.to == "csv":
             ds.write_csv(tmp_out)
             parts = len(os.listdir(tmp_out))
@@ -1050,6 +1058,9 @@ def main(argv=None) -> int:
                              "jsonl.zst", "csv", "wds", "ipc"])
     cv.add_argument("--columns", nargs="+",
                     help="prune to these columns at the read")
+    cv.add_argument("--partition-by", nargs="+",
+                    help="--to parquet only: Hive-partition the output "
+                         "by these columns (read-pruning layout)")
     cv.add_argument("--key-col", default="sample_id",
                     help="WebDataset sample-key column (tar in/out)")
     cv.add_argument("--wds-cols",

@@ -449,3 +449,28 @@ def test_cli_inspect(small_seq, tmp_path):
     r = _run(["inspect", "--input", jl, "--rows", "--num-cpus", "4"])
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["rows"] == 300
+
+
+def test_cli_convert_partition_by(small_seq, tmp_path):
+    """convert --partition-by writes a Hive layout readers can prune."""
+    import duckdb
+
+    out = str(tmp_path / "hive")
+    r = _run(["convert", "--input", small_seq, "--to", "parquet",
+              "--partition-by", "source", "-o", out, "--num-cpus", "4"])
+    if r.returncode == 2 and "source" in r.stderr:
+        pytest.skip("sequences table has no source column")
+    assert r.returncode == 0, r.stderr[-500:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 300
+    dirs = [d for d in os.listdir(out) if d.startswith("source=")]
+    assert len(dirs) >= 2
+    con = duckdb.connect()
+    n = con.execute(f"""SELECT count(*) FROM read_parquet(
+        '{out}/*/*.parquet', hive_partitioning=1)""").fetchone()[0]
+    con.close()
+    assert n == 300
+
+    r = _run(["convert", "--input", small_seq, "--to", "orc",
+              "--partition-by", "source", "-o", str(tmp_path / "x")])
+    assert r.returncode == 2 and "partition-by" in r.stderr
