@@ -736,7 +736,8 @@ def _read_any(in_fmt: str, files, cols, args):
 
 def cmd_convert(args) -> int:
     """Stream a table between storage formats (parquet / ORC /
-    jsonl[.gz|.zst] / csv) — the step-zero job of a web-scale pipeline
+    jsonl[.gz|.zst] / csv / Arrow IPC / WebDataset tar) — the step-zero
+    job of a web-scale pipeline
     (a ``.jsonl.zst`` crawl dump has to become pruned Parquet before
     anything else runs). Input format is auto-detected from the file
     extensions (a mixed-format input is refused, never silently
@@ -1050,7 +1051,8 @@ def main(argv=None) -> int:
     e.set_defaults(fn=cmd_epoch)
 
     cv = sub.add_parser("convert", help="stream a table between storage "
-                                        "formats (parquet/orc/jsonl/csv)")
+                                        "formats (parquet/orc/jsonl/csv/"
+                                        "ipc/wds)")
     cv.add_argument("--input", required=True,
                     help="dir or glob; format auto-detected from extensions")
     cv.add_argument("--to", required=True,
