@@ -772,6 +772,34 @@ def cmd_convert(args) -> int:
               "converting onto the input would destroy it; pick a "
               "different -o", file=sys.stderr)
         return 2
+    if args.resume:
+        # per-input-file resume: one part per dump file, manifest skips
+        # finished shards — the shape a 100 TB ingest needs (a killed
+        # run resumes instead of restarting). Parquet output only; the
+        # manifest owns the dirty-dir semantics, so no tmp-dir swap.
+        from ocm_ray.engine.io import SHARD_READERS, run_resumable_etl
+
+        if args.to != "parquet" or args.partition_by:
+            print("convert: --resume supports --to parquet without "
+                  "--partition-by", file=sys.stderr)
+            return 2
+        if in_fmt not in SHARD_READERS:
+            print(f"convert: --resume has no shard reader for {in_fmt}",
+                  file=sys.stderr)
+            return 2
+        cols = args.columns
+        manifest = run_resumable_etl(
+            files, out, (lambda t: t.select(cols)) if cols else
+            (lambda t: t), columns=cols, reader=SHARD_READERS[in_fmt])
+        print(json.dumps({
+            "in_format": in_fmt, "files_in": len(files),
+            "out_format": "parquet",
+            "rows": sum(e["rows_out"] for e in manifest["shards"]),
+            "parts": len(manifest["shards"]),
+            "skipped": manifest["skipped"], "built": manifest["built"],
+            "output": out, "wall_sec": round(time.time() - t0, 3)}))
+        return 0
+
     dirty = os.path.isdir(out) and bool(os.listdir(out))
     if dirty and not args.overwrite:
         print(f"convert: output dir {out!r} is not empty — pass "
@@ -1070,6 +1098,9 @@ def main(argv=None) -> int:
     cv.add_argument("--wds-exts",
                     help="tar-input member extensions, e.g. txt,json")
     cv.add_argument("--overwrite", action="store_true")
+    cv.add_argument("--resume", action="store_true",
+                    help="--to parquet only: one part per input file "
+                         "with a manifest; a rerun skips finished files")
     cv.add_argument("-o", "--output", required=True)
     cv.add_argument("--num-cpus", type=int)
     cv.set_defaults(fn=cmd_convert)

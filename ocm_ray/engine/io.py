@@ -37,20 +37,97 @@ def parquet_rows(out_dir: str) -> int:
                        recursive=True))
 
 
+def _iter_parquet(path: str, columns, batch_size: int):
+    """Default shard reader: parquet row-group/batch streaming. Yields
+    at least one (possibly empty) table so the caller always sees the
+    (pruned) input schema — the generic-reader contract."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    got = False
+    for rb in pf.iter_batches(batch_size=batch_size, columns=columns):
+        got = True
+        yield pa.Table.from_batches([rb])
+    if not got:
+        s = pf.schema_arrow
+        if columns:
+            s = pa.schema([s.field(c) for c in columns])
+        yield s.empty_table()
+
+
+def _iter_orc(path: str, columns, batch_size: int):
+    """ORC shard reader: stripe streaming, caller column order."""
+    from pyarrow import orc
+
+    f = orc.ORCFile(path)
+    schema = f.schema
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    if f.nstripes == 0:
+        yield schema.empty_table()
+        return
+    for i in range(f.nstripes):
+        t = pa.Table.from_batches([f.read_stripe(i, columns=columns)])
+        yield t.select(columns) if columns else t
+
+
+def _iter_ipc(path: str, columns, batch_size: int):
+    """Arrow IPC shard reader: record-batch streaming."""
+    with pa.OSFile(path, "rb") as f:
+        r = pa.ipc.open_file(f)
+        schema = r.schema
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        if r.num_record_batches == 0:
+            yield schema.empty_table()
+            return
+        for i in range(r.num_record_batches):
+            t = pa.Table.from_batches([r.get_batch(i)])
+            yield t.select(columns) if columns else t
+
+
+def _iter_jsonl(path: str, columns, batch_size: int):
+    """JSONL shard reader (codec by extension — one dump file is the
+    scan unit; pyarrow parses it in one pass)."""
+    import pyarrow.json as pj
+    from pyarrow import fs as pafs
+
+    with pafs.LocalFileSystem().open_input_stream(
+            path, compression="detect") as f:
+        t = pj.read_json(f)
+    yield t.select(columns) if columns else t
+
+
+def _iter_csv(path: str, columns, batch_size: int):
+    import pyarrow.csv as pcsv
+
+    t = pcsv.read_csv(path)
+    yield t.select(columns) if columns else t
+
+
+#: shard readers usable with :func:`run_resumable_etl` (format → reader)
+SHARD_READERS = {"parquet": _iter_parquet, "orc": _iter_orc,
+                 "ipc": _iter_ipc, "jsonl": _iter_jsonl, "csv": _iter_csv}
+
+
 @ray.remote(num_cpus=1)
 def _etl_shard(in_file: str, out_file: str, transform, columns,
-               batch_size: int) -> dict:
+               batch_size: int, reader=None) -> dict:
     import pyarrow.parquet as pq
 
     t0 = time.monotonic()
-    pf = pq.ParquetFile(in_file)
+    reader = reader or _iter_parquet
     writer = None
     rows_in = rows_out = 0
+    in_schema = None
     tmp = out_file + ".tmp"
     try:
-        for rb in pf.iter_batches(batch_size=batch_size, columns=columns):
-            t = pa.Table.from_batches([rb])
+        for t in reader(in_file, columns, batch_size):
+            if in_schema is None:
+                in_schema = t.schema
             rows_in += t.num_rows
+            if t.num_rows == 0:
+                continue
             out = transform(t)
             if out is None or out.num_rows == 0:
                 continue
@@ -65,9 +142,6 @@ def _etl_shard(in_file: str, out_file: str, transform, columns,
             # duckdb's glob read hard-error. Derive it by transforming an
             # empty table of the (pruned) input schema; fall back to that
             # input schema if the transform can't handle empties.
-            in_schema = pf.schema_arrow
-            if columns:
-                in_schema = pa.schema([in_schema.field(c) for c in columns])
             empty_in = in_schema.empty_table()
             try:
                 empty_out = transform(empty_in)
@@ -105,12 +179,16 @@ def run_resumable_etl(files: List[str], out_dir: str,
                       transform: Callable[[pa.Table], pa.Table],
                       columns: Optional[List[str]] = None,
                       batch_size: int = 65536,
-                      resume: bool = True) -> dict:
+                      resume: bool = True,
+                      reader: Optional[Callable] = None) -> dict:
     """Apply ``transform`` (Arrow table → Arrow table, vectorized) to each
-    input Parquet file, writing one ``out_dir/part-<pathhash>.parquet``
+    input file, writing one ``out_dir/part-<pathhash>.parquet``
     per input file atomically (the part name is a pure function of the
     input PATH — adding/removing inputs cannot re-map another file's
-    stale output, the failure positional naming had). The manifest is
+    stale output, the failure positional naming had). ``reader`` streams
+    one input file as Arrow tables (default parquet; ``SHARD_READERS``
+    covers orc/ipc/jsonl/csv — this is what makes a 100 TB crawl-dump
+    ingest resumable per dump file). The manifest is
     appended incrementally as shards complete, so a crash mid-run keeps
     every finished shard's record and a rerun skips them; reruns also
     skip shards whose recorded (size, mtime_ns) still match. On a fully
@@ -163,7 +241,7 @@ def run_resumable_etl(files: List[str], out_dir: str,
         os.replace(mpath + ".tmp", mpath)
         return manifest
 
-    refs = [_etl_shard.remote(f, o, transform, columns, batch_size)
+    refs = [_etl_shard.remote(f, o, transform, columns, batch_size, reader)
             for f, o in pending]
     shards = list(kept)
     remaining = list(refs)

@@ -474,3 +474,41 @@ def test_cli_convert_partition_by(small_seq, tmp_path):
     r = _run(["convert", "--input", small_seq, "--to", "orc",
               "--partition-by", "source", "-o", str(tmp_path / "x")])
     assert r.returncode == 2 and "partition-by" in r.stderr
+
+
+def test_cli_convert_resume(small_seq, tmp_path):
+    """convert --resume: a crawl-style ingest writes one part per dump
+    file with a manifest; a rerun skips everything, and adding one new
+    dump file builds exactly one new part."""
+    import shutil
+
+    jl = str(tmp_path / "dumps")
+    r = _run(["convert", "--input", small_seq, "--to", "jsonl.zst",
+              "-o", jl, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    n_dumps = len(os.listdir(jl))
+
+    out = str(tmp_path / "ingested")
+    r = _run(["convert", "--input", jl, "--to", "parquet", "--resume",
+              "--columns", "doc_id", "n_tok", "-o", out, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 300 and m["built"] == n_dumps
+
+    r = _run(["convert", "--input", jl, "--to", "parquet", "--resume",
+              "--columns", "doc_id", "n_tok", "-o", out, "--num-cpus", "4"])
+    m2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m2["skipped"] == n_dumps and m2["built"] == 0
+
+    # one new dump → exactly one new part
+    first = sorted(os.listdir(jl))[0]
+    shutil.copy(os.path.join(jl, first), os.path.join(jl, "z-new.jsonl.zst"))
+    r = _run(["convert", "--input", jl, "--to", "parquet", "--resume",
+              "--columns", "doc_id", "n_tok", "-o", out, "--num-cpus", "4"])
+    m3 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m3["built"] == 1 and m3["skipped"] == n_dumps
+
+    # unsupported combos exit 2
+    r = _run(["convert", "--input", jl, "--to", "orc", "--resume",
+              "-o", str(tmp_path / "x")])
+    assert r.returncode == 2 and "--resume" in r.stderr

@@ -847,3 +847,46 @@ def test_ipc_roundtrip_streaming_and_pruning(seq_dir, tmp_path):
         w.write_table(t0)
     e = read_ipc(empty_dir, columns=["doc_id"])
     assert e.schema().names == ["doc_id"] and e.count() == 0
+
+
+def test_resumable_etl_generic_readers(seq_dir, tmp_path):
+    """run_resumable_etl over non-parquet shard readers: a .jsonl.zst
+    dump ingests to one parquet part per dump file, a rerun skips every
+    finished shard, and the ipc reader round-trips the same rows."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocm_ray.engine.io import (SHARD_READERS, run_resumable_etl,
+                                   write_ipc, write_jsonl)
+
+    ds = rd.read_parquet(seq_dir, columns=["doc_id", "n_tok"])
+    jl = str(tmp_path / "jl")
+    write_jsonl(ds, jl, compression="zstd")
+    files = sorted(g.glob(os.path.join(jl, "*.jsonl.zst")))
+
+    out = str(tmp_path / "pq")
+    m1 = run_resumable_etl(files, out, lambda t: t,
+                           reader=SHARD_READERS["jsonl"])
+    assert m1["complete"] and m1["built"] == len(files)
+    total = sum(e["rows_out"] for e in m1["shards"])
+    assert total == ds.count()
+    got = pq.read_table(out).to_pandas()
+    assert len(got) == total and set(got.columns) == {"doc_id", "n_tok"}
+
+    # rerun: every shard skipped, nothing rewritten
+    m2 = run_resumable_etl(files, out, lambda t: t,
+                           reader=SHARD_READERS["jsonl"])
+    assert m2["skipped"] == len(files) and m2["built"] == 0
+
+    # ipc reader with column pruning inside the shard task
+    ipc = str(tmp_path / "ipc")
+    write_ipc(rd.read_parquet(seq_dir, columns=["doc_id", "n_tok"]), ipc)
+    out2 = str(tmp_path / "pq2")
+    m3 = run_resumable_etl(sorted(g.glob(os.path.join(ipc, "*.arrow"))),
+                           out2, lambda t: t, columns=["n_tok"],
+                           reader=SHARD_READERS["ipc"])
+    t2 = pq.read_table(out2)
+    assert t2.schema.names == ["n_tok"]
+    assert sum(e["rows_out"] for e in m3["shards"]) == ds.count()
