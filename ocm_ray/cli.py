@@ -879,6 +879,10 @@ def cmd_inspect(args) -> int:
         import pyarrow.parquet as pq
 
         rows = sum(pq.read_metadata(f).num_rows for f in files)
+    elif in_fmt == "orc":
+        from pyarrow import orc
+
+        rows = sum(orc.ORCFile(f).nrows for f in files)  # footer metadata
     elif args.rows:
         rows = ds.count()
     print(json.dumps({"format": in_fmt, "files": len(files),

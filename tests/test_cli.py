@@ -512,3 +512,15 @@ def test_cli_convert_resume(small_seq, tmp_path):
     r = _run(["convert", "--input", jl, "--to", "orc", "--resume",
               "-o", str(tmp_path / "x")])
     assert r.returncode == 2 and "--resume" in r.stderr
+
+
+def test_cli_inspect_orc_free_rows(small_seq, tmp_path):
+    """inspect reads ORC row counts from file footers — no scan."""
+    orc_dir = str(tmp_path / "orc")
+    r = _run(["convert", "--input", small_seq, "--to", "orc",
+              "-o", orc_dir, "--columns", "doc_id", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    r = _run(["inspect", "--input", orc_dir, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["format"] == "orc" and m["rows"] == 300
