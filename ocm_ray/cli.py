@@ -783,14 +783,26 @@ def cmd_convert(args) -> int:
             print("convert: --resume supports --to parquet without "
                   "--partition-by", file=sys.stderr)
             return 2
-        if in_fmt not in SHARD_READERS:
+        cols = args.columns
+        if in_fmt == "wds":
+            from ocm_ray.ops.multimodal import tar_shard_table
+
+            exts = tuple(args.wds_exts.split(",")) if args.wds_exts \
+                else ("bin", "json")
+            key_col = args.key_col
+
+            def reader(p, c, b):
+                t = tar_shard_table(p, exts, key_col)
+                yield t.select(c) if c else t
+        elif in_fmt in SHARD_READERS:
+            reader = SHARD_READERS[in_fmt]
+        else:
             print(f"convert: --resume has no shard reader for {in_fmt}",
                   file=sys.stderr)
             return 2
-        cols = args.columns
         manifest = run_resumable_etl(
             files, out, (lambda t: t.select(cols)) if cols else
-            (lambda t: t), columns=cols, reader=SHARD_READERS[in_fmt])
+            (lambda t: t), columns=cols, reader=reader)
         print(json.dumps({
             "in_format": in_fmt, "files_in": len(files),
             "out_format": "parquet",

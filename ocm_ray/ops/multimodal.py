@@ -722,24 +722,36 @@ def read_webdataset(paths, exts: tuple = ("bin", "json"),
         raise FileNotFoundError("no tar shards found")
 
     def parse_shard(batch: pa.Table) -> pa.Table:
-        rows = {}
-        for path in batch.column("shard").to_pylist():
-            with tarfile.open(path, "r") as tf:
-                for m in tf:
-                    if not m.isfile():
-                        continue
-                    key, dot, ext = m.name.rpartition(".")
-                    if not dot or ext not in exts:
-                        continue
-                    rows.setdefault(key, {})[ext] = tf.extractfile(m).read()
-        keys = sorted(rows)
-        cols = {key_col: pa.array(keys, pa.string())}
-        for ext in exts:
-            cols[ext] = pa.array([rows[k].get(ext) for k in keys],
-                                 pa.binary())
-        return pa.table(cols)
+        tables = [tar_shard_table(p, exts, key_col)
+                  for p in batch.column("shard").to_pylist()]
+        return pa.concat_tables(tables) if len(tables) != 1 else tables[0]
 
     shards = rd.from_items([{"shard": p} for p in paths]) \
         .repartition(len(paths))
     return shards.map_batches(parse_shard, batch_format="pyarrow",
                               batch_size=None)
+
+
+def tar_shard_table(path: str, exts: tuple = ("bin", "json"),
+                    key_col: str = "sample_id") -> pa.Table:
+    """One WebDataset tar shard → one Arrow table (members grouped by
+    basename key, requested extensions as binary columns, missing
+    member → null). The per-shard unit :func:`read_webdataset` maps
+    over, also usable as a resumable-ETL shard reader."""
+    import tarfile
+
+    rows = {}
+    with tarfile.open(path, "r") as tf:
+        for m in tf:
+            if not m.isfile():
+                continue
+            key, dot, ext = m.name.rpartition(".")
+            if not dot or ext not in exts:
+                continue
+            rows.setdefault(key, {})[ext] = tf.extractfile(m).read()
+    keys = sorted(rows)
+    cols = {key_col: pa.array(keys, pa.string())}
+    for ext in exts:
+        cols[ext] = pa.array([rows[k].get(ext) for k in keys],
+                             pa.binary())
+    return pa.table(cols)

@@ -524,3 +524,28 @@ def test_cli_inspect_orc_free_rows(small_seq, tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["format"] == "orc" and m["rows"] == 300
+
+
+def test_cli_convert_resume_wds(small_seq, tmp_path):
+    """convert --resume over WebDataset tar shards: one parquet part per
+    tar, rerun skips all shards."""
+    wds = str(tmp_path / "wds")
+    r = _run(["convert", "--input", small_seq, "--to", "wds", "-o", wds,
+              "--key-col", "doc_id", "--wds-cols", "n_tok=txt",
+              "--columns", "doc_id", "n_tok", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    n_tars = len([f for f in os.listdir(wds) if f.endswith(".tar")])
+
+    out = str(tmp_path / "pq")
+    r = _run(["convert", "--input", wds, "--to", "parquet", "--resume",
+              "--key-col", "doc_id", "--wds-exts", "txt",
+              "-o", out, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 300 and m["built"] == n_tars
+
+    r = _run(["convert", "--input", wds, "--to", "parquet", "--resume",
+              "--key-col", "doc_id", "--wds-exts", "txt",
+              "-o", out, "--num-cpus", "4"])
+    m2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m2["skipped"] == n_tars and m2["built"] == 0
