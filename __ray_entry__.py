@@ -1709,8 +1709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import ray.data as rd
 
-        from ocm_ray.engine.io import (read_jsonl, read_orc, write_jsonl,
-                                       write_orc)
+        from ocm_ray.engine.io import (read_ipc, read_jsonl, read_orc,
+                                       write_ipc, write_jsonl, write_orc)
         from ocm_ray.ops.agg import grouped_sum
 
         base = _cache_tag(sf_dir, "documents")
@@ -1726,6 +1726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 docs.write_csv(tmp)
             elif fmt == "jsonl.zst":
                 write_jsonl(docs, tmp, compression="zstd")
+            elif fmt == "ipc":
+                write_ipc(docs, tmp)
             else:
                 write_orc(docs, tmp)
             os.makedirs(os.path.dirname(out_dir), exist_ok=True)
@@ -1734,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_json(out_dir) if fmt == "json" \
             else rd.read_csv(out_dir) if fmt == "csv" \
             else read_jsonl(out_dir) if fmt == "jsonl.zst" \
+            else read_ipc(out_dir) if fmt == "ipc" \
             else read_orc(out_dir)
 
         def stats(batch: pa.Table) -> pa.Table:
@@ -2140,19 +2143,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["source_similarity"] = source_similarity
 
     def export_roundtrip_stats(sf_dir):
-        """JSONL, CSV, ORC AND zstd-JSONL source/sink round trips
-        (merged r4; ORC + compressed JSONL added r5 via the engine's
-        stripe-streaming / codec-detecting readers): documents exported
-        to all four formats, read back, aggregated — the format paths
-        must agree with each other exactly, and the single oracle reads
-        the PARQUET view (format independence, 5 ways)."""
+        """JSONL, CSV, ORC, zstd-JSONL AND Arrow-IPC source/sink round
+        trips (merged r4; ORC + compressed JSONL + IPC added r5 via the
+        engine's stripe-/batch-streaming, codec-detecting readers):
+        documents exported to all five formats, read back, aggregated —
+        the format paths must agree with each other exactly, and the
+        single oracle reads the PARQUET view (format independence,
+        6 ways)."""
         a = jsonl_source_stats(sf_dir)
         b = csv_source_stats(sf_dir)
         c = _roundtrip_source_stats(sf_dir, "orc")
         z = _roundtrip_source_stats(sf_dir, "jsonl.zst")
+        i = _roundtrip_source_stats(sf_dir, "ipc")
         pd.testing.assert_frame_equal(a, b)
         pd.testing.assert_frame_equal(a, c)
         pd.testing.assert_frame_equal(a, z)
+        pd.testing.assert_frame_equal(a, i)
         return a
     q["export_roundtrip_stats"] = export_roundtrip_stats
 
