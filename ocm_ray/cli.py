@@ -684,6 +684,12 @@ def _detect_table_files(path: str, cmd: str):
               "ipc": []}
     for f in files:
         b = os.path.basename(f)
+        if b.startswith(("_", ".")):
+            # metadata sidecars (_manifest.json, _SUCCESS, .crc) — the
+            # same ignore convention pyarrow's dataset selector uses;
+            # without this, convert --resume's own _manifest.json makes
+            # the output dir read back as "mixed input formats"
+            continue
         if b.endswith(".parquet"):
             by_fmt["parquet"].append(f)
         elif b.endswith(".orc"):
@@ -708,6 +714,13 @@ def _detect_table_files(path: str, cmd: str):
     return in_fmt, files
 
 
+def _wds_exts(args) -> tuple:
+    """One parse of --wds-exts (shared by the streaming and --resume
+    read paths so they can never diverge)."""
+    return tuple(args.wds_exts.split(",")) if args.wds_exts \
+        else ("bin", "json")
+
+
 def _read_any(in_fmt: str, files, cols, args):
     """One Dataset reader per supported format, column-pruned at the
     read where the format allows it."""
@@ -724,9 +737,8 @@ def _read_any(in_fmt: str, files, cols, args):
     if in_fmt == "wds":
         from ocm_ray.ops.multimodal import read_webdataset
 
-        exts = tuple(args.wds_exts.split(",")) if args.wds_exts \
-            else ("bin", "json")
-        ds = read_webdataset(files, exts=exts, key_col=args.key_col)
+        ds = read_webdataset(files, exts=_wds_exts(args),
+                             key_col=args.key_col)
     else:
         ds = read_jsonl(files) if in_fmt == "jsonl" else rd.read_csv(files)
     if cols:
@@ -783,12 +795,35 @@ def cmd_convert(args) -> int:
             print("convert: --resume supports --to parquet without "
                   "--partition-by", file=sys.stderr)
             return 2
+        # dirty-sink guard, resume flavor: files from a previous
+        # NON-resume conversion (Ray's uuid-named parquet parts, or any
+        # other table format) are invisible to the manifest reconcile
+        # (which only owns part-*.parquet), so they'd silently
+        # double-count on every directory read. part-*.parquet and
+        # _-prefixed sidecars are this layout's own files — resuming
+        # over those is the whole point.
+        if os.path.isdir(out):
+            import re as _re
+            foreign = [f for f in sorted(os.listdir(out))
+                       if not f.startswith(("_", "."))
+                       and not _re.fullmatch(r"part-[0-9a-f]+\.parquet", f)]
+            if foreign:
+                if not args.overwrite:
+                    print(f"convert: output dir {out!r} holds "
+                          f"{len(foreign)} file(s) not from a --resume "
+                          f"run (e.g. {foreign[0]!r}) — they would "
+                          "double-count on read; pass --overwrite to "
+                          "remove them, or use a fresh dir",
+                          file=sys.stderr)
+                    return 2
+                for f in foreign:
+                    p = os.path.join(out, f)
+                    shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
         cols = args.columns
         if in_fmt == "wds":
             from ocm_ray.ops.multimodal import tar_shard_table
 
-            exts = tuple(args.wds_exts.split(",")) if args.wds_exts \
-                else ("bin", "json")
+            exts = _wds_exts(args)
             key_col = args.key_col
 
             def reader(p, c, b):
@@ -807,7 +842,8 @@ def cmd_convert(args) -> int:
             "in_format": in_fmt, "files_in": len(files),
             "out_format": "parquet",
             "rows": sum(e["rows_out"] for e in manifest["shards"]),
-            "parts": len(manifest["shards"]),
+            "parts": sum(1 for e in manifest["shards"]
+                         if e["out_file"] is not None),
             "skipped": manifest["skipped"], "built": manifest["built"],
             "output": out, "wall_sec": round(time.time() - t0, 3)}))
         return 0
@@ -827,7 +863,8 @@ def cmd_convert(args) -> int:
     try:
         if args.to == "parquet":
             if args.partition_by:
-                ds.write_parquet(tmp_out, partition_cols=args.partition_by)
+                from ocm_ray.engine.io import write_partitioned_by
+                write_partitioned_by(ds, tmp_out, args.partition_by)
             else:
                 ds.write_parquet(tmp_out)
             rows = parquet_rows(tmp_out)

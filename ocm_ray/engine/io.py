@@ -92,16 +92,32 @@ def _iter_jsonl(path: str, columns, batch_size: int):
     import pyarrow.json as pj
     from pyarrow import fs as pafs
 
-    with pafs.LocalFileSystem().open_input_stream(
-            path, compression="detect") as f:
-        t = pj.read_json(f)
+    try:
+        with pafs.LocalFileSystem().open_input_stream(
+                path, compression="detect") as f:
+            t = pj.read_json(f)
+    except pa.lib.ArrowInvalid as e:
+        if "Empty" in str(e):
+            # a 0-byte (or empty-after-decompress) dump file is VALID
+            # empty jsonl — common in a 100 TB crawl; raising here would
+            # permanently wedge the resumable ingest on that shard.
+            # Unlike the footer formats (parquet/orc/ipc) there is no
+            # schema to carry, so yield nothing; _etl_shard marks the
+            # shard done without writing a part.
+            return
+        raise
     yield t.select(columns) if columns else t
 
 
 def _iter_csv(path: str, columns, batch_size: int):
     import pyarrow.csv as pcsv
 
-    t = pcsv.read_csv(path)
+    try:
+        t = pcsv.read_csv(path)
+    except pa.lib.ArrowInvalid as e:
+        if "Empty" in str(e):  # 0-byte csv: same contract as _iter_jsonl
+            return
+        raise
     yield t.select(columns) if columns else t
 
 
@@ -135,6 +151,17 @@ def _etl_shard(in_file: str, out_file: str, transform, columns,
                 writer = pq.ParquetWriter(tmp, out.schema)
             writer.write_table(out)
             rows_out += out.num_rows
+        if writer is None and in_schema is None:
+            # the reader yielded NOTHING (an empty jsonl/csv dump file —
+            # no rows AND no schema to carry): mark the shard done with
+            # no part file at all. Writing a zero-column parquet part
+            # would break directory readers (rule 8b), and inventing a
+            # schema would poison a later schema-union.
+            st = os.stat(in_file)
+            return {"in_file": os.path.abspath(in_file), "out_file": None,
+                    "size": st.st_size, "mtime_ns": st.st_mtime_ns,
+                    "rows_in": 0, "rows_out": 0,
+                    "wall_sec": round(time.monotonic() - t0, 4)}
         if writer is None:
             # fully filtered shard still marks completion — but it must
             # carry the OUTPUT schema (rule 8b): a zero-column part makes
@@ -224,10 +251,13 @@ def run_resumable_etl(files: List[str], out_dir: str,
         out_f = os.path.join(out_dir, _out_name(f))
         prev = done.get(os.path.abspath(f))
         st = os.stat(f)
-        if prev and prev.get("size") == st.st_size \
-                and prev.get("mtime_ns") == st.st_mtime_ns \
-                and prev.get("out_file") == _out_name(f) \
-                and os.path.exists(out_f):
+        unchanged = prev and prev.get("size") == st.st_size \
+            and prev.get("mtime_ns") == st.st_mtime_ns
+        # out_file None == "done, produced no part" (empty dump file):
+        # nothing on disk to re-verify
+        if unchanged and (prev.get("out_file") is None
+                          or (prev.get("out_file") == _out_name(f)
+                              and os.path.exists(out_f))):
             kept.append(prev)
         else:
             pending.append((f, out_f))
@@ -512,8 +542,11 @@ def write_ipc(ds, out_dir: str, overwrite: bool = False,
                 pa.ipc.new_file(f, batch.schema, options=opts) as w:
             w.write_table(batch, max_chunksize=max_chunksize)
 
-    return _write_part_files(ds, out_dir, "arrow", ["arrow"], encode,
-                             overwrite, "write_ipc")
+    # guard .feather too: the CLI (and most Arrow tooling) treats
+    # .feather as the same IPC format, so a stale one double-counts on
+    # a directory read just like a stale .arrow part would
+    return _write_part_files(ds, out_dir, "arrow", ["arrow", "feather"],
+                             encode, overwrite, "write_ipc")
 
 
 def read_ipc(paths, columns: Optional[List[str]] = None):
@@ -527,10 +560,11 @@ def read_ipc(paths, columns: Optional[List[str]] = None):
 
     if isinstance(paths, str):
         paths = sorted(_glob.glob(os.path.join(paths, "*.arrow"))
+                       + _glob.glob(os.path.join(paths, "*.feather"))
                        if os.path.isdir(paths) else _glob.glob(paths))
     paths = list(paths)
     if not paths:
-        raise FileNotFoundError("read_ipc: no .arrow files found")
+        raise FileNotFoundError("read_ipc: no .arrow/.feather files found")
 
     def parse_file(batch: pa.Table):
         for path in batch.column("path").to_pylist():

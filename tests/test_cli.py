@@ -549,3 +549,44 @@ def test_cli_convert_resume_wds(small_seq, tmp_path):
               "-o", out, "--num-cpus", "4"])
     m2 = json.loads(r.stdout.strip().splitlines()[-1])
     assert m2["skipped"] == n_tars and m2["built"] == 0
+
+
+def test_cli_convert_resume_guard_and_reusable_output(small_seq, tmp_path):
+    """(a) a --resume output dir (parts + _manifest.json) must be
+    readable by inspect/convert — the manifest is a metadata sidecar,
+    not a jsonl input; (b) resuming into a dir holding a previous
+    NON-resume conversion (Ray's uuid-named parts, invisible to the
+    manifest reconcile) is refused without --overwrite and reconciled
+    with it — never silently double-counted."""
+    jl = str(tmp_path / "dumps")
+    r = _run(["convert", "--input", small_seq, "--to", "jsonl.zst",
+              "-o", jl, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+
+    # (a) resume ingest, then read the output dir back through the CLI
+    out = str(tmp_path / "ingested")
+    r = _run(["convert", "--input", jl, "--to", "parquet", "--resume",
+              "--columns", "doc_id", "n_tok", "-o", out, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
+    r = _run(["inspect", "--input", out, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["format"] == "parquet" and m["rows"] == 300
+
+    # (b) non-resume conversion first, then --resume into the same dir
+    out2 = str(tmp_path / "mixed_layout")
+    r = _run(["convert", "--input", jl, "--to", "parquet",
+              "-o", out2, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    r = _run(["convert", "--input", jl, "--to", "parquet", "--resume",
+              "--columns", "doc_id", "-o", out2, "--num-cpus", "4"])
+    assert r.returncode == 2 and "--resume" not in r.stderr[:0]  # refused
+    assert "double-count" in r.stderr
+    r = _run(["convert", "--input", jl, "--to", "parquet", "--resume",
+              "--columns", "doc_id", "-o", out2, "--overwrite",
+              "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    r = _run(["inspect", "--input", out2, "--num-cpus", "4"])
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 300  # exactly one copy — foreign parts removed

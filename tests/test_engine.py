@@ -890,3 +890,80 @@ def test_resumable_etl_generic_readers(seq_dir, tmp_path):
     t2 = pq.read_table(out2)
     assert t2.schema.names == ["n_tok"]
     assert sum(e["rows_out"] for e in m3["shards"]) == ds.count()
+
+
+def test_resumable_etl_empty_dump_files(seq_dir, tmp_path):
+    """A 0-byte (or empty-after-decompress) jsonl/csv dump file is VALID
+    empty input: the shard completes with no part file (no zero-column
+    parquet, rule 8b), the manifest records it done, and a rerun skips
+    it — an empty dump must never wedge a 100 TB resumable ingest."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocm_ray.engine.io import (SHARD_READERS, _iter_csv, _iter_jsonl,
+                                   run_resumable_etl, write_jsonl)
+
+    # reader-level contract: empty file yields NOTHING (no schema to carry)
+    empty_jl = str(tmp_path / "empty.jsonl")
+    open(empty_jl, "w").close()
+    assert list(_iter_jsonl(empty_jl, None, 1024)) == []
+    empty_csv = str(tmp_path / "empty.csv")
+    open(empty_csv, "w").close()
+    assert list(_iter_csv(empty_csv, None, 1024)) == []
+    # a CORRUPT (non-empty, unparseable) file must still raise
+    bad = str(tmp_path / "bad.jsonl")
+    open(bad, "w").write("{not json")
+    with pytest.raises(Exception):
+        list(_iter_jsonl(bad, None, 1024))
+
+    ds = rd.read_parquet(seq_dir, columns=["doc_id", "n_tok"])
+    jl = str(tmp_path / "jl")
+    write_jsonl(ds, jl, compression=None)
+    files = sorted(g.glob(os.path.join(jl, "*.jsonl"))) + [empty_jl]
+    assert len(files) > 1
+
+    out = str(tmp_path / "pq")
+    m1 = run_resumable_etl(files, out, lambda t: t,
+                           reader=SHARD_READERS["jsonl"])
+    assert m1["complete"] and m1["built"] == len(files)
+    empties = [e for e in m1["shards"] if e["out_file"] is None]
+    assert len(empties) == 1 and empties[0]["rows_in"] == 0
+    assert pq.read_table(out).num_rows == ds.count()
+
+    # rerun: the no-part shard is skipped like any other finished shard
+    m2 = run_resumable_etl(files, out, lambda t: t,
+                           reader=SHARD_READERS["jsonl"])
+    assert m2["skipped"] == len(files) and m2["built"] == 0
+
+
+def test_ipc_feather_parity(seq_dir, tmp_path):
+    """.feather is the same IPC format: read_ipc's directory glob picks
+    it up, write_ipc's dirty-sink guard refuses a stale one, and
+    overwrite=True reconciles it away (a stale .feather beside new
+    .arrow parts would double-count on a CLI directory read)."""
+    import glob as g
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocm_ray.engine.io import read_ipc, write_ipc
+
+    t0 = pq.read_table(seq_dir, columns=["doc_id", "n_tok"])
+    out = str(tmp_path / "ipc")
+    os.makedirs(out)
+    fea = os.path.join(out, "stale.feather")
+    with pa.OSFile(fea, "wb") as f, pa.ipc.new_file(f, t0.schema) as w:
+        w.write_table(t0.slice(0, 5))
+    # directory read includes the .feather
+    assert read_ipc(out).count() == 5
+
+    ds = rd.read_parquet(seq_dir, columns=["doc_id", "n_tok"])
+    with pytest.raises(ValueError, match="already holds"):
+        write_ipc(ds, out)
+    write_ipc(ds, out, overwrite=True)
+    assert not os.path.exists(fea)  # reconciled away
+    assert read_ipc(out).count() == t0.num_rows
+    assert g.glob(os.path.join(out, "*.arrow"))
