@@ -982,6 +982,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.reset_index(drop=True)
     q["jaccard_dup_pairs"] = jaccard_dup_pairs
 
+    def dup_cluster_labels(sf_dir):
+        """Near-dup cluster labels via DISTRIBUTED connected components
+        (Kiveris large-star/small-star rounds over the raw-task shard
+        exchange, forced plan) on the exact-Jaccard pair set; asserted
+        frame-equal to the driver union-find (both plans byte-identical)
+        and SQL-oracled via a DuckDB recursive-CTE closure."""
+        import ray.data as rd
+
+        from ocm_ray.ops.dedup import (dup_clusters, dup_clusters_ds,
+                                       exact_jaccard_pairs)
+
+        pairs = exact_jaccard_pairs(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            shingle_k=3, threshold=0.4)
+        got = (dup_clusters_ds(rd.from_pandas(pairs[["a", "b"]])
+                               .repartition(4),
+                               distributed=True, n_shards=8)
+               .to_pandas().astype(np.int64)
+               .sort_values("doc_id").reset_index(drop=True))
+        want = (dup_clusters(pairs).astype(np.int64)
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+        return got
+    q["dup_cluster_labels"] = dup_cluster_labels
+
     def heavykeeper_topk(sf_dir, truth=None):
         """HeavyKeeper heavy hitters (hk.h semantics) over the token
         stream; estimates cross-checked against exact counts (pass
@@ -3905,6 +3930,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4
+        """,
+        # connected components: the jaccard pair set (oracled above) fed
+        # through a recursive reachability closure; label = component
+        # min. Pair CTEs MATERIALIZED (rule 10 — sh is referenced twice
+        # by the self-join, edges by every recursion step).
+        "dup_cluster_labels": """
+            WITH RECURSIVE toks AS MATERIALIZED (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents
+            ),
+            sh AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+                FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS MATERIALIZED (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4
+            ),
+            edges AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM pairs
+                UNION ALL SELECT b, a FROM pairs
+            ),
+            cc(v, l) AS (
+                SELECT u, u FROM edges GROUP BY u
+                UNION
+                SELECT cc.v, e.v FROM cc JOIN edges e ON cc.l = e.u
+            )
+            SELECT CAST(v AS BIGINT) AS doc_id,
+                   CAST(MIN(l) AS BIGINT) AS cluster_id
+            FROM cc GROUP BY v ORDER BY doc_id
         """,
         "bloom_dedup": """
             SELECT COUNT(DISTINCT text) AS n_survivors,

@@ -1,0 +1,136 @@
+"""Distributed connected components (``dup_clusters_ds``): exact parity
+with the driver union-find on both plans, both id types, pathological
+graph shapes (long paths, cliques, stars), partition invariance, and
+logarithmic round counts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _labels(df):
+    return (df.sort_values("doc_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
+def _run_ds(pairs, **kw):
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import dup_clusters_ds
+
+    reps = kw.pop("reps", 6)
+    return dup_clusters_ds(rd.from_pandas(pairs).repartition(reps),
+                           **kw).to_pandas()
+
+
+def _mixed_graph(seed=11, n=2500, m=3500):
+    """Random sparse graph + a 300-path + a 40-clique + 2-node islands —
+    every shape the star rounds treat differently."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    path = np.arange(10_000, 10_300)
+    cl = np.arange(20_000, 20_040)
+    ci, cj = np.triu_indices(len(cl), k=1)
+    pairs = pd.DataFrame({
+        "a": np.concatenate([a, path[:-1], cl[ci], [30_000, 30_002]]),
+        "b": np.concatenate([b, path[1:], cl[cj], [30_001, 30_003]]),
+    })
+    return pairs[pairs.a != pairs.b].reset_index(drop=True)
+
+
+def test_distributed_matches_union_find_mixed_graph():
+    from ocm_ray.ops.dedup import dup_clusters
+
+    pairs = _mixed_graph()
+    want = _labels(dup_clusters(pairs))
+    got = _labels(_run_ds(pairs, distributed=True, n_shards=8))
+    pd.testing.assert_frame_equal(want, got)
+    # clique + path + islands resolved to their min members
+    lab = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert lab[10_299] == 10_000 and lab[20_039] == 20_000
+    assert lab[30_001] == 30_000 and lab[30_003] == 30_002
+
+
+def test_partition_and_shard_invariance():
+    from ocm_ray.ops.dedup import dup_clusters
+
+    pairs = _mixed_graph(seed=5)
+    want = _labels(dup_clusters(pairs))
+    for reps, shards in [(1, 4), (11, 16), (3, 1)]:
+        got = _labels(_run_ds(pairs, reps=reps, distributed=True,
+                              n_shards=shards))
+        pd.testing.assert_frame_equal(want, got)
+
+
+def test_string_ids_and_duplicate_edges():
+    from ocm_ray.ops.dedup import dup_clusters
+
+    pairs = _mixed_graph(seed=9).astype(str)
+    pairs = pairs.map(lambda x: f"d{int(x):06d}")
+    # duplicate + reversed edges must not change the components
+    dup = pd.concat([pairs, pairs.head(500),
+                     pairs.tail(300).rename(columns={"a": "b", "b": "a"})],
+                    ignore_index=True)
+    want = dup_clusters(pairs).sort_values("doc_id").reset_index(drop=True)
+    got = (_run_ds(dup, distributed=True, n_shards=4)
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(want, got)
+
+
+def test_long_path_converges_logarithmically():
+    """A 4096-node path is the diameter-adversarial case: plain label
+    propagation would need 4096 rounds; the star rounds need ~log2(n).
+    Convergence beyond 2*log2(n)+4 iterations would mean the alternation
+    lost its contraction — fail loudly rather than just slowly."""
+    import ocm_ray.ops.dedup as dd
+
+    n = 4096
+    pairs = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    calls = []
+    orig = dd._edge_signature
+    try:
+        dd._edge_signature = lambda e: calls.append(1) or orig(e)
+        got = _labels(_run_ds(pairs, distributed=True, n_shards=4))
+    finally:
+        dd._edge_signature = orig
+    assert (got["cluster_id"] == 0).all() and len(got) == n
+    assert len(calls) <= 2 * 12 + 4
+
+
+def test_auto_dispatch_cap_and_forced_plans():
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import dup_clusters, dup_clusters_ds
+
+    pairs = pd.DataFrame({"a": [1, 2, 10, 20, 2], "b": [2, 3, 11, 21, 7]})
+    want = _labels(dup_clusters(pairs))
+    # DataFrame input, under the cap -> driver plan (still a Dataset out)
+    out_lo = dup_clusters_ds(pairs, max_broadcast=10)
+    assert isinstance(out_lo, rd.Dataset)
+    pd.testing.assert_frame_equal(want, _labels(out_lo.to_pandas()))
+    # over the cap -> distributed plan, byte-same labels
+    out_hi = dup_clusters_ds(pairs, max_broadcast=2, n_shards=2)
+    pd.testing.assert_frame_equal(want, _labels(out_hi.to_pandas()))
+    # extra columns (jaccard/sim) are ignored on both plans
+    pairs2 = pairs.assign(jaccard=0.5)
+    pd.testing.assert_frame_equal(
+        want, _labels(dup_clusters_ds(pairs2, distributed=True,
+                                      n_shards=2).to_pandas()))
+
+
+def test_empty_and_self_loop_pairs():
+    from ocm_ray.ops.dedup import dup_clusters_ds
+
+    empty = pd.DataFrame({"a": pd.array([], dtype=np.int64),
+                          "b": pd.array([], dtype=np.int64)})
+    assert dup_clusters_ds(empty).count() == 0
+    # self-loops carry no connectivity; a lone real edge still resolves
+    pairs = pd.DataFrame({"a": [5, 5, 7], "b": [5, 6, 7]})
+    got = _labels(dup_clusters_ds(pairs, distributed=True,
+                                  n_shards=2).to_pandas())
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == {5: 5, 6: 5}
