@@ -324,6 +324,54 @@ def main() -> int:
         "wall": round(time.time() - t0, 1)}
     assert n_ret > 0 and n_active > N_USERS  # ≥ one period per user
 
+    # 10. distributed connected components over a 6M-edge graph (150k
+    # 64-node near-dup clusters + a 1024-node chain for depth) — the
+    # dup_clusters_ds star rounds: ~11 signature iterations, every
+    # exchange through shard_scan, labels streamed out and checked
+    # against the planted structure. The driver never holds the edge
+    # set or the label table.
+    from ocm_ray.ops.dedup import dup_clusters_ds
+
+    N_CC_EDGES, CSIZE, CHAIN = 6_000_000, 64, 1024
+    N_CL = N_CC_EDGES // 40
+
+    def gen_edges(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 23)
+        c = (ids % N_CL).astype(np.int64)
+        a = c * CSIZE + rng.integers(0, CSIZE, len(ids))
+        b = c * CSIZE + rng.integers(0, CSIZE, len(ids))
+        if int(ids[0]) == 0:          # splice the chain into one batch
+            base = N_CL * CSIZE
+            ca = base + np.arange(CHAIN - 1)
+            a = np.concatenate([a, ca])
+            b = np.concatenate([b, ca + 1])
+        k = a != b
+        return pd.DataFrame({"a": a[k], "b": b[k]})
+
+    cc_edges = rd.range(N_CC_EDGES).map_batches(gen_edges,
+                                                batch_size=262144,
+                                                batch_format="pandas")
+    t0 = time.time()
+    labels = dup_clusters_ds(cc_edges, distributed=True, n_shards=32)
+    n_lab, n_bad = 0, 0
+    for blk in labels.iter_batches(batch_format="pyarrow"):
+        d = blk.column("doc_id").to_numpy(zero_copy_only=False)
+        lab = blk.column("cluster_id").to_numpy(zero_copy_only=False)
+        in_cl = d < N_CL * CSIZE
+        # cluster nodes: label is a same-cluster member <= doc_id;
+        # chain nodes: label is the chain head
+        ok_row = np.where(in_cl, (lab // CSIZE == d // CSIZE) & (lab <= d),
+                          lab == N_CL * CSIZE)
+        n_bad += int(np.sum(~ok_row))
+        n_lab += len(d)
+    results["connected_components_6m_edges"] = {
+        "labels": int(n_lab), "bad": int(n_bad),
+        "wall": round(time.time() - t0, 1)}
+    assert n_bad == 0 and n_lab > N_CL * CSIZE * 0.6
+
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     ok = peak < RSS_BOUND_MB
     import json
