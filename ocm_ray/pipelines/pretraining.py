@@ -170,12 +170,26 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
     n_exact_unique = n_quality - int((dup_map["n_copies"] - 1).sum()) \
         if len(dup_map) else n_quality
 
-    # 3. near-dedup: drop the higher id of each near-dup pair (drop set
-    # is output-sized — the near-dup b-sides only)
+    # 3. near-dedup: transitively-safe keep-one-per-cluster — connected
+    # components over the candidate pairs, the cluster's MIN member
+    # survives. (Dropping raw b-sides instead can over-keep on chains
+    # a-c, b-c where a~b only transitively.) dup_clusters_ds
+    # auto-dispatches: driver union-find while the pair set is
+    # output-sized, distributed star-round exchanges above the cap.
     pairs = minhash_lsh_pairs(kept.select_columns(["doc_id", "text"]),
                               threshold=near_dup_threshold)
-    drop_near = np.unique(pairs["b"].to_numpy()) if len(pairs) else \
-        np.empty(0, dtype=np.int64)
+    if len(pairs):
+        from ocm_ray.ops.dedup import dup_clusters_ds
+
+        labels = dup_clusters_ds(pairs).to_pandas()
+        drop_near = np.sort(labels.loc[
+            labels["doc_id"] != labels["cluster_id"], "doc_id"]
+            .to_numpy())
+        n_nd_clusters = int((labels["doc_id"]
+                             == labels["cluster_id"]).sum())
+    else:
+        drop_near = np.empty(0, dtype=np.int64)
+        n_nd_clusters = 0
 
     # 4. anti-join filter: broadcast ONLY the small drop-side state
     # (duplicated hashes + their keeper ids + near-dup drops) once via
@@ -238,6 +252,7 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
         "n_after_quality": n_quality,
         "n_exact_unique": n_exact_unique,
         "n_near_dup_dropped": int(len(drop_near)),
+        "n_near_dup_clusters": n_nd_clusters,
         "n_output": n_output,
         "distinct_docs_per_source": {k: round(v.estimate())
                                      for k, v in sorted(per_src.items())},

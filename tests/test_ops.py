@@ -378,9 +378,13 @@ def test_curate_drop_semantics(tmp_path):
                   near_dup_threshold=0.6)
     assert summ["n_input"] == len(df)
     assert summ["n_exact_unique"] == len(df) - 3
-    # drops = near-dup b-sides (added ids 100..114) ∪ exact-copy ids
-    # (115..117, also minhash b-sides) — never the low-id keepers
+    # drops = near-dup cluster non-min members (added ids 100..114) ∪
+    # exact-copy ids (115..117, also near-dup cluster members) — never
+    # the low-id keepers (cluster policy: min member survives)
     assert summ["n_output"] == summ["n_input"] - 18
+    # every near-dup cluster keeps exactly one representative, so the
+    # cluster count is bounded by the drop count
+    assert 1 <= summ["n_near_dup_clusters"] <= summ["n_near_dup_dropped"]
     out = pq.read_table(str(tmp_path / "out")).to_pandas()
     assert len(out) == summ["n_output"]
 
