@@ -454,10 +454,11 @@ def cmd_bpe(args) -> int:
 
 
 def cmd_classify(args) -> int:
-    """NB quality-classifier lifecycle (ops/classifier.py): train a
-    model over a labeled documents table (distributed integer count
-    tables, vocab-bounded driver model), or score/filter documents with
-    a saved one."""
+    """Quality-classifier lifecycle (ops/classifier.py): train an NB
+    (distributed integer count tables, vocab-bounded driver model) or
+    LR (--kind lr: full-batch GD over hashed features, dim-bounded
+    model) over a labeled documents table, or score/filter documents
+    with a saved artifact of either kind (format sniffed)."""
     import ray.data as rd
 
     if args.action != "train" and not args.output:
@@ -465,7 +466,9 @@ def cmd_classify(args) -> int:
         return 2
 
     _init_ray(args.num_cpus)
-    from ocm_ray.ops.classifier import (NBModel, nb_filter, nb_scores,
+    from ocm_ray.ops.classifier import (LRModel, load_classifier,
+                                        lr_filter, lr_scores, nb_filter,
+                                        nb_scores, train_lr_classifier,
                                         train_quality_classifier)
 
     t0 = time.time()
@@ -493,6 +496,21 @@ def cmd_classify(args) -> int:
         else:
             label_col = args.label_col
             ds = rd.read_parquet(files, columns=[args.text_col, label_col])
+        if args.kind == "lr":
+            hist = []
+            model = train_lr_classifier(
+                ds, label_col=label_col, text_col=args.text_col,
+                dim=args.dim, bigrams=args.bigrams,
+                lowercase=args.lowercase, epochs=args.epochs,
+                lr=args.lr_rate, l2=args.l2, history=hist)
+            model.save(args.model)
+            print(json.dumps({
+                "action": "train", "kind": "lr", "dim": model.dim,
+                "bias": round(model.b, 6), "epochs": model.epochs,
+                "final_logloss": round(hist[-1][1], 6) if hist else None,
+                "wall_sec": round(time.time() - t0, 3),
+                "out": args.model}))
+            return 0
         model = train_quality_classifier(
             ds, label_col=label_col, text_col=args.text_col,
             alpha=args.alpha, lowercase=args.lowercase)
@@ -503,14 +521,18 @@ def cmd_classify(args) -> int:
             "prior_logodds": round(model.prior, 6),
             "wall_sec": round(time.time() - t0, 3), "out": args.model}))
         return 0
-    model = NBModel.load(args.model)
+    model = load_classifier(args.model)   # sniffs NB vs LR artifacts
     ds = rd.read_parquet(files)
-    if args.action == "filter":
-        out = nb_filter(ds, model, text_col=args.text_col,
-                        threshold=args.threshold)
+    if isinstance(model, LRModel):
+        fn = lr_filter if args.action == "filter" else lr_scores
     else:
-        out = nb_scores(ds, model, id_col=args.id_col,
-                        text_col=args.text_col, threshold=args.threshold)
+        fn = nb_filter if args.action == "filter" else nb_scores
+    if args.action == "filter":
+        out = fn(ds, model, text_col=args.text_col,
+                 threshold=args.threshold)
+    else:
+        out = fn(ds, model, id_col=args.id_col,
+                 text_col=args.text_col, threshold=args.threshold)
     out.write_parquet(args.output)
     n = _parquet_rows(args.output)
     print(json.dumps({"action": args.action, "n_rows": n,
@@ -1059,7 +1081,7 @@ def main(argv=None) -> int:
     t.set_defaults(fn=cmd_bpe)
 
     cl = sub.add_parser("classify",
-                        help="train / apply an NB quality classifier")
+                        help="train / apply an NB or LR quality classifier")
     cl.add_argument("action", choices=["train", "score", "filter"])
     cl.add_argument("--input", required=True, help="parquet dir or glob")
     cl.add_argument("--model", required=True,
@@ -1072,9 +1094,22 @@ def main(argv=None) -> int:
                     help="categorical column matched against --pos-values")
     cl.add_argument("--pos-values",
                     help="comma list: label = key-col IN these (train)")
+    cl.add_argument("--kind", choices=["nb", "lr"], default="nb",
+                    help="model family (train): multinomial NB or "
+                         "logistic regression on hashed features")
     cl.add_argument("--alpha", type=float, default=1.0)
     cl.add_argument("--lowercase", action="store_true")
     cl.add_argument("--threshold", type=float, default=0.0)
+    cl.add_argument("--dim", type=int, default=1 << 18,
+                    help="feature-hash dimension (lr train)")
+    cl.add_argument("--bigrams", action="store_true",
+                    help="add adjacent-word bigram features (lr train)")
+    cl.add_argument("--epochs", type=int, default=40,
+                    help="full-batch GD epochs (lr train)")
+    cl.add_argument("--lr-rate", type=float, default=5.0,
+                    help="learning rate (lr train)")
+    cl.add_argument("--l2", type=float, default=1e-6,
+                    help="L2 regularization (lr train)")
     cl.add_argument("-o", "--output", help="parquet dir (score/filter)")
     cl.add_argument("--num-cpus", type=int)
     cl.set_defaults(fn=cmd_classify)
@@ -1092,8 +1127,9 @@ def main(argv=None) -> int:
     cu.add_argument("--remove-spans", type=int, default=0, metavar="N",
                     help="cut cross-doc duplicated spans of >= N words")
     cu.add_argument("--classifier",
-                    help="trained NB model npz (classify train) — adds "
-                         "the model-based quality stage")
+                    help="trained NB or LR model npz (classify train) — "
+                         "adds the model-based quality stage (format "
+                         "sniffed from the artifact)")
     cu.add_argument("--classifier-threshold", type=float, default=0.0)
     cu.add_argument("--classifier-top-frac", type=float,
                     help="keep the top FRACTION by classifier score "

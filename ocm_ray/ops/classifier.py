@@ -286,12 +286,25 @@ def nb_keep_top_fraction(ds, model: NBModel, frac: float,
     fraction is approximate at the quantile boundary (KLL(k) rank error
     plus ties on the grid); re-scoring beats materializing the scored
     corpus at 100 TB. Returns ``(filtered_ds, threshold)``."""
+    scores = _score_kernel(model, text_col, ndigits)
+    threshold = _score_quantile(ds, scores, frac, sketch_k)
+    if threshold == float("-inf"):
+        return ds, threshold
+    grid = 10.0 ** (-ndigits)
+    return (nb_filter(ds, model, text_col=text_col,
+                      threshold=threshold - grid / 2, ndigits=ndigits),
+            threshold)
+
+
+def _score_quantile(ds, scores, frac: float, sketch_k: int) -> float:
+    """The distributed threshold-discovery pass shared by the NB and LR
+    top-fraction policies: fold the rounded scores into per-block KLL
+    partials (one row each, driver merge) and return the ``1 - frac``
+    quantile (``-inf`` on an empty corpus)."""
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
     from ocm_ray.sketches.base import MergeableSketch
     from ocm_ray.sketches.kll import KLL
-
-    scores = _score_kernel(model, text_col, ndigits)
 
     def part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
@@ -308,9 +321,254 @@ def nb_keep_top_fraction(ds, model: NBModel, frac: float,
         for raw in b.column("sk"):
             merged.merge(MergeableSketch.from_bytes(raw.as_py()))
     if merged.n[0] == 0:
-        return ds, float("-inf")
-    threshold = float(merged.quantile(1.0 - frac))
+        return float("-inf")
+    return float(merged.quantile(1.0 - frac))
+
+
+# ---------------------------------------------------------------------------
+# logistic regression on hashed features (the fastText-style linear filter)
+
+
+@dataclass
+class LRModel:
+    """Binary logistic regression over feature-hashed words (optionally
+    + adjacent-word bigrams, the fastText recipe). ``w`` is the dense
+    float64 weight vector of size ``dim`` (driver-held, bounded by the
+    hash dimension BY CONSTRUCTION — never by the vocabulary); features
+    are L1-normalized token counts so the logit is mean(w over tokens)
+    + b."""
+
+    w: np.ndarray
+    b: float
+    dim: int
+    bigrams: bool
+    lowercase: bool
+    epochs: int
+    lr: float
+    l2: float
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as fh:
+            np.savez_compressed(
+                fh, w=self.w,
+                scalars=np.array([self.b, float(self.dim),
+                                  float(self.bigrams),
+                                  float(self.lowercase),
+                                  float(self.epochs), self.lr, self.l2],
+                                 dtype=np.float64))
+
+    @classmethod
+    def load(cls, path: str) -> "LRModel":
+        z = np.load(path)
+        s = z["scalars"]
+        return cls(w=z["w"], b=float(s[0]), dim=int(s[1]),
+                   bigrams=bool(s[2]), lowercase=bool(s[3]),
+                   epochs=int(s[4]), lr=float(s[5]), l2=float(s[6]))
+
+
+_BIGRAM_SALT = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _lr_flat_features(txt, dim: int, bigrams: bool, lowercase: bool):
+    """Two flat (bucket-id, docs-per-row) streams for a text column:
+    word features, and (optionally) adjacent-word bigram features —
+    kept as SEPARATE streams so per-doc segment sums need no
+    interleaving. Bucketing is ``hash % dim`` on the engine's stable
+    word hash; bigrams mix the two word hashes before bucketing."""
+    from ocm_ray.core.hashing import wanghash
+    from ocm_ray.engine.tokens import split_words_hashed
+
+    flat, lens = split_words_hashed(txt, lowercase=lowercase)
+    wfeat = (flat % np.uint64(dim)).astype(np.int64)
+    if not bigrams:
+        return wfeat, lens, np.empty(0, np.int64), np.zeros_like(lens)
+    if len(flat) < 2:
+        return wfeat, lens, np.empty(0, np.int64), np.zeros_like(lens)
+    # valid bigram positions: every token except each doc's last
+    ends = np.cumsum(lens)                  # one past each doc
+    keep = np.ones(len(flat) - 1, dtype=bool)
+    last = ends[lens > 0] - 1               # index of each doc's last token
+    keep[last[last < len(keep)]] = False
+    h2 = wanghash(flat[:-1] * _BIGRAM_SALT ^ flat[1:])[keep]
+    bfeat = (h2 % np.uint64(dim)).astype(np.int64)
+    blens = np.maximum(lens - 1, 0)
+    return wfeat, lens, bfeat, blens
+
+
+def _segment_sums(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-doc sums of a flat value stream (empty docs sum to 0)."""
+    out = np.zeros(len(lens))
+    nz = lens > 0
+    if vals.size:
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sums = np.add.reduceat(vals, offs[nz])
+        out[nz] = sums
+    return out
+
+
+def _lr_logits(w, b, wfeat, lens, bfeat, blens):
+    tot = (lens + blens).astype(np.float64)
+    z = _segment_sums(w[wfeat], lens) + _segment_sums(w[bfeat], blens)
+    nz = tot > 0
+    z[nz] /= tot[nz]
+    return z + b, tot
+
+
+def train_lr_classifier(ds, label_col: str = "label",
+                        text_col: str = "text", dim: int = 1 << 18,
+                        bigrams: bool = False, lowercase: bool = True,
+                        epochs: int = 40, lr: float = 5.0,
+                        l2: float = 1e-6,
+                        history: list = None) -> LRModel:
+    """Train a binary logistic-regression quality classifier by
+    FULL-BATCH gradient descent, one distributed corpus pass per epoch.
+
+    Each epoch broadcasts ``(w, b)`` once via ``ray.put``; every block
+    computes its EXACT partial gradient — a sparse ``(feature, grad)``
+    table (bounded at one row per distinct bucket per block) plus
+    scalar rows (grad_b, log-loss, n_docs) tagged by a ``kind``
+    discriminator — and the partials fold through the
+    :func:`ocm_ray.ops.agg.grouped_sum` tree exactly like the NB count
+    tables. The driver holds only the dim-sized gradient and model
+    (2 MB at the default ``dim=2^18``); the corpus never lands on it.
+    Full-batch GD is deterministic given the partition layout (float
+    partials fold in tree order), and partial sums equal the local
+    gradient to float rounding — asserted in the parity tests.
+
+    ``label_col``: bool or 0/1 int (True = positive / high quality).
+    ``history``: optional list that receives one
+    ``(epoch, mean_logloss)`` tuple per epoch.
+    At 100 TB, train on a SAMPLE (the standard practice for quality
+    filters) or accept ``epochs`` corpus passes; the upstream ``ds``
+    re-executes per epoch, so pass a read or materialized dataset.
+    """
+    import ray
+
+    from ocm_ray.ops.agg import grouped_sum
+
+    w = np.zeros(dim)
+    b = 0.0
+    for _ep in range(epochs):
+        ref = ray.put((w, b))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+                return pa.table({"kind": pa.array([], pa.int8()),
+                                 "feat": pa.array([], pa.int64()),
+                                 "g": pa.array([], pa.float64())})
+            cw, cb = ray.get(ref)
+            wfeat, lens, bfeat, blens = _lr_flat_features(
+                batch.column(text_col), dim, bigrams, lowercase)
+            z, tot = _lr_logits(cw, cb, wfeat, lens, bfeat, blens)
+            y = batch.column(label_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            p = 0.5 * (1.0 + np.tanh(0.5 * z))      # stable sigmoid
+            r = p - y
+            # per-token residual weight r_d / tot_d, scattered into the
+            # feature buckets of BOTH streams
+            rw = np.zeros(len(r))
+            nz = tot > 0
+            rw[nz] = r[nz] / tot[nz]
+            dense = np.bincount(wfeat, weights=np.repeat(rw, lens),
+                                minlength=dim)
+            if blens.sum():
+                dense += np.bincount(bfeat, weights=np.repeat(rw, blens),
+                                     minlength=dim)
+            feats = np.nonzero(dense)[0]
+            loss = float(np.sum(np.logaddexp(0.0, z) - y * z))
+            return pa.table({
+                "kind": pa.array(np.concatenate(
+                    [np.zeros(len(feats), np.int8),
+                     np.ones(3, np.int8)])),
+                "feat": pa.array(np.concatenate(
+                    [feats, [0, 1, 2]]).astype(np.int64)),
+                "g": pa.array(np.concatenate(
+                    [dense[feats], [float(r.sum()), loss, float(len(r))]])),
+            })
+
+        folded = grouped_sum(
+            ds.map_batches(partials, batch_format="pyarrow"),
+            ["kind", "feat"], ["g"]).to_pandas()
+        scal = folded[folded["kind"] == 1].set_index("feat")["g"]
+        n = float(scal.get(2, 0.0))
+        if n == 0:
+            raise ValueError("train_lr_classifier: empty corpus")
+        grads = folded[folded["kind"] == 0]
+        grad = np.zeros(dim)
+        grad[grads["feat"].to_numpy()] = grads["g"].to_numpy()
+        w = w - lr * (grad / n + l2 * w)
+        b = b - lr * float(scal.get(0, 0.0)) / n
+        if history is not None:
+            history.append((_ep, float(scal.get(1, 0.0)) / n))
+    return LRModel(w=w, b=b, dim=dim, bigrams=bigrams, lowercase=lowercase,
+                   epochs=epochs, lr=lr, l2=l2)
+
+
+def _lr_score_kernel(model: LRModel, text_col: str, ndigits: int):
+    """Batch → rounded-logit closure; the weight vector rides the
+    object store once via ``ray.put`` (dim-sized, never per batch)."""
+    import ray
+
+    ref = ray.put((model.w, model.b))
+    dim, bigrams, lc = model.dim, model.bigrams, model.lowercase
+
+    def scores(batch: pa.Table) -> np.ndarray:
+        w, b = ray.get(ref)
+        wfeat, lens, bfeat, blens = _lr_flat_features(
+            batch.column(text_col), dim, bigrams, lc)
+        z, _ = _lr_logits(w, b, wfeat, lens, bfeat, blens)
+        return np.round(z, ndigits)
+
+    return scores
+
+
+def lr_scores(ds, model: LRModel, id_col: str = "doc_id",
+              text_col: str = "text", ndigits: int = 6,
+              threshold: float = 0.0):
+    """Score every document with the trained LR: ``lr_logit`` (rounded)
+    and ``lr_keep`` (logit > threshold, on the rounded value). One
+    stateless broadcast pass."""
+    scores = _lr_score_kernel(model, text_col, ndigits)
+
+    def score(batch: pa.Table) -> pa.Table:
+        z = scores(batch)
+        return pa.table({id_col: batch.column(id_col),
+                         "lr_logit": pa.array(z),
+                         "lr_keep": pa.array(z > threshold)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lr_filter(ds, model: LRModel, text_col: str = "text",
+              threshold: float = 0.0, ndigits: int = 6):
+    """Keep only rows the LR scores above ``threshold`` (all input
+    columns pass through) — the curation-pipeline filter stage."""
+    scores = _lr_score_kernel(model, text_col, ndigits)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(scores(batch) > threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def lr_keep_top_fraction(ds, model: LRModel, frac: float,
+                         text_col: str = "text", ndigits: int = 6,
+                         sketch_k: int = 400):
+    """The top-fraction policy over LR logits — same two-pass KLL
+    threshold discovery as :func:`nb_keep_top_fraction`. Returns
+    ``(filtered_ds, threshold)``."""
+    scores = _lr_score_kernel(model, text_col, ndigits)
+    threshold = _score_quantile(ds, scores, frac, sketch_k)
+    if threshold == float("-inf"):
+        return ds, threshold
     grid = 10.0 ** (-ndigits)
-    return (nb_filter(ds, model, text_col=text_col,
+    return (lr_filter(ds, model, text_col=text_col,
                       threshold=threshold - grid / 2, ndigits=ndigits),
             threshold)
+
+
+def load_classifier(path: str):
+    """Load a saved classifier, sniffing the format: LR artifacts carry
+    a dense ``w`` array, NB artifacts a sorted ``keys`` table."""
+    z = np.load(path)
+    return LRModel.load(path) if "w" in z.files else NBModel.load(path)

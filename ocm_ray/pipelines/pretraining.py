@@ -117,21 +117,27 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
         lambda t: t.filter(pc.greater_equal(t.column("quality"),
                                             pa.scalar(quality_min))),
         batch_format="pyarrow")
-    # 1.5 optional model-based quality stage (trained NB classifier):
-    # one broadcast of the vocab-sized log-odds table, stateless pass
+    # 1.5 optional model-based quality stage (trained NB or LR
+    # classifier): one broadcast of the model table, stateless pass
     if classifier is not None:
-        from ocm_ray.ops.classifier import (NBModel, nb_filter,
+        from ocm_ray.ops.classifier import (LRModel, load_classifier,
+                                            lr_filter,
+                                            lr_keep_top_fraction,
+                                            nb_filter,
                                             nb_keep_top_fraction)
 
-        model = (NBModel.load(classifier) if isinstance(classifier, str)
-                 else classifier)
+        model = (load_classifier(classifier)
+                 if isinstance(classifier, str) else classifier)
+        is_lr = isinstance(model, LRModel)
         if classifier_top_frac is not None:
             # the quantile policy scores twice (sketch pass + filter
             # pass) — pin the upstream once so the stats/filter stages
             # don't re-execute under it
             kept = kept.materialize()
-            kept, _ = nb_keep_top_fraction(kept, model,
-                                           classifier_top_frac)
+            top = lr_keep_top_fraction if is_lr else nb_keep_top_fraction
+            kept, _ = top(kept, model, classifier_top_frac)
+        elif is_lr:
+            kept = lr_filter(kept, model, threshold=classifier_threshold)
         else:
             kept = nb_filter(kept, model, threshold=classifier_threshold)
     # 1.6 optional CCNet tier selection: drop low-fluency tiers by

@@ -279,3 +279,48 @@ def test_nb_lowercase_train_score_consistent(ray_session, tmp_path):
     model.save(p)
     m2 = NBModel.load(p)
     assert np.array_equal(model.keys, m2.keys)
+
+
+def test_curate_with_lr_classifier_stage(ray_session, tmp_path):
+    """curate(classifier=<LR .npz path>) sniffs the artifact kind and
+    composes the LR filter; the top-frac policy routes to the LR
+    quantile path."""
+    import pyarrow.parquet as pq
+
+    from ocm_ray.ops.classifier import train_lr_classifier
+    from ocm_ray.pipelines.pretraining import curate
+
+    rng = np.random.default_rng(13)
+    good_words = ["fact", "clean", "prose", "clear", "tidy", "plain"]
+    junk_words = ["spam", "junk", "click", "buy", "scam", "win"]
+    rows = []
+    for i in range(120):
+        junky = i % 3 == 0
+        words = rng.choice(junk_words if junky else good_words, 30)
+        rows.append({"doc_id": i, "text": " ".join(words),
+                     "source": "web" if junky else "wiki",
+                     "label": not junky})
+    tbl = pa.Table.from_pylist(rows)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+
+    model = train_lr_classifier(ray.data.from_arrow(tbl), dim=1 << 12,
+                                epochs=30, lr=5.0)
+    mpath = str(tmp_path / "lr.npz")
+    model.save(mpath)
+
+    out_dir = str(tmp_path / "curated_lr")
+    summary = curate(src, out_dir, quality_min=0.0,
+                     near_dup_threshold=1.01, classifier=mpath)
+    got = pq.read_table(out_dir).to_pandas()
+    assert summary["n_after_quality"] == 80   # the 40 junky docs dropped
+    assert set(got["doc_id"]) == {i for i in range(120) if i % 3 != 0}
+
+    # top-frac policy through the LR branch: keep ~half of the docs
+    out2 = str(tmp_path / "curated_lr_frac")
+    summary2 = curate(src, out2, quality_min=0.0, near_dup_threshold=1.01,
+                      classifier=model, classifier_top_frac=2 / 3)
+    got2 = pq.read_table(out2).to_pandas()
+    # the top 2/3 by LR score are exactly the 80 non-junky docs
+    assert set(got2["doc_id"]) == {i for i in range(120) if i % 3 != 0}
+    assert summary2["n_after_quality"] == 80

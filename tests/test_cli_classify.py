@@ -100,3 +100,33 @@ def test_cli_report(labeled_docs):
     assert rep["min_tokens"] == 30 and rep["max_tokens"] == 30
     assert rep["exact_dup_surplus"] == 0
     assert sum(rep["ppl_tiers"].values()) == 80
+
+
+def test_cli_classify_lr_train_score_filter(labeled_docs, tmp_path):
+    """--kind lr trains the logistic model; score/filter sniff the LR
+    artifact and separate the planted corpus perfectly."""
+    model = str(tmp_path / "lr.npz")
+    r = _run(["classify", "train", "--kind", "lr", "--input", labeled_docs,
+              "--model", model, "--pos-values", "wiki",
+              "--key-col", "source", "--dim", "4096", "--epochs", "30",
+              "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert meta["kind"] == "lr" and meta["dim"] == 4096
+    assert meta["final_logloss"] < 0.6
+
+    out = str(tmp_path / "scored")
+    r = _run(["classify", "score", "--input", labeled_docs,
+              "--model", model, "-o", out, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    scored = pq.read_table(out).to_pandas()
+    assert set(scored.columns) == {"doc_id", "lr_logit", "lr_keep"}
+    # planted corpus: evens are wiki/positive
+    assert (scored["lr_keep"] == (scored["doc_id"] % 2 == 0)).all()
+
+    out2 = str(tmp_path / "filtered")
+    r = _run(["classify", "filter", "--input", labeled_docs,
+              "--model", model, "-o", out2, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = pq.read_table(out2).to_pandas()
+    assert set(kept["doc_id"]) == set(range(0, 80, 2))
