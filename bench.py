@@ -428,6 +428,38 @@ def run_bench() -> dict:
 
     timed_q("nb_classifier", run_nb)
 
+    # 21. round-5-session op: distributed connected components over the
+    # corpus's MinHash near-dup pairs, FORCED onto the star-round
+    # exchange plan (the 100 TB path; the census benches it at 6M edges)
+    from ocm_ray.ops.dedup import dup_clusters_ds, minhash_lsh_pairs
+
+    def run_cc():
+        pairs = minhash_lsh_pairs(docs_ds(), threshold=0.5)
+        return dup_clusters_ds(pairs, distributed=True,
+                               n_shards=8).count()
+
+    timed_q("dup_clusters", run_cc)
+
+    # 22. round-5-session op: LR quality classifier — 3 full-batch GD
+    # epochs (one broadcast + gradient-tree corpus pass each) + the
+    # broadcast scoring pass
+    from ocm_ray.ops.classifier import lr_scores, train_lr_classifier
+
+    def run_lr():
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        def lab(t):
+            y = _pc.is_in(t.column("source"),
+                          value_set=_pa.array(["src0", "src1"]))
+            return t.drop_columns(["source"]).append_column("label", y)
+
+        labeled = docs_src_ds().map_batches(lab, batch_format="pyarrow")
+        model = train_lr_classifier(labeled, dim=1 << 16, epochs=3)
+        return lr_scores(labeled, model).count()
+
+    timed_q("lr_classifier", run_lr)
+
     # Spaced re-check pass (VERDICT r4 #1): queries whose best sample
     # never overlapped a clean window get ONE more run now, minutes
     # after their first block — a single co-tenant window can no longer

@@ -120,12 +120,16 @@ def test_kll_weighted_equals_repeat(pairs):
     assert int(a.n[0]) == int(cnt.sum())
     if cnt.sum() == 0:
         return
-    # rank agreement where both sides saw the same multiset
+    # rank agreement where both sides saw the same multiset: compare
+    # the two sketches' OWN rank estimates of the same probe points.
+    # (Comparing b.rank to the ideal q is vacuous on small or atom-heavy
+    # multisets — a single value, or one value holding most of the
+    # mass, puts every empirical rank on a coarse grid that no sketch
+    # could land within eps of q; hypothesis found pairs=[(0.0, 1)].)
     if (cnt <= 1 << 12).all() and cnt.sum() > 0:
         for q in (0.25, 0.5, 0.75):
             ra = a.quantile(q)
-            # both sketches' ranks of each other's quantile within eps
-            assert abs(b.rank(ra)[0] - q) < 0.15, (q, ra)
+            assert abs(b.rank(ra)[0] - a.rank(ra)[0]) < 0.15, (q, ra)
 
 
 @settings(max_examples=60, deadline=None)
