@@ -3945,7 +3945,9 @@ def oracle_sql() -> dict[str, str]:
                        w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
                 FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
             ),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            sizes AS MATERIALIZED (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ),
             inter AS (
                 SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id

@@ -570,5 +570,6 @@ def lr_keep_top_fraction(ds, model: LRModel, frac: float,
 def load_classifier(path: str):
     """Load a saved classifier, sniffing the format: LR artifacts carry
     a dense ``w`` array, NB artifacts a sorted ``keys`` table."""
-    z = np.load(path)
-    return LRModel.load(path) if "w" in z.files else NBModel.load(path)
+    with np.load(path) as z:       # close the sniff handle promptly
+        is_lr = "w" in z.files
+    return LRModel.load(path) if is_lr else NBModel.load(path)

@@ -878,21 +878,14 @@ def _edge_signature(edges: Dataset) -> Tuple[int, int]:
     engine hash (ints wang-mixed, strings via the stable codec, rule 8)
     so equal signatures mean equal edge MULTISETS up to a 2^-64 hash
     collision; a tiny (one row per block) partial table comes back."""
-    from ocm_ray.engine.tokens import hash_string_array
-
-    def _col_hash(tbl: pa.Table, name: str) -> np.ndarray:
-        col = tbl.column(name)
-        if pa.types.is_integer(tbl.schema.field(name).type):
-            return wanghash(col.to_numpy(zero_copy_only=False)
-                            .astype(np.uint64))
-        return hash_string_array(col)
+    from ocm_ray.ops.pairs import hash_column
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
             return pa.table({"n": pa.array([0], pa.int64()),
                              "s": pa.array([0], pa.int64())})
-        ha = _col_hash(batch, "a")
-        hb = _col_hash(batch, "b")
+        ha = hash_column(batch, "a")
+        hb = hash_column(batch, "b")
         # direction-sensitive mix (edges here are directed (hi, lo))
         mix = wanghash(ha ^ (hb * U64(0x9E3779B97F4A7C15)))
         with np.errstate(over="ignore"):
@@ -901,6 +894,10 @@ def _edge_signature(edges: Dataset) -> Tuple[int, int]:
                          "s": pa.array([int(s.view(np.int64))], pa.int64())})
 
     part = edges.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "n" not in part.columns:
+        # an ALL-empty edge set yields only rule-8b schema-less blocks
+        # (Ray never consults the UDF on 0-row upstream blocks)
+        return 0, 0
     return int(part["n"].sum()), int(part["s"].to_numpy()
                                      .view(U64).sum().view(np.int64))
 
@@ -984,15 +981,23 @@ def dup_clusters_ds(pairs, n_shards: int = None,
         n_pairs = len(pairs)
         pairs_ds = None
     else:
-        # pair finders hand over from_arrow_refs-backed sets (already
-        # materialized), so count() here is metadata, not a re-execution
-        pairs_ds = pairs.select_columns(["a", "b"])
+        # pin the edge set to ONE execution whatever the upstream: the
+        # dispatch count, the driver-plan to_pandas, and round 1's
+        # exchange are separate consumers, and a lazy upstream
+        # (census/synthetic generators) would re-run its generation
+        # pipeline for each one. Blocks land in the spillable object
+        # store, never on the driver; for the from_arrow_refs sets the
+        # pair finders hand over this is a no-op.
+        pairs_ds = pairs.select_columns(["a", "b"]).materialize()
         n_pairs = pairs_ds.count()
     if distributed is None:
         distributed = n_pairs > max_broadcast
     if not distributed:
         df = pairs if pairs_ds is None else pairs_ds.to_pandas()
         return rd.from_pandas(dup_clusters(df))
+    if n_pairs == 0:    # nothing to cluster; both plans agree on empty
+        return rd.from_pandas(dup_clusters(pd.DataFrame({"a": [],
+                                                         "b": []})))
     if pairs_ds is None:
         pairs_ds = rd.from_pandas(pairs[["a", "b"]])
     if n_shards is None:
@@ -1033,9 +1038,16 @@ def dup_clusters_ds(pairs, n_shards: int = None,
     shard_of = key_shard_fn("node", n_shards)
     edges = pairs_ds
     prev_sig = None
-    for _ in range(max_rounds):
+    for _it in range(max_rounds):
         lg = edges.map_batches(lg_messages, batch_format="pyarrow")
         edges = shard_scan(lg, shard_of, _large_star_scan, n_shards)
+        if _it == 0 and _edge_signature(edges)[0] == 0:
+            # every input pair was a self-loop (or the uncounted lazy
+            # input was empty): no connectivity at all. Bail before the
+            # next exchange — an all-empty lazy map has NO inferable
+            # schema, which shard_scan can't split
+            return rd.from_pandas(dup_clusters(pd.DataFrame({"a": [],
+                                                             "b": []})))
         sm = edges.map_batches(sm_messages, batch_format="pyarrow")
         edges = shard_scan(sm, shard_of, _small_star_scan, n_shards)
         sig = _edge_signature(edges)

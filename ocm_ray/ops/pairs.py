@@ -57,24 +57,31 @@ def _shard_bits(n_shards: int) -> int:
     return int(n_shards).bit_length() - 1
 
 
+def hash_column(tbl: pa.Table, name: str) -> np.ndarray:
+    """THE engine hash of a column: integers wang-mixed, everything else
+    through the stable string codec. Single definition shared by
+    :func:`key_shard_fn` and every op needing value-identity hashes
+    (e.g. dedup's edge-set signature) — per-op copies drift."""
+    from ocm_ray.core.hashing import wanghash
+    from ocm_ray.engine.tokens import hash_string_array
+
+    col = tbl.column(name)
+    if pa.types.is_integer(tbl.schema.field(name).type):
+        return wanghash(col.to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+    return hash_string_array(col)
+
+
 def key_shard_fn(key_col: str, n_shards: int):
     """THE key-hash shard function for :func:`shard_scan` /
     :func:`shard_scan2`: top ``log2(n_shards)`` bits of the engine hash
-    of ``key_col`` (integers wang-mixed, everything else through the
-    stable string codec). One definition — six ops used to carry their
-    own near-identical copies, one of which had already drifted."""
+    of ``key_col`` (via :func:`hash_column`). One definition — six ops
+    used to carry their own near-identical copies, one of which had
+    already drifted."""
     bits = _shard_bits(n_shards)
 
     def shard_of(tbl: pa.Table) -> np.ndarray:
-        from ocm_ray.core.hashing import wanghash
-        from ocm_ray.engine.tokens import hash_string_array
-
-        col = tbl.column(key_col)
-        if pa.types.is_integer(tbl.schema.field(key_col).type):
-            h = wanghash(col.to_numpy(zero_copy_only=False)
-                         .astype(np.uint64))
-        else:
-            h = hash_string_array(col)
+        h = hash_column(tbl, key_col)
         return (h >> np.uint64(64 - bits)).astype(np.int32) if bits \
             else np.zeros(len(h), np.int32)
 

@@ -154,7 +154,8 @@ def curate(documents_path: str, out_dir: str, quality_min: float = 0.3,
         # everything filtered: empty groupbys lose their schema — exit early
         os.makedirs(out_dir, exist_ok=True)
         return {"n_input": n_in, "n_after_quality": 0, "n_exact_unique": 0,
-                "n_near_dup_dropped": 0, "n_output": 0,
+                "n_near_dup_dropped": 0, "n_near_dup_clusters": 0,
+                "n_output": 0,
                 "distinct_docs_per_source": {}, "out_dir": out_dir}
 
     # 2. exact dedup — native groupby/aggregate; only the DUPLICATED

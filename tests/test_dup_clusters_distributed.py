@@ -129,8 +129,58 @@ def test_empty_and_self_loop_pairs():
     empty = pd.DataFrame({"a": pd.array([], dtype=np.int64),
                           "b": pd.array([], dtype=np.int64)})
     assert dup_clusters_ds(empty).count() == 0
+    # forced-distributed empty input short-circuits (n_pairs == 0)
+    assert dup_clusters_ds(empty, distributed=True,
+                           n_shards=2).count() == 0
     # self-loops carry no connectivity; a lone real edge still resolves
     pairs = pd.DataFrame({"a": [5, 5, 7], "b": [5, 6, 7]})
     got = _labels(dup_clusters_ds(pairs, distributed=True,
                                   n_shards=2).to_pandas())
     assert dict(zip(got["doc_id"], got["cluster_id"])) == {5: 5, 6: 5}
+    # ALL-self-loop pairs: zero connectivity after filtering — the
+    # distributed plan must return empty, not crash on the
+    # schema-less all-empty exchange (review finding, reproduced)
+    loops = pd.DataFrame({"a": [5, 9], "b": [5, 9]})
+    assert dup_clusters_ds(loops, distributed=True,
+                           n_shards=2).count() == 0
+
+
+def test_lazy_pairs_input_executes_once():
+    """A lazy pairs upstream must execute exactly ONCE: the dispatch
+    count, schema inference, and round 1's exchange are separate
+    consumers, so dup_clusters_ds pins the edge set with one
+    materialize() on entry. Marker files count block executions."""
+    import ray.data as rd
+
+    from ocm_ray.ops.dedup import dup_clusters, dup_clusters_ds
+
+    import glob
+    import os
+
+    runs_path = "/tmp/cc_lazy_runs_marker"
+    for f in glob.glob(f"{runs_path}.*"):
+        os.remove(f)
+
+    def gen(batch):
+        import os as _os
+        # one marker file per (block, execution); a second execution of
+        # block 0 would see its own marker and fail the run count below
+        i = int(batch["id"][0])
+        with open(f"{runs_path}.{i}", "a") as fh:
+            fh.write("x\n")
+        a = batch["id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"a": a, "b": a + 1})
+
+    lazy = rd.range(64, override_num_blocks=2).map_batches(
+        gen, batch_size=None, batch_format="pandas")
+    got = _labels(dup_clusters_ds(lazy, distributed=True,
+                                  n_shards=2).to_pandas())
+    want = _labels(dup_clusters(
+        pd.DataFrame({"a": np.arange(64, dtype=np.int64),
+                      "b": np.arange(1, 65, dtype=np.int64)})))
+    pd.testing.assert_frame_equal(want, got)
+    for f in glob.glob(f"{runs_path}.*"):
+        with open(f) as fh:
+            assert len(fh.readlines()) == 1, \
+                "lazy pairs input executed more than once"
+        os.remove(f)

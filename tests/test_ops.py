@@ -385,6 +385,10 @@ def test_curate_drop_semantics(tmp_path):
     # every near-dup cluster keeps exactly one representative, so the
     # cluster count is bounded by the drop count
     assert 1 <= summ["n_near_dup_clusters"] <= summ["n_near_dup_dropped"]
+    # the fully-filtered early return must carry the SAME summary keys
+    # (review finding: it was missing n_near_dup_clusters)
+    empty = curate(p, str(tmp_path / "out_empty"), quality_min=2.0)
+    assert set(empty) == set(summ)
     out = pq.read_table(str(tmp_path / "out")).to_pandas()
     assert len(out) == summ["n_output"]
 
