@@ -372,6 +372,36 @@ def main() -> int:
         "wall": round(time.time() - t0, 1)}
     assert n_bad == 0 and n_lab > N_CL * CSIZE * 0.6
 
+    # 11. LR classifier training at the full census corpus: 2 full-batch
+    # GD epochs over 200k docs at the default dim=2^18 — per-block
+    # sparse gradient partials through the grouped_sum tree; the driver
+    # holds only the 2 MB model + the dim-bounded folded gradient.
+    from ocm_ray.ops.classifier import lr_scores, train_lr_classifier
+
+    def gen_labeled(batch):
+        import pandas as pd
+
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 29)
+        vocab = np.array([f"w{i}" for i in range(30_000)])
+        texts = []
+        for i in ids:
+            words = list(vocab[rng.integers(0, len(vocab), 80)])
+            words.append("goodmark" if i % 2 == 0 else "badmark")
+            texts.append(" ".join(words))
+        return pd.DataFrame({"doc_id": ids, "text": texts,
+                             "label": ids % 2 == 0})
+
+    lab = rd.range(N_DOCS).map_batches(gen_labeled, batch_size=4096,
+                                       batch_format="pandas")
+    t0 = time.time()
+    model = train_lr_classifier(lab, epochs=2, lr=5.0)
+    n_scored = sum(b.num_rows for b in lr_scores(lab, model)
+                   .iter_batches(batch_format="pyarrow"))
+    results["lr_train_200k"] = {"scored": int(n_scored), "dim": model.dim,
+                                "wall": round(time.time() - t0, 1)}
+    assert n_scored == N_DOCS
+
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     ok = peak < RSS_BOUND_MB
     import json

@@ -184,3 +184,31 @@ def test_lazy_pairs_input_executes_once():
             assert len(fh.readlines()) == 1, \
                 "lazy pairs input executed more than once"
         os.remove(f)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=50),
+       st.integers(1, 4))
+def test_hypothesis_parity_with_union_find(edges, shards_pow):
+    """Any small random multigraph (duplicates, self-loops, both edge
+    orientations) resolves to the same min-member labels on the
+    distributed plan as the driver union-find — self-loop-only rows
+    excluded from both sides (documented deviation)."""
+    from ocm_ray.ops.dedup import dup_clusters, dup_clusters_ds
+
+    pairs = pd.DataFrame({"a": [a for a, _ in edges],
+                          "b": [b for _, b in edges]}) \
+        .astype(np.int64)
+    real = pairs[pairs.a != pairs.b].reset_index(drop=True)
+    want = _labels(dup_clusters(real)) if len(real) else \
+        pd.DataFrame({"doc_id": [], "cluster_id": []}).astype(np.int64)
+    got_ds = _run_ds(pairs, reps=3, distributed=True,
+                     n_shards=1 << shards_pow)
+    got = _labels(got_ds) if len(got_ds) else \
+        pd.DataFrame({"doc_id": [], "cluster_id": []}).astype(np.int64)
+    pd.testing.assert_frame_equal(want, got)
