@@ -213,6 +213,11 @@ def cmd_sketch(args) -> int:
     }
     factories["sparse-hll"] = lambda: __import__(
         "ocm_ray.sketches.hll", fromlist=["SparseHLL"]).SparseHLL(args.p)
+    if args.group_col and args.merge_into:
+        print("sketch: --merge-into is not supported with --group-col "
+              "(merge per-key fleets by merging their manifest dirs)",
+              file=sys.stderr)
+        return 2
     _init_ray(args.num_cpus)
     files = _input_files(args.input)
     if not files:
@@ -253,10 +258,25 @@ def cmd_sketch(args) -> int:
         return 0
     sk = build_sketch_sharded(files, factories[args.kind], column=args.column,
                               kgram=args.kgram, shards=args.parallelism)
+    merged_from = None
+    if args.merge_into:
+        # incremental update: fold the NEW dump's sketch into a
+        # persisted one (sketches are mergeable UDAFs — the result is
+        # bit-identical to a from-scratch build over old+new corpora).
+        # Geometry/seed mismatches fail loudly inside merge().
+        from ocm_ray.sketches.base import MergeableSketch
+
+        with open(args.merge_into, "rb") as f:
+            prior = MergeableSketch.from_bytes(f.read())
+        prior.merge(sk)
+        sk = prior
+        merged_from = args.merge_into
     with open(args.output, "wb") as f:
         f.write(sk.to_bytes())
     info = {"kind": args.kind, "wall_sec": round(time.time() - t0, 3),
             "bytes": sk.nbytes}
+    if merged_from:
+        info["merged_into"] = merged_from
     if args.kind in ("hll", "pcsa", "hmh", "setsketch", "sparse-hll"):
         info["estimate"] = round(sk.estimate())
     elif args.kind == "modsketch":
@@ -1014,6 +1034,11 @@ def main(argv=None) -> int:
     s.add_argument("--group-col", help="build ONE sketch PER KEY of this "
                                        "column (output becomes a dir of "
                                        ".sk files + manifest.json)")
+    s.add_argument("--merge-into", metavar="PATH",
+                   help="incremental update: merge the new input's "
+                        "sketch into this persisted .sk (same kind/"
+                        "geometry/seed) and write the fold to -o — "
+                        "bit-identical to rebuilding over old+new")
     s.add_argument("-o", "--output", required=True)
     s.add_argument("--parallelism", type=int)
     s.add_argument("--num-cpus", type=int)

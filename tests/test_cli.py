@@ -590,3 +590,49 @@ def test_cli_convert_resume_guard_and_reusable_output(small_seq, tmp_path):
     r = _run(["inspect", "--input", out2, "--num-cpus", "4"])
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["rows"] == 300  # exactly one copy — foreign parts removed
+
+
+def test_cli_sketch_merge_into(small_seq, tmp_path):
+    """Incremental crawl update: building dump B with --merge-into the
+    persisted sketch of dump A equals one build over A+B exactly
+    (register-identical HLL)."""
+    import glob
+
+    import numpy as np
+
+    files = sorted(glob.glob(os.path.join(small_seq, "*.parquet")))
+    assert len(files) == 4
+    half_a = str(tmp_path / "dump_a")
+    half_b = str(tmp_path / "dump_b")
+    os.makedirs(half_a), os.makedirs(half_b)
+    for f in files[:2]:
+        os.symlink(f, os.path.join(half_a, os.path.basename(f)))
+    for f in files[2:]:
+        os.symlink(f, os.path.join(half_b, os.path.basename(f)))
+
+    a_sk = str(tmp_path / "a.sk")
+    r = _run(["sketch", "--kind", "hll", "-p", "12", "--input", half_a,
+              "-o", a_sk, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    merged = str(tmp_path / "merged.sk")
+    r = _run(["sketch", "--kind", "hll", "-p", "12", "--input", half_b,
+              "--merge-into", a_sk, "-o", merged, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["merged_into"] \
+        == a_sk
+    full = str(tmp_path / "full.sk")
+    r = _run(["sketch", "--kind", "hll", "-p", "12", "--input", small_seq,
+              "-o", full, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-500:]
+
+    from ocm_ray.sketches import MergeableSketch
+
+    sk_m = MergeableSketch.from_bytes(open(merged, "rb").read())
+    sk_f = MergeableSketch.from_bytes(open(full, "rb").read())
+    assert np.array_equal(sk_m.registers, sk_f.registers)
+
+    # --merge-into is single-sketch only
+    r = _run(["sketch", "--kind", "hll", "-p", "12", "--input", half_b,
+              "--group-col", "source", "--merge-into", a_sk,
+              "-o", str(tmp_path / "fleet"), "--num-cpus", "4"])
+    assert r.returncode == 2 and "merge-into" in r.stderr
