@@ -162,7 +162,6 @@ def test_lazy_pairs_input_executes_once():
         os.remove(f)
 
     def gen(batch):
-        import os as _os
         # one marker file per (block, execution); a second execution of
         # block 0 would see its own marker and fail the run count below
         i = int(batch["id"][0])
