@@ -218,6 +218,32 @@ def cmd_sketch(args) -> int:
               "(merge per-key fleets by merging their manifest dirs)",
               file=sys.stderr)
         return 2
+    prior = None
+    if args.merge_into:
+        # validate the prior BEFORE the (possibly hours-long) build:
+        # a typo'd path, a different sketch kind, or mismatched
+        # geometry must fail in milliseconds, not after the corpus pass
+        from ocm_ray.sketches.base import MergeableSketch
+
+        if not os.path.isfile(args.merge_into):
+            print(f"sketch: --merge-into {args.merge_into}: no such file",
+                  file=sys.stderr)
+            return 2
+        with open(args.merge_into, "rb") as f:
+            prior = MergeableSketch.from_bytes(f.read())
+        probe = factories[args.kind]()
+        if type(prior) is not type(probe):
+            print(f"sketch: --merge-into kind mismatch: {args.merge_into} "
+                  f"holds a {type(prior).__name__}, --kind {args.kind} "
+                  f"builds a {type(probe).__name__}", file=sys.stderr)
+            return 2
+        for attr in ("p", "np_bits", "nh", "seedseed", "k", "delta"):
+            a, b = getattr(prior, attr, None), getattr(probe, attr, None)
+            if a is not None and b is not None and a != b:
+                print(f"sketch: --merge-into geometry mismatch: prior "
+                      f"{attr}={a} vs requested {attr}={b}",
+                      file=sys.stderr)
+                return 2
     _init_ray(args.num_cpus)
     files = _input_files(args.input)
     if not files:
@@ -259,16 +285,20 @@ def cmd_sketch(args) -> int:
     sk = build_sketch_sharded(files, factories[args.kind], column=args.column,
                               kgram=args.kgram, shards=args.parallelism)
     merged_from = None
-    if args.merge_into:
-        # incremental update: fold the NEW dump's sketch into a
-        # persisted one (sketches are mergeable UDAFs — the result is
-        # bit-identical to a from-scratch build over old+new corpora).
-        # Geometry/seed mismatches fail loudly inside merge().
-        from ocm_ray.sketches.base import MergeableSketch
-
-        with open(args.merge_into, "rb") as f:
-            prior = MergeableSketch.from_bytes(f.read())
-        prior.merge(sk)
+    if prior is not None:
+        # incremental update: fold the NEW dump's sketch into the
+        # persisted one (validated above). For ORDER-FREE sketches
+        # (hll/bloom/cbf/pcsa/hmh/setsketch/bbmh/bottomk/countsketch/
+        # modsketch/sparse-hll) the result is bit-identical to a
+        # from-scratch build over old+new; compaction-based kinds
+        # (kll/tdigest/ddsketch/topk/heavykeeper) get a valid mergeable
+        # fold whose internal state may differ bitwise from a rebuild
+        try:
+            prior.merge(sk)
+        except AssertionError as e:
+            print(f"sketch: --merge-into merge rejected: {e}",
+                  file=sys.stderr)
+            return 2
         sk = prior
         merged_from = args.merge_into
     with open(args.output, "wb") as f:
@@ -1037,8 +1067,13 @@ def main(argv=None) -> int:
     s.add_argument("--merge-into", metavar="PATH",
                    help="incremental update: merge the new input's "
                         "sketch into this persisted .sk (same kind/"
-                        "geometry/seed) and write the fold to -o — "
-                        "bit-identical to rebuilding over old+new")
+                        "geometry/seed, validated before the build) and "
+                        "write the fold to -o. Bit-identical to "
+                        "rebuilding over old+new for order-free kinds "
+                        "(hll/bloom/...); a valid mergeable fold (same "
+                        "answers within each sketch's guarantees, not "
+                        "bitwise) for compaction-based kinds "
+                        "(kll/tdigest/ddsketch/topk/heavykeeper)")
     s.add_argument("-o", "--output", required=True)
     s.add_argument("--parallelism", type=int)
     s.add_argument("--num-cpus", type=int)

@@ -327,46 +327,27 @@ def main() -> int:
     # 10. distributed connected components over a 6M-edge graph (150k
     # 64-node near-dup clusters + a 1024-node chain for depth) — the
     # dup_clusters_ds star rounds: ~11 signature iterations, every
-    # exchange through shard_scan, labels streamed out and checked
-    # against the planted structure. The driver never holds the edge
-    # set or the label table.
+    # exchange through shard_scan, labels checked against the planted
+    # structure via per-block partials (generator/checker shared with
+    # scripts/cc_scale_proof.py, which runs the same proof at 60M
+    # edges). The driver never holds the edge set or the label table.
     from ocm_ray.ops.dedup import dup_clusters_ds
+    from scripts.cc_scale_proof import cluster_edge_gen, label_check_partials
 
     N_CC_EDGES, CSIZE, CHAIN = 6_000_000, 64, 1024
     N_CL = N_CC_EDGES // 40
 
-    def gen_edges(batch):
-        import pandas as pd
-
-        ids = batch["id"].to_numpy()
-        rng = np.random.default_rng(int(ids[0]) + 23)
-        c = (ids % N_CL).astype(np.int64)
-        a = c * CSIZE + rng.integers(0, CSIZE, len(ids))
-        b = c * CSIZE + rng.integers(0, CSIZE, len(ids))
-        if int(ids[0]) == 0:          # splice the chain into one batch
-            base = N_CL * CSIZE
-            ca = base + np.arange(CHAIN - 1)
-            a = np.concatenate([a, ca])
-            b = np.concatenate([b, ca + 1])
-        k = a != b
-        return pd.DataFrame({"a": a[k], "b": b[k]})
-
-    cc_edges = rd.range(N_CC_EDGES).map_batches(gen_edges,
-                                                batch_size=262144,
-                                                batch_format="pandas")
+    cc_edges = rd.range(N_CC_EDGES).map_batches(
+        cluster_edge_gen(N_CL, CSIZE, chain=CHAIN, salt=23),
+        batch_size=262144, batch_format="pandas")
     t0 = time.time()
     labels = dup_clusters_ds(cc_edges, distributed=True, n_shards=32)
-    n_lab, n_bad = 0, 0
-    for blk in labels.iter_batches(batch_format="pyarrow"):
-        d = blk.column("doc_id").to_numpy(zero_copy_only=False)
-        lab = blk.column("cluster_id").to_numpy(zero_copy_only=False)
-        in_cl = d < N_CL * CSIZE
-        # cluster nodes: label is a same-cluster member <= doc_id;
-        # chain nodes: label is the chain head
-        ok_row = np.where(in_cl, (lab // CSIZE == d // CSIZE) & (lab <= d),
-                          lab == N_CL * CSIZE)
-        n_bad += int(np.sum(~ok_row))
-        n_lab += len(d)
+    part = labels.map_batches(label_check_partials(N_CL, CSIZE,
+                                                   chain=CHAIN),
+                              batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    n_lab = int(part["n"].sum()) if "n" in part.columns else 0
+    n_bad = int(part["bad"].sum()) if "bad" in part.columns else 0
     results["connected_components_6m_edges"] = {
         "labels": int(n_lab), "bad": int(n_bad),
         "wall": round(time.time() - t0, 1)}

@@ -636,3 +636,17 @@ def test_cli_sketch_merge_into(small_seq, tmp_path):
               "--group-col", "source", "--merge-into", a_sk,
               "-o", str(tmp_path / "fleet"), "--num-cpus", "4"])
     assert r.returncode == 2 and "merge-into" in r.stderr
+    # pre-build validation: typo'd path, wrong kind, and wrong geometry
+    # must all exit 2 with a message BEFORE any corpus work
+    r = _run(["sketch", "--kind", "hll", "-p", "12", "--input", half_b,
+              "--merge-into", a_sk + ".nope",
+              "-o", str(tmp_path / "x.sk"), "--num-cpus", "4"])
+    assert r.returncode == 2 and "no such file" in r.stderr
+    r = _run(["sketch", "--kind", "bloom", "-p", "12", "--input", half_b,
+              "--merge-into", a_sk,
+              "-o", str(tmp_path / "x.sk"), "--num-cpus", "4"])
+    assert r.returncode == 2 and "kind mismatch" in r.stderr
+    r = _run(["sketch", "--kind", "hll", "-p", "14", "--input", half_b,
+              "--merge-into", a_sk,
+              "-o", str(tmp_path / "x.sk"), "--num-cpus", "4"])
+    assert r.returncode == 2 and "geometry mismatch" in r.stderr
