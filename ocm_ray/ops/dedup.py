@@ -21,6 +21,7 @@ the hot path.
 
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -943,7 +944,8 @@ def _small_star_scan(tbl: pa.Table) -> pa.Table:
 def dup_clusters_ds(pairs, n_shards: int = None,
                     max_broadcast: int = 2_000_000,
                     distributed: bool = None,
-                    max_rounds: int = 200) -> Dataset:
+                    max_rounds: int = 200,
+                    checkpoint_dir: str = None) -> Dataset:
     """Connected components over a candidate-pair Dataset — near-dup
     cluster labels at crawl scale. Returns (doc_id, cluster_id) for
     every id in a pair, cluster labeled by its MIN member — byte-same
@@ -960,7 +962,7 @@ def dup_clusters_ds(pairs, n_shards: int = None,
     Ray's AllToAll, rule 3b/9), per-shard vectorized via pandas
     ``groupby().transform("min")``. Neither round grows the edge set,
     components converge to min-rooted stars in O(log² n) rounds (≈log n
-    in practice — a 4096-node path takes 7 iterations), and convergence
+    in practice — a 16384-node path takes 15 iterations), and convergence
     is detected by an order-independent 64-bit edge-set signature (one
     cheap pass over the already-materialized round output). Driver
     memory per round: #blocks × #shards ObjectRefs + the one-row-per-
@@ -972,6 +974,14 @@ def dup_clusters_ds(pairs, n_shards: int = None,
     canonical pair set (the finders emit a < b; a self-loop row carries
     no connectivity and is dropped here, where the driver union-find
     would label it a singleton).
+
+    ``checkpoint_dir`` (distributed plan only): persist each completed
+    round's edge table as Parquet (atomic tmp-dir rename + a meta row
+    carrying the round index and convergence signature; older rounds
+    pruned) so a killed crawl-scale run resumes from its last completed
+    round instead of round 0. Rounds are deterministic functions of the
+    edge multiset, so a resumed run converges to identical labels
+    (kill-and-resume tested).
     """
     import ray.data as rd
 
@@ -1038,7 +1048,56 @@ def dup_clusters_ds(pairs, n_shards: int = None,
     shard_of = key_shard_fn("node", n_shards)
     edges = pairs_ds
     prev_sig = None
-    for _it in range(max_rounds):
+    start_round = 0
+    fingerprint = None
+    if checkpoint_dir:
+        import json as _json
+
+        # fingerprint the INPUT (edge-multiset signature + geometry) so
+        # a checkpoint from a different pair set / shard count refuses
+        # to resume instead of silently continuing someone else's run
+        # (the repo-wide resume convention)
+        fingerprint = list(_edge_signature(pairs_ds)) + [n_shards]
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        meta_path = os.path.join(checkpoint_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            if meta.get("fingerprint") != fingerprint:
+                raise ValueError(
+                    f"dup_clusters_ds: {checkpoint_dir} holds a "
+                    "checkpoint for a DIFFERENT pair set or shard count "
+                    "— use a fresh checkpoint_dir")
+            rdir = os.path.join(checkpoint_dir,
+                                f"round-{meta['round']:04d}")
+            if os.path.isdir(rdir):
+                edges = rd.read_parquet(rdir)
+                prev_sig = tuple(meta["sig"]) if meta["sig"] else None
+                start_round = meta["round"] + 1
+
+    def _checkpoint_round(it, edge_ds, sig):
+        import json as _json
+        import shutil as _shutil
+
+        rdir = os.path.join(checkpoint_dir, f"round-{it:04d}")
+        tmp = rdir + ".tmp"
+        if os.path.isdir(tmp):
+            _shutil.rmtree(tmp)
+        edge_ds.write_parquet(tmp)
+        if os.path.isdir(rdir):
+            _shutil.rmtree(rdir)
+        os.rename(tmp, rdir)
+        with open(os.path.join(checkpoint_dir, "meta.json.tmp"), "w") as fh:
+            _json.dump({"round": it, "sig": list(sig),
+                        "fingerprint": fingerprint}, fh)
+        os.replace(os.path.join(checkpoint_dir, "meta.json.tmp"),
+                   os.path.join(checkpoint_dir, "meta.json"))
+        for old in os.listdir(checkpoint_dir):   # keep only the latest
+            if old.startswith("round-") and not old.endswith(".tmp") \
+                    and old != f"round-{it:04d}":
+                _shutil.rmtree(os.path.join(checkpoint_dir, old))
+
+    for _it in range(start_round, max_rounds):
         lg = edges.map_batches(lg_messages, batch_format="pyarrow")
         edges = shard_scan(lg, shard_of, _large_star_scan, n_shards)
         if _it == 0 and _edge_signature(edges)[0] == 0:
@@ -1051,6 +1110,13 @@ def dup_clusters_ds(pairs, n_shards: int = None,
         sm = edges.map_batches(sm_messages, batch_format="pyarrow")
         edges = shard_scan(sm, shard_of, _small_star_scan, n_shards)
         sig = _edge_signature(edges)
+        if checkpoint_dir:
+            _checkpoint_round(_it, edges, sig)
+            # re-point at the persisted round so the next iteration's
+            # consumers read the checkpoint's blocks (and a crash right
+            # after this line loses nothing)
+            edges = rd.read_parquet(
+                os.path.join(checkpoint_dir, f"round-{_it:04d}"))
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -211,3 +211,69 @@ def test_hypothesis_parity_with_union_find(edges, shards_pow):
     got = _labels(got_ds) if len(got_ds) else \
         pd.DataFrame({"doc_id": [], "cluster_id": []}).astype(np.int64)
     pd.testing.assert_frame_equal(want, got)
+
+
+def test_checkpointed_rounds_kill_and_resume(tmp_path):
+    """A crash mid-run resumes from the last completed round: kill the
+    loop after round 1 via an injected signature fault, restart with
+    the same checkpoint_dir, and get labels identical to an
+    uncheckpointed run — without re-running the completed rounds."""
+    import ocm_ray.ops.dedup as dd
+
+    pairs = _mixed_graph(seed=21)
+    want = _labels(dd.dup_clusters(pairs))
+    ck = str(tmp_path / "cc_ckpt")
+
+    calls = []
+    orig = dd._edge_signature
+
+    def crashing(e):
+        calls.append(1)
+        # the input fingerprint + round-0 and round-1 signatures pass,
+        # then the run "dies" (len: 1 fingerprint + 2 round sigs)
+        if len(calls) == 4:
+            raise RuntimeError("injected crash")
+        return orig(e)
+
+    dd._edge_signature = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            _run_ds(pairs, distributed=True, n_shards=4,
+                    checkpoint_dir=ck)
+    finally:
+        dd._edge_signature = orig
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(ck, "meta.json")))
+    crashed_round = meta["round"]
+    assert crashed_round >= 0
+
+    # resume: must start past the checkpointed round, not at 0
+    resumed_rounds = []
+    def counting(e):
+        resumed_rounds.append(1)
+        return orig(e)
+
+    dd._edge_signature = counting
+    try:
+        got = _labels(_run_ds(pairs, distributed=True, n_shards=4,
+                              checkpoint_dir=ck))
+    finally:
+        dd._edge_signature = orig
+    pd.testing.assert_frame_equal(want, got)
+    # uncheckpointed from-scratch takes N rounds; the resume must take
+    # strictly fewer signature calls than fingerprint + N
+    fresh_rounds = []
+    dd._edge_signature = lambda e: fresh_rounds.append(1) or orig(e)
+    try:
+        pd.testing.assert_frame_equal(
+            want, _labels(_run_ds(pairs, distributed=True, n_shards=4)))
+    finally:
+        dd._edge_signature = orig
+    assert len(resumed_rounds) < len(fresh_rounds) + 1
+
+    # a different pair set must refuse the stale checkpoint
+    other = _mixed_graph(seed=22)
+    with pytest.raises(ValueError, match="DIFFERENT pair set"):
+        _run_ds(other, distributed=True, n_shards=4, checkpoint_dir=ck)
