@@ -738,6 +738,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
     q["exact_value_quantiles"] = exact_value_quantiles_full
 
+    def deleted_value_quantiles(sf_dir):
+        """KLL± deletion semantics (PAPERS.md VLDB'21), SQL-oracled in
+        the exact-capacity regime: insert every event value as per-block
+        partial sketches, RETRACT the 'error' events' values the same
+        way, tree-merge, and read quantiles of the remaining live
+        multiset — equal to quantile_disc over the filtered table."""
+        from ocm_ray.sketches import KLLPM
+        from ocm_ray.sketches.base import MergeableSketch
+
+        ds = _read(sf_dir, "events", columns=["value", "event_type"])
+
+        def part(batch):
+            import pyarrow as _pa           # worker-side (rule 10b)
+            import pyarrow.compute as _pc
+
+            from ocm_ray.sketches import KLLPM as _KLLPM
+
+            if batch.num_rows == 0:      # schema-less empty (rule 8b)
+                return _pa.table({})
+            sk = _KLLPM(k=1 << 17)
+            vals = batch.column("value").to_numpy(zero_copy_only=False)
+            bad = _pc.equal(batch.column("event_type"),
+                            _pa.scalar("error")).to_numpy(
+                zero_copy_only=False)
+            sk.update_values(vals)
+            sk.delete_values(vals[bad])
+            return _pa.table({"sk": _pa.array([sk.to_bytes()],
+                                              _pa.binary())})
+
+        merged = KLLPM(k=1 << 17)
+        for b in (ds.map_batches(part, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow",
+                                  batch_size=None)):
+            if b.num_rows == 0:
+                continue
+            for raw in b.column("sk"):
+                merged.merge(MergeableSketch.from_bytes(raw.as_py()))
+        qs = [0.1, 0.5, 0.9, 0.99]
+        return pd.DataFrame({
+            "q": qs,
+            "value": [round(float(np.atleast_1d(merged.quantile(x))[0]),
+                            6) for x in qs]})
+    q["deleted_value_quantiles"] = deleted_value_quantiles
+
     def supplier_by_region(sf_dir):
         import pyarrow.parquet as pq
 
@@ -3887,6 +3931,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
             GROUP BY l_returnflag
+        """,
+        # KLL± exact-regime oracle: quantiles of the live multiset =
+        # quantile_disc over events minus the retracted type
+        "deleted_value_quantiles": """
+            WITH live AS MATERIALIZED (
+                SELECT value FROM events WHERE event_type <> 'error'
+            )
+            SELECT CAST(0.1 AS DOUBLE) AS q,
+                   ROUND(quantile_disc(value, 0.1), 6) AS value FROM live
+            UNION ALL
+            SELECT 0.5, ROUND(quantile_disc(value, 0.5), 6) FROM live
+            UNION ALL
+            SELECT 0.9, ROUND(quantile_disc(value, 0.9), 6) FROM live
+            UNION ALL
+            SELECT 0.99, ROUND(quantile_disc(value, 0.99), 6) FROM live
         """,
         "exact_value_quantiles": """
             SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(value, 0.1) AS value FROM events

@@ -24,7 +24,7 @@ from ocm_ray.sketches.heavykeeper import HeavyKeeper, HeavyKeeperTopK
 from ocm_ray.sketches.hbb import HyperBitBit
 from ocm_ray.sketches.hll import HyperLogLog, SparseHLL
 from ocm_ray.sketches.hyperminhash import HyperMinHash
-from ocm_ray.sketches.kll import KLL
+from ocm_ray.sketches.kll import KLL, KLLPM
 from ocm_ray.sketches.minhash import BottomKMinHash, CountingBottomKMinHash
 from ocm_ray.sketches.pcsa import PCSA, ProbabilisticCounter
 from ocm_ray.sketches.setsketch import SetSketch
@@ -34,7 +34,7 @@ __all__ = [
     "MergeableSketch", "merge_all", "dedupe_counts", "merge_sorted_counts",
     "CountCombiner", "sketch_class",
     "CountMin", "OfflineCountMin", "CountSketch", "TopK",
-    "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "TDigest",
+    "HyperLogLog", "BloomFilter", "CountingBloomFilter", "KLL", "KLLPM", "TDigest",
     "BottomKMinHash", "HeavyKeeper", "HeavyKeeperTopK", "DDSketch",
     "CountSketch4W", "PCSA", "ProbabilisticCounter", "FilterHLL",
     "HyperMinHash", "BBitMinHash", "SetSketch", "WeightedMinHash",

@@ -183,3 +183,117 @@ class KLL(MergeableSketch):
         self.levels = [arrays[k] for k in levels]
         self.n = arrays["n"]
         self._coin_ctr = int(arrays["coin"][0])
+
+
+@register_sketch
+class KLLPM(MergeableSketch):
+    """KLL± — quantiles over a DYNAMIC dataset with deletions (PAPERS.md:
+    "KLL±: Approximate Quantile Sketches over Dynamic Datasets",
+    VLDB'21). The pipeline use case: retract one dump's contribution
+    from a corpus-wide quantile summary (a contaminated crawl, a
+    recalled source) without re-reading everything else.
+
+    The paper's core construction: a PAIR of KLL sketches — one fed the
+    insert stream, one the delete stream (independent coin streams) —
+    queried on the SIGNED rank ``R(x) = R_ins(x) - R_del(x)`` over
+    ``n = n_ins - n_del`` live items. Deletions must be a sub-multiset
+    of insertions (caller contract, as in the paper); rank error grows
+    with the deletion fraction (ε·n_ins + ε·n_del absolute, i.e. the
+    usual KLL ε scaled by ``(n_ins + n_del) / n``). The signed-rank
+    curve of two approximate sketches need not be monotone pointwise, so
+    quantile() evaluates it on the merged candidate values and takes the
+    running max before inverting — the paper's monotone repair.
+
+    Exact regime (capacity never exceeded): quantile() reproduces SQL
+    ``quantile_disc`` over the difference multiset bit-exactly (value at
+    ceil(q·n), 1-indexed) — the same convention as
+    ``ops.relational.exact_value_quantiles``."""
+
+    kind = "kllpm"
+
+    def __init__(self, k: int = 200, seedseed: int = 137):
+        self.k = int(k)
+        self.seedseed = int(seedseed)
+        self.ins = KLL(k, seedseed)
+        self.dels = KLL(k, seedseed + 0x5F5E1)   # independent coins
+
+    # ---- updates -----------------------------------------------------------
+    def update(self, items: np.ndarray,
+               counts: Optional[np.ndarray] = None) -> None:
+        self.ins.update(items, counts)
+
+    def update_values(self, values: np.ndarray) -> None:
+        self.ins.update_values(values)
+
+    def delete(self, items: np.ndarray,
+               counts: Optional[np.ndarray] = None) -> None:
+        self.dels.update(items, counts)
+
+    def delete_values(self, values: np.ndarray) -> None:
+        self.dels.update_values(values)
+
+    @property
+    def n(self) -> np.ndarray:
+        return self.ins.n - self.dels.n
+
+    # ---- queries -----------------------------------------------------------
+    @staticmethod
+    def _abs_rank(kll: KLL, xs: np.ndarray) -> np.ndarray:
+        """Absolute (weighted-count) rank: # items <= x."""
+        v, w = kll._weighted()
+        if v.size == 0:
+            return np.zeros(len(xs))
+        cum = np.concatenate([[0], np.cumsum(w)]).astype(np.float64)
+        return cum[np.searchsorted(v, xs, side="right")]
+
+    def rank(self, values) -> np.ndarray:
+        """Approximate normalized SIGNED rank over the live items."""
+        xs = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        n = max(float(self.n[0]), 1.0)
+        return (self._abs_rank(self.ins, xs)
+                - self._abs_rank(self.dels, xs)) / n
+
+    def quantile(self, q) -> np.ndarray:
+        """Value(s) at normalized rank(s) q — smallest candidate whose
+        monotone-repaired signed rank reaches ceil(q*n)."""
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        vi, _ = self.ins._weighted()
+        vd, _ = self.dels._weighted()
+        cand = np.unique(np.concatenate([vi, vd])) if vi.size + vd.size \
+            else np.empty(0)
+        if cand.size == 0 or self.n[0] <= 0:
+            out = np.full(qs.shape, np.nan)
+            return out if np.ndim(q) else float("nan")
+        sr = self._abs_rank(self.ins, cand) - self._abs_rank(self.dels,
+                                                             cand)
+        sr = np.maximum.accumulate(sr)       # monotone repair
+        n = float(self.n[0])
+        targets = np.maximum(np.ceil(qs * n), 1.0)
+        idx = np.minimum(np.searchsorted(sr, targets, side="left"),
+                         len(cand) - 1)
+        out = cand[idx]
+        return out if np.ndim(q) else float(out[0])
+
+    def cdf(self, values) -> np.ndarray:
+        return self.rank(values)
+
+    # ---- merge / io --------------------------------------------------------
+    def merge(self, other: "KLLPM") -> "KLLPM":
+        assert self.k == other.k, "geometry mismatch"
+        self.ins.merge(other.ins)
+        self.dels.merge(other.dels)
+        return self
+
+    def _params(self) -> Dict:
+        return dict(k=self.k, seedseed=self.seedseed)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        out = {f"i_{k}": v for k, v in self.ins._arrays().items()}
+        out.update({f"d_{k}": v for k, v in self.dels._arrays().items()})
+        return out
+
+    def _set_arrays(self, arrays: Dict[str, np.ndarray]) -> None:
+        self.ins._set_arrays({k[2:]: v for k, v in arrays.items()
+                              if k.startswith("i_")})
+        self.dels._set_arrays({k[2:]: v for k, v in arrays.items()
+                               if k.startswith("d_")})

@@ -713,3 +713,83 @@ def test_cws_pmh_combiner_never_splits_weights():
         with pytest.raises(ValueError, match="FINAL weights"):
             for lo in range(0, len(stream), 500):
                 tight.add(stream[lo:lo + 500])
+
+
+# ---------------- KLL± (deletions) ----------------
+
+def test_kllpm_exact_regime_matches_quantile_disc(rng):
+    """Exact capacity regime: quantiles of the insert-minus-delete
+    multiset reproduce the SQL quantile_disc convention (value at
+    ceil(q*n), 1-indexed) bit-exactly."""
+    from ocm_ray.sketches import KLLPM
+
+    vals = rng.normal(0, 1, 6000)
+    dels = vals[rng.choice(6000, 2000, replace=False)]
+    sk = KLLPM(k=1 << 17)
+    sk.update_values(vals)
+    sk.delete_values(dels)
+    import collections
+
+    c = collections.Counter(vals.tolist())
+    for d in dels.tolist():
+        c[d] -= 1
+    rem = np.sort(np.array([v for v, m in c.items() for _ in range(m)]))
+    assert int(sk.n[0]) == len(rem) == 4000
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        want = rem[max(int(np.ceil(q * len(rem))), 1) - 1]
+        assert sk.quantile(q) == want, q
+
+
+def test_kllpm_rank_error_with_deletions(rng):
+    """Approximate regime: 30% deletions, error stays near the KLL
+    bound scaled by (n_ins + n_del)/n_live."""
+    from ocm_ray.sketches import KLLPM
+
+    vals = rng.lognormal(6, 0.8, 300_000)
+    drop = vals[rng.choice(300_000, 90_000, replace=False)]
+    import collections
+
+    c = collections.Counter(vals.tolist())
+    for d in drop.tolist():
+        c[d] -= 1
+    rem = np.sort(np.array([v for v, m in c.items() for _ in range(m)]))
+    sk = KLLPM(200)
+    sk.update_values(vals)
+    sk.delete_values(drop)
+    assert int(sk.n[0]) == len(rem)
+    for q in (0.1, 0.5, 0.9):
+        est = float(np.atleast_1d(sk.quantile(q))[0])
+        true_rank = (rem <= est).mean()
+        assert abs(true_rank - q) < 0.05, (q, true_rank)
+
+
+def test_kllpm_merge_and_roundtrip(rng):
+    """Partitioned inserts/deletes merged == the single-sketch stream
+    within the rank bound; bytes round-trip through the registry."""
+    from ocm_ray.sketches import KLLPM
+    from ocm_ray.sketches.base import MergeableSketch
+
+    vals = rng.normal(0, 1, 120_000)
+    drop = vals[rng.choice(120_000, 30_000, replace=False)]
+    parts = np.array_split(vals, 6)
+    dparts = np.array_split(drop, 6)
+    acc = None
+    for p, dp in zip(parts, dparts):
+        s = KLLPM(200)
+        s.update_values(p)
+        s.delete_values(dp)
+        acc = s if acc is None else acc.merge(s)
+    import collections
+
+    c = collections.Counter(vals.tolist())
+    for d in drop.tolist():
+        c[d] -= 1
+    rem = np.sort(np.array([v for v, m in c.items() for _ in range(m)]))
+    assert int(acc.n[0]) == len(rem)
+    for q in (0.25, 0.5, 0.75):
+        est = float(np.atleast_1d(acc.quantile(q))[0])
+        assert abs((rem <= est).mean() - q) < 0.05
+    back = MergeableSketch.from_bytes(acc.to_bytes())
+    assert type(back).__name__ == "KLLPM"
+    assert back.quantile(0.5) == acc.quantile(0.5)
+    assert int(back.n[0]) == int(acc.n[0])
