@@ -573,3 +573,243 @@ def load_classifier(path: str):
     with np.load(path) as z:       # close the sniff handle promptly
         is_lr = "w" in z.files
     return LRModel.load(path) if is_lr else NBModel.load(path)
+
+
+# ---------------------------------------------------------------------------
+# histogram-based distributed decision tree over numeric signal columns
+
+
+@dataclass
+class TreeModel:
+    """Depth-limited binary CART over NUMERIC feature columns (cf.
+    PAPERS.md: "Distributed Task-Based Training of Tree Models",
+    ICDE'22 — histogram-based split finding is the distributed-friendly
+    formulation). Arrays are node-indexed (complete-binary layout,
+    node 0 = root, children of i are 2i+1 / 2i+2): ``feat[i]`` < 0
+    marks a leaf whose positive-class probability is ``leaf_p[i]``."""
+
+    feat: np.ndarray        # int32[n_nodes], -1 = leaf
+    thresh: np.ndarray      # float64[n_nodes]
+    leaf_p: np.ndarray      # float64[n_nodes]
+    feature_cols: tuple
+    max_depth: int
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as fh:
+            np.savez_compressed(
+                fh, feat=self.feat, thresh=self.thresh, leaf_p=self.leaf_p,
+                cols=np.array(list(self.feature_cols)),
+                depth=np.array([self.max_depth]))
+
+    @classmethod
+    def load(cls, path: str) -> "TreeModel":
+        z = np.load(path, allow_pickle=False)
+        return cls(feat=z["feat"], thresh=z["thresh"], leaf_p=z["leaf_p"],
+                   feature_cols=tuple(str(c) for c in z["cols"]),
+                   max_depth=int(z["depth"][0]))
+
+    def apply(self, X: np.ndarray) -> np.ndarray:
+        """Leaf positive-class probability per row of the (n, n_feat)
+        matrix — vectorized tree walk, one np.where per depth level."""
+        node = np.zeros(len(X), dtype=np.int64)
+        for _ in range(self.max_depth):
+            f = self.feat[node]
+            live = f >= 0
+            if not live.any():
+                break
+            go_right = np.zeros(len(X), dtype=bool)
+            go_right[live] = X[np.nonzero(live)[0], f[live]] \
+                > self.thresh[node[live]]
+            node = np.where(live, 2 * node + 1 + go_right, node)
+        return self.leaf_p[node]
+
+
+def _tree_bin_edges(ds, feature_cols, n_bins: int, sketch_k: int = 4096):
+    """Per-feature candidate thresholds from a distributed KLL pass
+    (per-block partials, one row each, driver merge) — the histogram
+    paper's quantile binning."""
+    from ocm_ray.sketches.base import MergeableSketch
+    from ocm_ray.sketches.kll import KLL
+
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({})
+        blobs = []
+        for c in feature_cols:
+            sk = KLL(4096)
+            sk.update_values(batch.column(c).to_numpy(
+                zero_copy_only=False).astype(np.float64))
+            blobs.append(sk.to_bytes())
+        return pa.table({"sk": pa.array([blobs])})
+
+    merged = [KLL(sketch_k) for _ in feature_cols]
+    for b in (ds.map_batches(part, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)):
+        if b.num_rows == 0:
+            continue
+        for row in b.column("sk").to_pylist():
+            for j, raw in enumerate(row):
+                merged[j].merge(MergeableSketch.from_bytes(raw))
+    qs = np.linspace(0.0, 1.0, n_bins + 1)[1:-1]
+    return [np.unique(np.atleast_1d(sk.quantile(qs))) for sk in merged]
+
+
+def _tree_hist_kernel(feature_cols, label_col, edges, feat_arr,
+                      thresh_arr, depth):
+    """Per-batch sparse (node, feature, bin) -> (pos, neg) histogram
+    partial for every LIVE node at ``depth`` — integer counts, so the
+    grouped-sum fold is exact and partition-invariant."""
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:     # may arrive schema-less (rule 8b)
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "feat": pa.array([], pa.int64()),
+                             "bin": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "neg": pa.array([], pa.int64())})
+        X = np.column_stack([
+            batch.column(c).to_numpy(zero_copy_only=False)
+            .astype(np.float64) for c in feature_cols])
+        y = batch.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        node = np.zeros(len(X), dtype=np.int64)
+        for _ in range(depth):      # walk the partial tree so far
+            f = feat_arr[node]
+            live = f >= 0
+            if not live.any():
+                break
+            right = np.zeros(len(X), dtype=bool)
+            right[live] = X[np.nonzero(live)[0], f[live]] \
+                > thresh_arr[node[live]]
+            node = np.where(live, 2 * node + 1 + right, node)
+        outs = {"node": [], "feat": [], "bin": [], "pos": [], "neg": []}
+        n_bins_max = max(len(e) for e in edges) + 1
+        for j, e in enumerate(edges):
+            b = np.searchsorted(e, X[:, j], side="right")
+            # one flat key per (node, bin): bincount both classes
+            key = node * n_bins_max + b
+            size = int(key.max()) + 1 if len(key) else 0
+            cp = np.bincount(key[y], minlength=size)
+            cn = np.bincount(key[~y], minlength=size)
+            nz = np.nonzero(cp + cn)[0]
+            outs["node"].append(nz // n_bins_max)
+            outs["feat"].append(np.full(len(nz), j, dtype=np.int64))
+            outs["bin"].append(nz % n_bins_max)
+            outs["pos"].append(cp[nz])
+            outs["neg"].append(cn[nz])
+        return pa.table({k: pa.array(np.concatenate(v).astype(np.int64))
+                         for k, v in outs.items()})
+
+    return hist
+
+
+def train_tree_classifier(ds, feature_cols, label_col: str = "label",
+                          max_depth: int = 3, n_bins: int = 32,
+                          min_samples: int = 32) -> TreeModel:
+    """Train a depth-limited binary decision tree DISTRIBUTED: one KLL
+    pass for quantile bin edges, then ONE corpus pass PER DEPTH — every
+    block emits sparse integer (node, feature, bin, pos, neg) histogram
+    partials for all live nodes at that depth, the
+    :func:`ocm_ray.ops.agg.grouped_sum` tree folds them exactly, and
+    the driver picks each node's best Gini split from the (bounded:
+    nodes x features x bins rows) cumulated histogram. Integer partials
+    make training deterministic and partition-invariant — the
+    distributed run equals a driver-side reference on the same binned
+    data EXACTLY (tested). Driver state: histograms + the node arrays,
+    never the corpus. The corpus re-executes once per depth — pass a
+    read or materialized dataset."""
+    from ocm_ray.ops.agg import grouped_sum
+
+    feature_cols = tuple(feature_cols)
+    edges = _tree_bin_edges(ds, feature_cols, n_bins)
+    n_nodes = (1 << (max_depth + 1)) - 1
+    feat = np.full(n_nodes, -1, dtype=np.int32)
+    thresh = np.zeros(n_nodes)
+    leaf_p = np.full(n_nodes, 0.5)
+
+    for depth in range(max_depth):
+        hist = _tree_hist_kernel(feature_cols, label_col, edges,
+                                 feat, thresh, depth)
+        folded = grouped_sum(
+            ds.map_batches(hist, batch_format="pyarrow"),
+            ["node", "feat", "bin"], ["pos", "neg"]).to_pandas()
+        if len(folded) == 0:
+            break
+        lo, hi = (1 << depth) - 1, (1 << (depth + 1)) - 1
+        for node in range(lo, hi):
+            sub = folded[folded["node"] == node]
+            if len(sub) == 0:
+                continue
+            tp = int(sub.loc[sub["feat"] == 0, "pos"].sum())
+            tn = int(sub.loc[sub["feat"] == 0, "neg"].sum())
+            tot = tp + tn
+            leaf_p[node] = tp / tot if tot else 0.5
+            if tot < min_samples or tp == 0 or tn == 0:
+                continue
+            best = (0.0, -1, 0.0)      # (gini gain, feature, threshold)
+            parent_g = 1.0 - (tp / tot) ** 2 - (tn / tot) ** 2
+            for j, e in enumerate(edges):
+                fj = sub[sub["feat"] == j].sort_values("bin")
+                cp = np.cumsum(fj["pos"].to_numpy())
+                cn = np.cumsum(fj["neg"].to_numpy())
+                bins = fj["bin"].to_numpy()
+                # split AFTER bin b (x <= edges[b] go left): candidates
+                # are bins with a following edge
+                ok = bins < len(e)
+                lp, ln = cp[ok], cn[ok]
+                ltot = lp + ln
+                rtot = tot - ltot
+                valid = (ltot > 0) & (rtot > 0)
+                if not valid.any():
+                    continue
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    gl = 1.0 - (lp / ltot) ** 2 - (ln / ltot) ** 2
+                    rp, rn = tp - lp, tn - ln
+                    gr = 1.0 - (rp / rtot) ** 2 - (rn / rtot) ** 2
+                    gain = parent_g - (ltot * gl + rtot * gr) / tot
+                gain = np.where(valid, gain, -np.inf)
+                bi = int(np.argmax(gain))
+                if gain[bi] > best[0] + 1e-12:
+                    best = (float(gain[bi]), j, float(e[bins[ok][bi]]))
+            if best[1] >= 0:
+                feat[node] = best[1]
+                thresh[node] = best[2]
+    # leaf probabilities for the deepest level come from the LAST
+    # histogram pass's children totals: run one more stats-only pass
+    hist = _tree_hist_kernel(feature_cols, label_col, edges,
+                             feat, thresh, max_depth)
+    folded = grouped_sum(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        ["node", "feat", "bin"], ["pos", "neg"]).to_pandas()
+    if len(folded):
+        f0 = folded[folded["feat"] == 0]
+        for node, sub in f0.groupby("node"):
+            tot = int(sub["pos"].sum() + sub["neg"].sum())
+            if tot:
+                leaf_p[int(node)] = int(sub["pos"].sum()) / tot
+    return TreeModel(feat=feat, thresh=thresh, leaf_p=leaf_p,
+                     feature_cols=feature_cols, max_depth=max_depth)
+
+
+def tree_scores(ds, model: TreeModel, id_col: str = "doc_id",
+                ndigits: int = 6, threshold: float = 0.5):
+    """Score rows with the trained tree: ``tree_p`` (leaf positive
+    probability, rounded) and ``tree_keep``. One stateless broadcast
+    pass (the node arrays ride the object store once)."""
+    import ray
+
+    ref = ray.put((model.feat, model.thresh, model.leaf_p,
+                   model.feature_cols, model.max_depth))
+
+    def score(batch: pa.Table) -> pa.Table:
+        feat, thr, leaf_p, cols, depth = ray.get(ref)
+        m = TreeModel(feat=feat, thresh=thr, leaf_p=leaf_p,
+                      feature_cols=cols, max_depth=depth)
+        X = np.column_stack([
+            batch.column(c).to_numpy(zero_copy_only=False)
+            .astype(np.float64) for c in cols])
+        p = np.round(m.apply(X), ndigits)
+        return pa.table({id_col: batch.column(id_col),
+                         "tree_p": pa.array(p),
+                         "tree_keep": pa.array(p > threshold)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
