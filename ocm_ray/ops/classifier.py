@@ -636,7 +636,7 @@ def _tree_bin_edges(ds, feature_cols, n_bins: int, sketch_k: int = 4096):
             return pa.table({})
         blobs = []
         for c in feature_cols:
-            sk = KLL(4096)
+            sk = KLL(sketch_k)     # must match the merge-side geometry
             sk.update_values(batch.column(c).to_numpy(
                 zero_copy_only=False).astype(np.float64))
             blobs.append(sk.to_bytes())
